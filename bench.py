@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Driver benchmark: single-chip k-mer counting throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: giga-bases/second/chip through the device count path
+(rolling-code encode + dense histogram) at k=11 (4M bins, the BASELINE.json
+config-2 shape). The reference publishes no throughput numbers
+(BASELINE.md: "published": {}); the baseline denominator is 1.0 Gbase/s,
+a generous estimate of an A100-class CUDA k-mer counter (Gerbil-era GPU
+counters sustain ~0.5-1.5 Gbase/s), so vs_baseline == achieved Gbase/s.
+BASELINE.json's stated target is >=10x that.
+
+Details (per-phase timings, device, exactness check) go to stderr.
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> int:
+    # Persistent compile cache: repeated driver invocations skip recompiles.
+    cache = os.path.expanduser("~/.cache/dna_kmeres_tpu_xla")
+    os.makedirs(cache, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from dna_kmeres_parallel_tpu.models.benchmarks import run_count_bench
+
+    k = int(os.environ.get("BENCH_K", "11"))
+    total = int(os.environ.get("BENCH_BASES", str(256 << 20)))
+    batch = int(os.environ.get("BENCH_BATCH", str(16 << 20)))
+
+    report = run_count_bench(k=k, canonical=False, total_bases=total, batch_bases=batch)
+    print(json.dumps(report), file=sys.stderr)
+
+    exact = report["windows_counted"] == report["windows_expected"]
+    if not exact:
+        print("WINDOW COUNT MISMATCH — benchmark invalid", file=sys.stderr)
+
+    value = report["gbases_per_sec"]
+    baseline_gbps = 1.0
+    print(
+        json.dumps(
+            {
+                "metric": f"count_throughput_k{k}",
+                "value": value,
+                "unit": "Gbase/s/chip",
+                "vs_baseline": round(value / baseline_gbps, 4),
+            }
+        )
+    )
+    return 0 if exact else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

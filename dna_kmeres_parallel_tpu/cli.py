@@ -1,0 +1,238 @@
+"""Command-line interface.
+
+Replaces the reference's compile-time configuration (hard-coded paths and
+#defines, /root/reference/main.cu:19-50) with runtime flags.
+
+  kmer-tpu count    --k 4 in.fasta -o table.csv
+  kmer-tpu distance --k 3 in.fasta -o distances.csv [--tsv min_distances.csv]
+  kmer-tpu selftest --k 3 in.fasta       # oracle-vs-engine differential check
+  kmer-tpu bench    --k 11 --bases 64M   # single-chip throughput microbench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: first-compile latency is paid once
+    per program shape across CLI invocations, not per run."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "KMER_TPU_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "dna_kmeres_tpu_xla"),
+        )
+        if cache_dir and cache_dir != "0":
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # cache is an optimization, never a hard dependency
+
+
+def _parse_size(s: str) -> int:
+    s = s.strip().upper()
+    mult = 1
+    for suffix, m in (("K", 1 << 10), ("M", 1 << 20), ("G", 1 << 30)):
+        if s.endswith(suffix):
+            return int(float(s[:-1]) * m)
+    return int(s)
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--k", type=int, default=3, help="k-mer length")
+    p.add_argument(
+        "--canonical",
+        action="store_true",
+        help="fold reverse complements (min(code, rc))",
+    )
+    p.add_argument(
+        "--max-seqs", type=int, default=None, help="ingest cap (reference: 100)"
+    )
+    p.add_argument(
+        "--parser",
+        choices=("modern", "blank_line", "no_blank_line"),
+        default="modern",
+        help="record-splitting semantics (reference emulation variants)",
+    )
+    p.add_argument(
+        "--engine",
+        choices=("tpu", "oracle"),
+        default="tpu",
+        help="tpu = JAX/Pallas engine, oracle = NumPy golden engine",
+    )
+
+
+def _build_config(args):
+    from dna_kmeres_parallel_tpu.utils.config import KmerConfig
+
+    return KmerConfig(
+        k=args.k,
+        canonical=args.canonical,
+        max_seqs=args.max_seqs,
+        parser_variant=args.parser,
+    )
+
+
+def _load_records(args):
+    from dna_kmeres_parallel_tpu.utils import fasta
+
+    if args.parser == "modern":
+        return fasta.parse_fasta(args.input, max_seqs=args.max_seqs)
+    return fasta.parse_fasta_reference(
+        args.input, variant=args.parser, max_seqs=args.max_seqs
+    )
+
+
+def cmd_count(args) -> int:
+    from dna_kmeres_parallel_tpu.models import oracle
+    from dna_kmeres_parallel_tpu.models.engine import KmerEngine
+    from dna_kmeres_parallel_tpu.utils import codec, io
+
+    records = _load_records(args)
+    seqs = [r.seq for r in records]
+    t0 = time.perf_counter()
+    if args.engine == "oracle":
+        hist = sum(
+            (oracle.count_vector(s, args.k, args.canonical) for s in seqs),
+            np.zeros(codec.num_bins(args.k), dtype=np.int64),
+        )
+        total_bases = sum(len(s) for s in seqs)
+    else:
+        result = KmerEngine(_build_config(args)).count_sequences(seqs)
+        hist, total_bases = result.hist, result.total_bases
+    elapsed = time.perf_counter() - t0
+
+    nz = np.nonzero(hist)[0]
+    table = {codec.code_to_kmer(int(c), args.k): int(hist[c]) for c in nz}
+    if args.output:
+        io.write_count_table_csv(args.output, table)
+    report = {
+        "k": args.k,
+        "canonical": args.canonical,
+        "engine": args.engine,
+        "n_seqs": len(seqs),
+        "total_bases": total_bases,
+        "total_kmers": int(hist.sum()),
+        "distinct_kmers": int(len(nz)),
+        "elapsed_s": round(elapsed, 4),
+        "bases_per_sec": round(total_bases / max(elapsed, 1e-9), 1),
+        "output": args.output,
+    }
+    print(json.dumps(report))
+    return 0
+
+
+def cmd_distance(args) -> int:
+    from dna_kmeres_parallel_tpu.models import oracle
+    from dna_kmeres_parallel_tpu.models.engine import KmerEngine
+    from dna_kmeres_parallel_tpu.utils import io
+
+    records = _load_records(args)
+    seqs = [r.seq for r in records]
+    t0 = time.perf_counter()
+    if args.engine == "oracle":
+        packed = oracle.distance_matrix_packed(seqs, args.k, args.canonical)
+    else:
+        packed = KmerEngine(_build_config(args)).distance_sequences(seqs).packed
+    elapsed = time.perf_counter() - t0
+
+    if args.output:
+        io.write_distances_csv(args.output, packed)
+    if args.tsv:
+        io.write_min_distances_tsv(args.tsv, packed, len(seqs))
+    report = {
+        "k": args.k,
+        "engine": args.engine,
+        "n_seqs": len(seqs),
+        "n_pairs": int(packed.shape[0]),
+        "elapsed_s": round(elapsed, 4),
+        "output": args.output,
+    }
+    print(json.dumps(report))
+    return 0
+
+
+def cmd_selftest(args) -> int:
+    from dna_kmeres_parallel_tpu.models.engine import KmerEngine
+
+    records = _load_records(args)
+    engine = KmerEngine(_build_config(args))
+    verdict = engine.verify_against_oracle([r.seq for r in records])
+    print(json.dumps(verdict))
+    return 0 if verdict["counts_equal"] and verdict["distances_equal"] else 1
+
+
+def cmd_bench(args) -> int:
+    from dna_kmeres_parallel_tpu.models.benchmarks import run_count_bench
+
+    report = run_count_bench(
+        k=args.k,
+        canonical=args.canonical,
+        total_bases=_parse_size(args.bases),
+        batch_bases=_parse_size(args.batch),
+    )
+    print(json.dumps(report))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="kmer-tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("count", help="k-mer frequency table for a FASTA file")
+    _add_common(p)
+    p.add_argument("input")
+    p.add_argument("-o", "--output", default=None, help="count table CSV path")
+    p.set_defaults(fn=cmd_count)
+
+    p = sub.add_parser("distance", help="pairwise k-mer distance matrix")
+    _add_common(p)
+    p.add_argument("input")
+    p.add_argument(
+        "-o", "--output", default=None, help="packed distances CSV (%%f per line)"
+    )
+    p.add_argument(
+        "--tsv", default=None, help="ragged lower-triangle TSV (printMinDistances format)"
+    )
+    p.set_defaults(fn=cmd_distance)
+
+    p = sub.add_parser("selftest", help="oracle-vs-engine differential check")
+    _add_common(p)
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_selftest)
+
+    p = sub.add_parser("bench", help="single-chip throughput microbenchmark")
+    p.add_argument("--k", type=int, default=11)
+    p.add_argument("--canonical", action="store_true")
+    p.add_argument("--bases", default="64M", help="total bases (e.g. 64M, 1G)")
+    p.add_argument("--batch", default="8M", help="bases per device batch")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    if hasattr(args, "k") and not (1 <= args.k <= 15):
+        parser.error(
+            f"--k {args.k} out of range: dense engines support 1 <= k <= 15 "
+            "(4^k histogram bins); larger k requires the sparse engine"
+        )
+    _enable_compile_cache()
+    try:
+        return args.fn(args)
+    except FileNotFoundError as e:
+        print(f"error: cannot open input: {e.filename or e}", file=sys.stderr)
+        return 2
+    except (ValueError, NotImplementedError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

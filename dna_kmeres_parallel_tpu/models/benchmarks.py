@@ -1,0 +1,108 @@
+"""Throughput microbenchmarks (bases/sec/chip).
+
+The framework's replacement for the reference's ad-hoc cudaEvent timing
+(/root/reference/main.cu:262-300,326-350): block_until_ready-bracketed wall
+timers over the jitted count path, with compile time excluded by a warmup
+step, reporting structured JSON.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dna_kmeres_parallel_tpu.models.engine import _count_batch
+from dna_kmeres_parallel_tpu.utils import codec
+
+
+def run_count_bench(
+    k: int = 11,
+    canonical: bool = False,
+    total_bases: int = 64 << 20,
+    batch_bases: int = 8 << 20,
+    seed: int = 0,
+) -> dict:
+    """Time the device count path over synthetic random bases.
+
+    Data is pre-staged on device so the measurement isolates the count
+    kernel (encode + histogram), the reference's step-1 analogue.
+    """
+    bins = codec.num_bins(k)
+    batch_bases = min(batch_bases, total_bases)
+    n_batches = max(total_bases // batch_bases, 1)
+
+    key = jax.random.PRNGKey(seed)
+    bases = jax.random.randint(
+        key, (batch_bases,), 0, 4, dtype=jnp.int32
+    ).astype(jnp.uint8)
+    bases = jax.device_put(bases)
+    n_own = jnp.int32(batch_bases - k + 1)
+
+    # Warmup / compile.
+    _count_batch(bases, n_own, k, bins, canonical).block_until_ready()
+
+    t0 = time.perf_counter()
+    acc = None
+    for _ in range(n_batches):
+        h = _count_batch(bases, n_own, k, bins, canonical)
+        acc = h if acc is None else acc + h
+    acc.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    measured = n_batches * batch_bases
+    bases_per_sec = measured / elapsed
+    # Sanity: every window counted exactly once.
+    total_windows = int(np.asarray(acc, dtype=np.int64).sum())
+    return {
+        "bench": "count",
+        "k": k,
+        "canonical": canonical,
+        "bins": bins,
+        "total_bases": measured,
+        "batch_bases": batch_bases,
+        "n_batches": n_batches,
+        "elapsed_s": round(elapsed, 4),
+        "bases_per_sec": round(bases_per_sec, 1),
+        "gbases_per_sec": round(bases_per_sec / 1e9, 4),
+        "windows_counted": total_windows,
+        "windows_expected": n_batches * (batch_bases - k + 1),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def run_distance_bench(
+    n_seqs: int = 1024, seq_len: int = 1024, k: int = 3, seed: int = 0
+) -> dict:
+    """Time the pairwise-distance path (the reference's step-2 analogue)."""
+    from dna_kmeres_parallel_tpu.ops import distance as dist_ops
+    from dna_kmeres_parallel_tpu.models.engine import _counts_matrix_batch
+
+    bins = codec.num_bins(k)
+    key = jax.random.PRNGKey(seed)
+    grid = jax.random.randint(
+        key, (n_seqs, seq_len), 0, 4, dtype=jnp.int32
+    ).astype(jnp.uint8)
+    lengths = jnp.full((n_seqs,), seq_len, dtype=jnp.int32)
+
+    counts = _counts_matrix_batch(grid, k, bins, False)
+    counts.block_until_ready()
+
+    t0 = time.perf_counter()
+    sq = dist_ops.distance_matrix_square(counts, lengths, k)
+    sq.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    n_pairs = n_seqs * (n_seqs - 1) // 2
+    return {
+        "bench": "distance",
+        "k": k,
+        "n_seqs": n_seqs,
+        "seq_len": seq_len,
+        "n_pairs": n_pairs,
+        "elapsed_s": round(elapsed, 4),
+        "pairs_per_sec": round(n_pairs / elapsed, 1),
+        "device": str(jax.devices()[0]),
+    }

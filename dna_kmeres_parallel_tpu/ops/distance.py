@@ -1,0 +1,101 @@
+"""Pairwise k-mer distance: tiled (min,+) reduction over the counts matrix.
+
+D(i,j) = 1 - sum_p min(cnt_i[p], cnt_j[p]) / (min(L_i, L_j) - k + 1), float32
+(reference formula: /root/reference/main.cu:614, kernels.h:105).
+
+The reference computes this with n synchronous kernel launches, one query row
+per launch (/root/reference/main.cu:327-335). Here the whole matrix is one
+fused XLA program: row-blocks of the [S, bins] counts matrix broadcast
+against the full matrix, min-summed on the VPU, assembled into the packed
+strict-upper-triangle layout. A Pallas twin lives in ops/distance_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dna_kmeres_parallel_tpu.utils.triangular import packed_size
+
+
+def min_sum_block(block: jax.Array, counts: jax.Array) -> jax.Array:
+    """sum_p min(block[i,p], counts[j,p]) for all i in block, j in counts.
+
+    block: [TS, bins] int32; counts: [S, bins] int32 -> [TS, S] int32.
+    """
+    return jnp.sum(
+        jnp.minimum(block[:, None, :], counts[None, :, :]), axis=-1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("row_block",))
+def min_sum_matrix(
+    counts: jax.Array, row_block: int = 128, counts_other: jax.Array | None = None
+) -> jax.Array:
+    """[S, S2] int32 matrix of sum_p min(counts[i,p], counts_other[j,p]).
+
+    counts_other defaults to counts (the symmetric all-pairs case). Row-blocked
+    so peak memory is row_block x S2 x bins. Integer throughout — the result
+    is exact regardless of tiling/device, so the float distance formula
+    applied to it downstream is bit-reproducible. The sharded distance engine
+    passes its local row block as ``counts`` and the all-gathered full matrix
+    as ``counts_other``.
+    """
+    other = counts if counts_other is None else counts_other
+    S = counts.shape[0]
+    pad = (-S) % row_block
+    counts_p = jnp.pad(counts, ((0, pad), (0, 0)))
+    nblocks = counts_p.shape[0] // row_block
+    blocks = counts_p.reshape(nblocks, row_block, -1)
+
+    def body(_, blk):
+        return None, min_sum_block(blk, other)
+
+    _, sums = jax.lax.scan(body, None, blocks)  # [nblocks, row_block, S2]
+    return sums.reshape(nblocks * row_block, -1)[:S]
+
+
+def finish_distances(
+    min_sums: np.ndarray, lengths: np.ndarray, k: int
+) -> np.ndarray:
+    """Host-side float32 finish: D = 1 - s / (min(L_i,L_j) - k + 1).
+
+    Applied on host with NumPy's IEEE-correctly-rounded f32 division because
+    XLA's f32 divide is 1 ulp off IEEE on some backends, and the parity
+    contract against the reference (x86 divss / CUDA prec-div, both correctly
+    rounded — main.cu:614, kernels.h:105) is bitwise. The heavy (min,+) work
+    stays on device; this is a trivial elementwise pass over [S, S].
+    """
+    min_sums = np.asarray(min_sums)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    min_len = np.minimum(lengths[:, None], lengths[None, :])
+    denom = (min_len - k + 1).astype(np.float32)
+    return np.float32(1.0) - min_sums.astype(np.float32) / denom
+
+
+@functools.partial(jax.jit, static_argnames=("k", "row_block"))
+def distance_matrix_square(
+    counts: jax.Array, lengths: jax.Array, k: int, row_block: int = 128
+) -> jax.Array:
+    """All-device [S, S] float32 distance matrix (throughput path; may differ
+    from the bit-exact host finish by 1 ulp in the division — use
+    min_sum_matrix + finish_distances when bitwise parity matters)."""
+    sums = min_sum_matrix(counts, row_block)
+    min_len = jnp.minimum(lengths[:, None], lengths[None, :])
+    denom = (min_len - k + 1).astype(jnp.float32)
+    return jnp.float32(1.0) - sums.astype(jnp.float32) / denom
+
+
+def distance_matrix_packed(
+    counts: jax.Array, lengths: jax.Array, k: int, row_block: int = 128
+) -> np.ndarray:
+    """Packed strict-upper-triangle float32 distances (reference layout,
+    SURVEY.md §2.4.5), bit-exact: device (min,+) + host float finish."""
+    S = counts.shape[0]
+    sums = np.asarray(min_sum_matrix(counts, row_block))
+    square = finish_distances(sums, np.asarray(lengths), k)
+    rows, cols = np.triu_indices(S, k=1)
+    return square[rows, cols]

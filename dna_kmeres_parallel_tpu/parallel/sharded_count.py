@@ -1,0 +1,145 @@
+"""Data-parallel counting and distances over a device mesh.
+
+The TPU-native replacement for the reference's single-GPU launches
+(/root/reference/main.cu:290,327-335): the flat base stream is sharded across
+the ``data`` mesh axis, each device counts its shard with the same rolling-code
+kernel as the single-chip path, and per-chip partial histograms merge with an
+integer ``psum`` over ICI — exact (integer adds are associative), so the
+merged histogram is bit-identical to the single-device count (SURVEY.md §4
+determinism requirement).
+
+Halos: windows spanning shard boundaries must be counted exactly once. Two
+mechanisms are provided:
+
+- host-side halo: the feeder lays out [D, T + k-1] shards whose tails
+  overlap the next shard's head (models/pipeline.py);
+- device-side halo via ``jax.lax.ppermute``: each device sends its first
+  k-1 bases to its left neighbor over ICI (``halo_exchange``) — no host
+  involvement, used by the streaming pipeline.
+
+Each shard then counts windows *starting* in its own [0, T) range.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dna_kmeres_parallel_tpu.ops import distance as dist_ops
+from dna_kmeres_parallel_tpu.ops import encode as encode_ops
+from dna_kmeres_parallel_tpu.ops import histogram as hist_ops
+from dna_kmeres_parallel_tpu.parallel.mesh import DATA_AXIS
+
+
+def _count_shard(bases: jax.Array, n_own, k: int, bins: int, canonical: bool):
+    """Count windows starting at positions < n_own of one shard. [T]->[bins]."""
+    codes, valid = encode_ops.rolling_codes(bases, k)
+    n = codes.shape[0]
+    own = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1) < n_own
+    valid = valid & own
+    if canonical:
+        codes = encode_ops.canonicalize(codes, k)
+    return hist_ops.histogram(codes, valid, bins)
+
+
+def halo_exchange(bases_sharded: jax.Array, k: int, axis: str = DATA_AXIS):
+    """Append the next shard's first k-1 bases to each shard over ICI.
+
+    bases_sharded: [T] per-device view (inside shard_map). Returns
+    [T + k - 1] with the halo filled from the right neighbor via ppermute;
+    the last device's halo is INVALID padding (stream end).
+    """
+    n_dev = jax.lax.axis_size(axis)
+    halo = bases_sharded[: k - 1]
+    # Send my head to my LEFT neighbor: perm[i] = (src=i, dst=i-1).
+    perm = [(i, i - 1) for i in range(1, n_dev)]
+    recv = jax.lax.ppermute(halo, axis, perm)
+    # Device n_dev-1 receives nothing: fill with INVALID sentinel.
+    idx = jax.lax.axis_index(axis)
+    recv = jnp.where(idx == n_dev - 1, jnp.full_like(recv, encode_ops.INVALID), recv)
+    return jnp.concatenate([bases_sharded, recv], axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "bins", "canonical", "mesh", "axis")
+)
+def count_sharded(
+    bases: jax.Array,
+    k: int,
+    bins: int,
+    canonical: bool,
+    mesh: jax.sharding.Mesh,
+    axis: str = DATA_AXIS,
+) -> jax.Array:
+    """Flat base stream [D*T] -> merged dense histogram [bins] (replicated).
+
+    The stream is split evenly across the ``axis`` devices; halos travel over
+    ICI via ppermute; partial histograms merge with an integer psum.
+    """
+    n_dev = mesh.shape[axis]
+    T = bases.shape[0]
+    if T % n_dev:
+        raise ValueError(f"stream length {T} not divisible by mesh axis {n_dev}")
+
+    def shard_fn(b):
+        b = b.reshape(-1)  # [T/D] local shard
+        own = b.shape[0]
+        with_halo = halo_exchange(b, k, axis)
+        h = _count_shard(with_halo, jnp.int32(own), k, bins, canonical)
+        return jax.lax.psum(h, axis)
+
+    fn = shard_map(
+        shard_fn, mesh=mesh, in_specs=P(axis), out_specs=P(), check_vma=False
+    )
+    return fn(bases)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "axis", "row_block")
+)
+def min_sum_matrix_sharded(
+    counts: jax.Array,
+    mesh: jax.sharding.Mesh,
+    axis: str = DATA_AXIS,
+    row_block: int = 128,
+) -> jax.Array:
+    """Row-sharded (min,+) matrix: device d computes rows of its block
+    against the all-gathered counts matrix. [S, bins] -> [S, S] int32.
+
+    S must be divisible by the mesh axis; pad rows upstream.
+    """
+    S = counts.shape[0]
+    n_dev = mesh.shape[axis]
+    if S % n_dev:
+        raise ValueError(f"S={S} not divisible by mesh axis {n_dev}")
+
+    def shard_fn(rows_local):
+        full = jax.lax.all_gather(rows_local, axis, tiled=True)  # [S, bins]
+        return dist_ops.min_sum_matrix(
+            rows_local, row_block=min(row_block, rows_local.shape[0]), counts_other=full
+        )
+
+    fn = shard_map(
+        shard_fn, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None),
+        check_vma=False,
+    )
+    return fn(counts)
+
+
+def device_put_sharded_stream(
+    flat: np.ndarray, mesh: jax.sharding.Mesh, axis: str = DATA_AXIS
+) -> jax.Array:
+    """Pad a host stream to a multiple of the axis size and place it sharded."""
+    n_dev = mesh.shape[axis]
+    pad = (-flat.shape[0]) % n_dev
+    if pad:
+        flat = np.concatenate(
+            [flat, np.full(pad, encode_ops.INVALID, dtype=np.uint8)]
+        )
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.device_put(flat, sharding)

@@ -1,0 +1,62 @@
+"""Runtime configuration.
+
+The reference's entire "config system" is compile-time #defines and hard-coded
+absolute paths (SURVEY.md §2.3: K, MAX_SEQS, grid sizes, CSV paths —
+/root/reference/main.cu:19-50, kernels.h:11-19). Here everything is a runtime
+dataclass; ``k`` is a runtime parameter up to the sharded-histogram limit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class KmerConfig:
+    """Configuration for counting / distance runs.
+
+    Attributes:
+      k: k-mer length. Dense histograms are used while 4^k fits the
+         ``dense_bins_limit``; beyond that the sparse (sorted) engine engages.
+      canonical: fold reverse complements (min(code, rc(code))) — a mandated
+         new capability; the reference has none (SURVEY.md §2.4.6).
+      max_seqs: optional ingest cap (reference MAX_SEQS=100, main.cu:30).
+      batch_bases: number of bases per device batch in the streaming counter.
+      seq_tile: sequences per tile in the distance engine (rounded to 8).
+      dense_bins_limit: largest dense histogram kept per chip (default 4^12).
+      count_dtype: dtype of count accumulators (int32 like the reference's
+         ``int`` counters; SURVEY.md kernels.h:13).
+      mesh_shape: (data,) or (hosts, chips) device mesh for sharded counting.
+      use_pallas: route hot ops through Pallas kernels (else pure jnp/XLA).
+      parser_variant: "modern" | "blank_line" | "no_blank_line" (see fasta.py).
+    """
+
+    k: int = 3
+    canonical: bool = False
+    max_seqs: int | None = None
+    batch_bases: int = 1 << 22
+    seq_tile: int = 256
+    dense_bins_limit: int = 1 << 24
+    count_dtype: str = "int32"
+    mesh_shape: tuple[int, ...] = ()
+    use_pallas: bool = True
+    parser_variant: str = "modern"
+
+    def __post_init__(self):
+        if not (1 <= self.k <= 32):
+            raise ValueError(f"k must be in [1, 32], got {self.k}")
+        if self.parser_variant not in ("modern", "blank_line", "no_blank_line"):
+            raise ValueError(f"bad parser_variant {self.parser_variant!r}")
+
+    @property
+    def bins(self) -> int:
+        return 1 << (2 * self.k)
+
+    @property
+    def dense(self) -> bool:
+        """Whether the dense per-chip histogram representation applies."""
+        return self.bins <= self.dense_bins_limit
+
+    def replace(self, **kw) -> "KmerConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,56 @@
+"""Result writers: distance CSVs (reference-compatible), count tables, reports.
+
+The reference emits one float per line with C's ``%f`` (6 decimals) to
+``sequential_results.csv`` / ``parallel_results.csv``
+(/root/reference/main.cu:201,357) and a ragged lower-triangle TSV via
+``printMinDistances`` (/root/reference/utils.h:52-63). Both formats are
+reproduced here so outputs are byte-diffable against the reference's.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Mapping
+
+import numpy as np
+
+
+def write_distances_csv(path, packed: np.ndarray) -> None:
+    """One float per line, C "%f" format — byte-compatible with the
+    reference's sequential/parallel results CSVs (main.cu:201,357)."""
+    with open(path, "w", encoding="ascii") as f:
+        for v in np.asarray(packed, dtype=np.float32):
+            f.write("%f\n" % v)
+
+
+def write_min_distances_tsv(path, packed: np.ndarray, n: int) -> None:
+    """Ragged rows TSV: row i holds distances (i, i+1..n-1), "%.2f\\t" per
+    entry — the printMinDistances format (utils.h:52-63)."""
+    packed = np.asarray(packed, dtype=np.float32)
+    with open(path, "w", encoding="ascii") as f:
+        pos = 0
+        for row_len in range(n - 1, 0, -1):
+            f.write("".join("%.2f\t" % v for v in packed[pos : pos + row_len]))
+            f.write("\n")
+            pos += row_len
+
+
+def write_count_table_csv(path, table: Mapping[str, int]) -> None:
+    """k-mer frequency table: "kmer,count" per line, lexicographic order."""
+    with open(path, "w", encoding="ascii") as f:
+        f.write("kmer,count\n")
+        for kmer in sorted(table):
+            f.write(f"{kmer},{table[kmer]}\n")
+
+
+def read_distances_csv(path) -> np.ndarray:
+    with open(path, "r", encoding="ascii") as f:
+        return np.array([float(x) for x in f if x.strip()], dtype=np.float32)
+
+
+def write_report_json(path, report: Mapping) -> None:
+    """Structured run report (counts, timings, config) — the framework's
+    replacement for the reference's printf timing lines (main.cu:300,344)."""
+    with open(path, "w", encoding="ascii") as f:
+        json.dump(report, f, indent=2, sort_keys=True, default=str)
+        f.write("\n")

@@ -1,0 +1,49 @@
+"""Test configuration.
+
+Tests run on CPU with a virtual 8-device mesh so every shard_map / collective
+path is exercised without TPU hardware (SURVEY.md §4 "distributed without a
+cluster"). Environment must be set before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# The environment's sitecustomize force-registers the "axon" TPU backend and
+# prepends it to jax_platforms regardless of JAX_PLATFORMS; pin CPU explicitly
+# so tests never silently run over the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0xD9A)
+
+
+def random_dna(rng, length: int, invalid_frac: float = 0.0) -> str:
+    """Random ACGT string with an optional fraction of invalid 'N' bases."""
+    alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
+    idx = rng.integers(0, 4, size=length)
+    out = alphabet[idx]
+    if invalid_frac > 0:
+        mask = rng.random(length) < invalid_frac
+        out = np.where(mask, np.uint8(ord("N")), out)
+    return out.tobytes().decode("ascii")
+
+
+@pytest.fixture
+def make_dna(rng):
+    def _make(length, invalid_frac=0.0):
+        return random_dna(rng, length, invalid_frac)
+
+    return _make

@@ -1,0 +1,158 @@
+"""End-to-end engine tests: KmerEngine vs oracle, chunk boundaries, CSVs, CLI."""
+
+import json
+
+import numpy as np
+import pytest
+
+from dna_kmeres_parallel_tpu.models import oracle
+from dna_kmeres_parallel_tpu.models.engine import KmerEngine
+from dna_kmeres_parallel_tpu.utils import fasta, io
+from dna_kmeres_parallel_tpu.utils.config import KmerConfig
+
+
+def _total_hist(seqs, k, canonical=False):
+    import dna_kmeres_parallel_tpu.utils.codec as codec
+
+    return sum(
+        (oracle.count_vector(s, k, canonical) for s in seqs),
+        np.zeros(codec.num_bins(k), dtype=np.int64),
+    )
+
+
+@pytest.mark.parametrize("k", [3, 4, 11])
+def test_count_matches_oracle(make_dna, k):
+    seqs = [make_dna(200 + 31 * i, invalid_frac=0.02) for i in range(7)]
+    engine = KmerEngine(KmerConfig(k=k))
+    result = engine.count_sequences(seqs)
+    assert np.array_equal(result.hist, _total_hist(seqs, k))
+    assert result.total_bases == sum(len(s) for s in seqs)
+
+
+def test_count_canonical_matches_oracle(make_dna):
+    seqs = [make_dna(300) for _ in range(4)]
+    engine = KmerEngine(KmerConfig(k=5, canonical=True))
+    result = engine.count_sequences(seqs)
+    assert np.array_equal(result.hist, _total_hist(seqs, 5, canonical=True))
+
+
+def test_chunk_boundaries_exact(make_dna):
+    # Force many chunks with a tiny batch: every window must be counted
+    # exactly once across chunk boundaries (halo-correct chunking, §5).
+    seqs = [make_dna(517, invalid_frac=0.01) for _ in range(5)]
+    k = 7
+    small = KmerEngine(KmerConfig(k=k, batch_bases=256))
+    big = KmerEngine(KmerConfig(k=k, batch_bases=1 << 20))
+    h_small = small.count_sequences(seqs).hist
+    h_big = big.count_sequences(seqs).hist
+    want = _total_hist(seqs, k)
+    assert np.array_equal(h_small, want)
+    assert np.array_equal(h_big, want)
+
+
+def test_no_cross_sequence_windows():
+    # "AAA" + "TTT" must yield zero 'AAT'/'ATT' windows.
+    engine = KmerEngine(KmerConfig(k=3))
+    result = engine.count_sequences(["AAAA", "TTTT"])
+    table = result.table()
+    assert table == {"AAA": 2, "TTT": 2}
+
+
+def test_empty_and_short_sequences():
+    engine = KmerEngine(KmerConfig(k=3))
+    result = engine.count_sequences(["", "AC", "ACGT"])
+    assert result.total_kmers == 2  # only ACGT contributes (ACG, CGT)
+
+
+def test_distance_matches_oracle(make_dna):
+    seqs = [make_dna(90 + 13 * i, invalid_frac=0.02) for i in range(8)]
+    engine = KmerEngine(KmerConfig(k=3))
+    result = engine.distance_sequences(seqs)
+    want = oracle.distance_matrix_packed(seqs, 3)
+    assert np.array_equal(result.packed, want)
+
+
+def test_verify_against_oracle(make_dna):
+    seqs = [make_dna(150) for _ in range(6)]
+    verdict = KmerEngine(KmerConfig(k=4)).verify_against_oracle(seqs)
+    assert verdict["counts_equal"] and verdict["distances_equal"]
+
+
+def test_file_roundtrip(tmp_path, make_dna):
+    records = [(f">r{i} desc", make_dna(120 + i * 17)) for i in range(6)]
+    path = tmp_path / "in.fasta"
+    fasta.write_fasta(path, records)
+    engine = KmerEngine(KmerConfig(k=3))
+    dist = engine.distance_file(str(path))
+    assert dist.n == 6
+    want = oracle.distance_matrix_packed([s for _, s in records], 3)
+    assert np.array_equal(dist.packed, want)
+
+    out = tmp_path / "d.csv"
+    io.write_distances_csv(out, dist.packed)
+    back = io.read_distances_csv(out)
+    # %f has 6 decimals; round-trip within 1e-6.
+    assert np.allclose(back, want, atol=1e-6)
+
+
+def test_distances_csv_format(tmp_path):
+    out = tmp_path / "d.csv"
+    io.write_distances_csv(out, np.array([0.75, 1.0, 0.0], dtype=np.float32))
+    assert out.read_text() == "0.750000\n1.000000\n0.000000\n"
+
+
+def test_min_distances_tsv_format(tmp_path):
+    # n=3: row for seq0 (2 entries), row for seq1 (1 entry) — utils.h:52-63.
+    out = tmp_path / "m.csv"
+    io.write_min_distances_tsv(out, np.array([0.5, 0.25, 1.0], dtype=np.float32), 3)
+    assert out.read_text() == "0.50\t0.25\t\n1.00\t\n"
+
+
+def test_cli_count_and_distance(tmp_path, make_dna, capsys):
+    from dna_kmeres_parallel_tpu import cli
+
+    records = [(f">r{i}", make_dna(100)) for i in range(4)]
+    path = tmp_path / "in.fasta"
+    fasta.write_fasta(path, records)
+
+    out_csv = tmp_path / "table.csv"
+    rc = cli.main(["count", "--k", "4", str(path), "-o", str(out_csv)])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["total_kmers"] == sum(len(s) - 3 for _, s in records)
+    assert out_csv.read_text().startswith("kmer,count\n")
+
+    dist_csv = tmp_path / "d.csv"
+    rc = cli.main(["distance", "--k", "3", str(path), "-o", str(dist_csv)])
+    assert rc == 0
+    got = io.read_distances_csv(dist_csv)
+    want = oracle.distance_matrix_packed([s for _, s in records], 3)
+    assert np.allclose(got, want, atol=1e-6)
+
+
+def test_cli_selftest(tmp_path, make_dna, capsys):
+    from dna_kmeres_parallel_tpu import cli
+
+    path = tmp_path / "in.fasta"
+    fasta.write_fasta(path, [(f">r{i}", make_dna(80)) for i in range(3)])
+    rc = cli.main(["selftest", "--k", "3", str(path)])
+    assert rc == 0
+    verdict = json.loads(capsys.readouterr().out)
+    assert verdict["counts_equal"] and verdict["distances_equal"]
+
+
+def test_cli_engines_agree(tmp_path, make_dna, capsys):
+    from dna_kmeres_parallel_tpu import cli
+
+    path = tmp_path / "in.fasta"
+    fasta.write_fasta(path, [(f">r{i}", make_dna(150)) for i in range(3)])
+    out_a, out_b = tmp_path / "a.csv", tmp_path / "b.csv"
+    assert cli.main(["distance", "--k", "3", str(path), "-o", str(out_a)]) == 0
+    assert (
+        cli.main(
+            ["distance", "--k", "3", "--engine", "oracle", str(path), "-o", str(out_b)]
+        )
+        == 0
+    )
+    # Byte-identical CSVs — the dual-engine diff the reference intended.
+    assert out_a.read_text() == out_b.read_text()

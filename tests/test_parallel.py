@@ -1,0 +1,109 @@
+"""Sharded counting/distance tests on the virtual 8-device CPU mesh.
+
+Validates SURVEY.md §4's collective-merge contract: sharded-count(stream
+split N ways) == single-device count(whole stream), bit-identical, and the
+row-sharded (min,+) matrix equals the single-device one.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dna_kmeres_parallel_tpu.models import oracle
+from dna_kmeres_parallel_tpu.ops import distance as dist_ops
+from dna_kmeres_parallel_tpu.parallel import sharded_count as sc
+from dna_kmeres_parallel_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from dna_kmeres_parallel_tpu.utils import codec
+
+
+def _flat_stream(seqs):
+    parts = []
+    for i, s in enumerate(seqs):
+        if i:
+            parts.append(np.array([codec.INVALID_BASE], dtype=np.uint8))
+        parts.append(codec.encode_bases(s))
+    return np.concatenate(parts)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+@pytest.mark.parametrize("k", [3, 5, 11])
+def test_sharded_count_equals_oracle(make_dna, mesh8, k):
+    seqs = [make_dna(211 + 37 * i, invalid_frac=0.02) for i in range(7)]
+    flat = _flat_stream(seqs)
+    stream = sc.device_put_sharded_stream(flat, mesh8)
+    hist = sc.count_sharded(stream, k, codec.num_bins(k), False, mesh8)
+    want = sum(
+        (oracle.count_vector(s, k) for s in seqs),
+        np.zeros(codec.num_bins(k), dtype=np.int64),
+    )
+    assert np.array_equal(np.asarray(hist, dtype=np.int64), want)
+
+
+def test_sharded_count_canonical(make_dna, mesh8):
+    k = 5
+    seqs = [make_dna(300) for _ in range(4)]
+    flat = _flat_stream(seqs)
+    stream = sc.device_put_sharded_stream(flat, mesh8)
+    hist = sc.count_sharded(stream, k, codec.num_bins(k), True, mesh8)
+    want = sum(
+        (oracle.count_vector(s, k, canonical=True) for s in seqs),
+        np.zeros(codec.num_bins(k), dtype=np.int64),
+    )
+    assert np.array_equal(np.asarray(hist, dtype=np.int64), want)
+
+
+def test_shard_boundary_windows_counted_once(mesh8):
+    # A single long homopolymer: every boundary window must be counted via
+    # the ppermute halo, exactly once. 8 devices * 32 bases each.
+    k = 7
+    s = "A" * 256
+    stream = sc.device_put_sharded_stream(codec.encode_bases(s), mesh8)
+    hist = np.asarray(
+        sc.count_sharded(stream, k, codec.num_bins(k), False, mesh8),
+        dtype=np.int64,
+    )
+    assert hist[0] == 256 - k + 1
+    assert hist.sum() == 256 - k + 1
+
+
+def test_determinism_across_shardings(make_dna, mesh8):
+    # Same stream, 1 vs 8 devices -> bit-identical histogram (integer adds).
+    k = 4
+    seqs = [make_dna(513) for _ in range(3)]
+    flat = _flat_stream(seqs)
+    stream8 = sc.device_put_sharded_stream(flat, mesh8)
+    h8 = np.asarray(sc.count_sharded(stream8, k, 256, False, mesh8))
+    mesh1 = make_mesh(1)
+    stream1 = sc.device_put_sharded_stream(flat, mesh1)
+    h1 = np.asarray(sc.count_sharded(stream1, k, 256, False, mesh1))
+    assert np.array_equal(h1, h8)
+
+
+def test_min_sum_matrix_sharded(make_dna, mesh8):
+    k = 3
+    S = 16
+    seqs = [make_dna(60 + 5 * i) for i in range(S)]
+    counts = oracle.counts_matrix(seqs, k).astype(np.int32)
+    counts_dev = jax.device_put(
+        jnp.asarray(counts), NamedSharding(mesh8, P(DATA_AXIS, None))
+    )
+    got = np.asarray(sc.min_sum_matrix_sharded(counts_dev, mesh8, row_block=2))
+    want = np.asarray(dist_ops.min_sum_matrix(jnp.asarray(counts), row_block=8))
+    assert np.array_equal(got, want)
+
+
+def test_stream_not_divisible_is_padded(make_dna, mesh8):
+    # device_put_sharded_stream pads with INVALID, which never counts.
+    k = 3
+    s = make_dna(101)  # 101 not divisible by 8
+    stream = sc.device_put_sharded_stream(codec.encode_bases(s), mesh8)
+    assert stream.shape[0] % 8 == 0
+    hist = np.asarray(sc.count_sharded(stream, k, 64, False, mesh8))
+    assert hist.sum() == 101 - k + 1
