@@ -94,35 +94,47 @@ def _load_records(args):
 
 def cmd_count(args) -> int:
     from dna_kmeres_parallel_tpu.models import oracle
-    from dna_kmeres_parallel_tpu.models.engine import KmerEngine
     from dna_kmeres_parallel_tpu.utils import codec, io
 
+    sparse = args.k > 12  # beyond the dense 4^k-bins comfort zone
     records = _load_records(args)
     seqs = [r.seq for r in records]
+    total_bases = sum(len(s) for s in seqs)
     t0 = time.perf_counter()
     if args.engine == "oracle":
-        hist = sum(
-            (oracle.count_vector(s, args.k, args.canonical) for s in seqs),
-            np.zeros(codec.num_bins(args.k), dtype=np.int64),
-        )
-        total_bases = sum(len(s) for s in seqs)
+        table = oracle.count_table_any_k(seqs, args.k, args.canonical)
+        total_kmers = sum(table.values())
+        distinct = len(table)
+    elif sparse:
+        from dna_kmeres_parallel_tpu.models.sparse_engine import SparseKmerEngine
+
+        result = SparseKmerEngine(_build_config(args)).count_sequences(seqs)
+        total_kmers, distinct = result.total_kmers, result.distinct_kmers
+        table = result.table() if args.output else None
     else:
+        from dna_kmeres_parallel_tpu.models.engine import KmerEngine
+
         result = KmerEngine(_build_config(args)).count_sequences(seqs)
-        hist, total_bases = result.hist, result.total_bases
+        hist = result.hist
+        nz = np.nonzero(hist)[0]
+        total_kmers, distinct = int(hist.sum()), int(len(nz))
+        table = (
+            {codec.code_to_kmer(int(c), args.k): int(hist[c]) for c in nz}
+            if args.output
+            else None
+        )
     elapsed = time.perf_counter() - t0
 
-    nz = np.nonzero(hist)[0]
-    table = {codec.code_to_kmer(int(c), args.k): int(hist[c]) for c in nz}
-    if args.output:
+    if args.output and table is not None:
         io.write_count_table_csv(args.output, table)
     report = {
         "k": args.k,
         "canonical": args.canonical,
-        "engine": args.engine,
+        "engine": args.engine + ("/sparse" if sparse and args.engine != "oracle" else ""),
         "n_seqs": len(seqs),
         "total_bases": total_bases,
-        "total_kmers": int(hist.sum()),
-        "distinct_kmers": int(len(nz)),
+        "total_kmers": total_kmers,
+        "distinct_kmers": distinct,
         "elapsed_s": round(elapsed, 4),
         "bases_per_sec": round(total_bases / max(elapsed, 1e-9), 1),
         "output": args.output,
@@ -162,11 +174,26 @@ def cmd_distance(args) -> int:
 
 
 def cmd_selftest(args) -> int:
+    from dna_kmeres_parallel_tpu.models import oracle
     from dna_kmeres_parallel_tpu.models.engine import KmerEngine
 
     records = _load_records(args)
+    seqs = [r.seq for r in records]
+    if args.k > 12:
+        from dna_kmeres_parallel_tpu.models.sparse_engine import SparseKmerEngine
+
+        got = SparseKmerEngine(_build_config(args)).count_sequences(seqs)
+        want = oracle.count_table_any_k(seqs, args.k, args.canonical)
+        verdict = {
+            "engine": "sparse",
+            "counts_equal": got.table() == want,
+            "n_seqs": len(seqs),
+            "total_kmers": sum(want.values()),
+        }
+        print(json.dumps(verdict))
+        return 0 if verdict["counts_equal"] else 1
     engine = KmerEngine(_build_config(args))
-    verdict = engine.verify_against_oracle([r.seq for r in records])
+    verdict = engine.verify_against_oracle(seqs)
     print(json.dumps(verdict))
     return 0 if verdict["counts_equal"] and verdict["distances_equal"] else 1
 
@@ -218,11 +245,18 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)
-    if hasattr(args, "k") and not (1 <= args.k <= 15):
-        parser.error(
-            f"--k {args.k} out of range: dense engines support 1 <= k <= 15 "
-            "(4^k histogram bins); larger k requires the sparse engine"
-        )
+    if hasattr(args, "k"):
+        kmax = 15 if args.command == "distance" else 31
+        if not (1 <= args.k <= kmax):
+            parser.error(
+                f"--k {args.k} out of range for '{args.command}': "
+                f"supported 1 <= k <= {kmax}"
+                + (
+                    ""
+                    if kmax == 31
+                    else " (pairwise distances use dense 4^k count vectors)"
+                )
+            )
     _enable_compile_cache()
     try:
         return args.fn(args)

@@ -73,6 +73,49 @@ def run_count_bench(
     }
 
 
+def run_impl_matrix_bench(
+    ks=(4, 8, 11),
+    total_bases: int = 32 << 20,
+    seed: int = 0,
+) -> list[dict]:
+    """Compare histogram implementations (jnp scatter/onehot vs the Pallas
+    two-level MXU kernel) per k on the current device. Returns reports."""
+    import numpy as np
+
+    from dna_kmeres_parallel_tpu.models.engine import _count_batch
+
+    key = jax.random.PRNGKey(seed)
+    bases = jax.random.randint(key, (total_bases,), 0, 4, dtype=jnp.int32).astype(
+        jnp.uint8
+    )
+    bases = jax.device_put(bases)
+    reports = []
+    for k in ks:
+        bins = codec.num_bins(k)
+        n_own = jnp.int32(total_bases - k + 1)
+        for impl, pallas in (("jnp", None), ("pallas", "compiled")):
+            try:
+                h = _count_batch(bases, n_own, k, bins, False, pallas)
+                h.block_until_ready()
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    h = _count_batch(bases, n_own, k, bins, False, pallas)
+                h.block_until_ready()
+                dt = (time.perf_counter() - t0) / 3
+                total = int(np.asarray(h, dtype=np.int64).sum())
+                reports.append(
+                    {
+                        "k": k,
+                        "impl": impl,
+                        "gbases_per_sec": round(total_bases / dt / 1e9, 4),
+                        "exact": total == total_bases - k + 1,
+                    }
+                )
+            except Exception as e:  # pragma: no cover - perf exploration
+                reports.append({"k": k, "impl": impl, "error": repr(e)[:200]})
+    return reports
+
+
 def run_distance_bench(
     n_seqs: int = 1024, seq_len: int = 1024, k: int = 3, seed: int = 0
 ) -> dict:

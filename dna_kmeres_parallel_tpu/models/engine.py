@@ -20,6 +20,7 @@ Every path here is verified count-for-count against models/oracle.py.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -29,8 +30,11 @@ import numpy as np
 
 from dna_kmeres_parallel_tpu.models import oracle
 from dna_kmeres_parallel_tpu.ops import distance as dist_ops
+from dna_kmeres_parallel_tpu.ops import distance_pallas
 from dna_kmeres_parallel_tpu.ops import encode as encode_ops
 from dna_kmeres_parallel_tpu.ops import histogram as hist_ops
+from dna_kmeres_parallel_tpu.ops import histogram_pallas
+from dna_kmeres_parallel_tpu.ops import runtime
 from dna_kmeres_parallel_tpu.utils import codec, fasta
 from dna_kmeres_parallel_tpu.utils.config import KmerConfig
 
@@ -81,9 +85,16 @@ class DistanceResult:
     elapsed_s: float = 0.0
 
 
-@functools.partial(jax.jit, static_argnames=("k", "bins", "canonical"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "bins", "canonical", "pallas")
+)
 def _count_batch(
-    bases: jax.Array, n_own: jax.Array, k: int, bins: int, canonical: bool
+    bases: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    bins: int,
+    canonical: bool,
+    pallas: str | None = None,
 ) -> jax.Array:
     """One flat base batch [T] uint8 -> dense histogram [bins] int32.
 
@@ -92,7 +103,14 @@ def _count_batch(
     halo-correct chunking) — windows starting inside the halo belong to the
     next chunk and are masked out here, so every window is counted exactly
     once across chunk boundaries.
+
+    pallas: None -> jnp path; 'compiled'/'interpret' -> the fused two-level
+    MXU Pallas kernel (ops/histogram_pallas.py).
     """
+    if pallas is not None:
+        return histogram_pallas.histogram_pallas(
+            bases, n_own, k, bins, canonical, interpret=(pallas == "interpret")
+        )
     codes, valid = encode_ops.rolling_codes(bases, k)
     n = codes.shape[0]
     own = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1) < n_own
@@ -102,11 +120,21 @@ def _count_batch(
     return hist_ops.histogram(codes, valid, bins)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "bins", "canonical"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "bins", "canonical", "pallas")
+)
 def _counts_matrix_batch(
-    bases: jax.Array, k: int, bins: int, canonical: bool
+    bases: jax.Array,
+    k: int,
+    bins: int,
+    canonical: bool,
+    pallas: str | None = None,
 ) -> jax.Array:
     """Padded sequence grid [S, L] uint8 -> per-sequence counts [S, bins]."""
+    if pallas is not None and bins <= histogram_pallas._MAX_ONEHOT_BINS:
+        return histogram_pallas.counts_matrix_pallas(
+            bases, k, bins, canonical, interpret=(pallas == "interpret")
+        )
     codes, valid = encode_ops.rolling_codes(bases, k)
     if canonical:
         codes = encode_ops.canonicalize(codes, k)
@@ -125,6 +153,12 @@ class KmerEngine:
                 f"dense engine supports k <= {encode_ops.MAX_DENSE_K}; "
                 f"use the sparse engine (ops/sparse.py) for k={self.config.k}"
             )
+
+    def _pallas(self) -> str | None:
+        """Effective Pallas mode: honors config.use_pallas and the backend."""
+        if not self.config.use_pallas:
+            return None
+        return runtime.pallas_mode()
 
     # ------------------------------------------------------------- ingest
     def _parse(self, source) -> list[fasta.FastaRecord]:
@@ -148,19 +182,28 @@ class KmerEngine:
         return flat, total
 
     # ------------------------------------------------------------- counting
-    def count_sequences(self, seqs: list[str]) -> CountResult:
+    def count_stream(
+        self, flat: np.ndarray, total_bases: int, n_seqs: int
+    ) -> CountResult:
+        """Count a pre-encoded flat base stream (uint8 codes, 0xFF sentinels
+        between sequences) — the native-parser fast path."""
         cfg = self.config
         t0 = time.perf_counter()
-        total_bases = sum(len(s) for s in seqs)
         hist = np.zeros(cfg.bins, dtype=np.int64)
-        if total_bases:
-            flat, total = self._flat_stream(seqs)
+        total = flat.shape[0]
+        if total >= cfg.k:
             overlap = cfg.k - 1
             # Inputs smaller than one batch use a power-of-two shape bucket
             # (bounded compile count); larger inputs stream through a single
             # fixed batch shape (one compile).
             batch = max(min(cfg.batch_bases, _pow2_bucket(total)), cfg.k)
             T = _round_up(batch + overlap, _LANE)
+            # Accumulate on DEVICE (async dispatch pipelines host prep with
+            # TPU compute — no per-batch device->host sync), flushing to the
+            # host int64 histogram before int32 could overflow.
+            acc = None
+            acc_windows = 0
+            flush_limit = (1 << 31) - (1 << 27)
             start = 0
             while start < total:
                 end = min(start + batch, total)
@@ -175,19 +218,45 @@ class KmerEngine:
                     cfg.k,
                     cfg.bins,
                     cfg.canonical,
+                    self._pallas(),
                 )
-                hist += np.asarray(h, dtype=np.int64)
+                acc = h if acc is None else acc + h
+                acc_windows += end - start
+                if acc_windows >= flush_limit:
+                    hist += np.asarray(acc, dtype=np.int64)
+                    acc, acc_windows = None, 0
                 start = end
+            if acc is not None:
+                hist += np.asarray(acc, dtype=np.int64)
         return CountResult(
             k=cfg.k,
             canonical=cfg.canonical,
             hist=hist,
-            n_seqs=len(seqs),
+            n_seqs=n_seqs,
             total_bases=total_bases,
             elapsed_s=time.perf_counter() - t0,
         )
 
+    def count_sequences(self, seqs: list[str]) -> CountResult:
+        flat, _total = self._flat_stream(seqs)
+        return self.count_stream(flat, sum(len(s) for s in seqs), len(seqs))
+
     def count_file(self, source) -> CountResult:
+        """Count a FASTA file. Prefers the native C++ parse->encode path
+        (one pass, no Python string materialization)."""
+        from dna_kmeres_parallel_tpu import native
+
+        if (
+            self.config.parser_variant == "modern"
+            and isinstance(source, (str, os.PathLike))
+            and native.available()
+        ):
+            parsed = native.parse_fasta_native(
+                source, max_seqs=self.config.max_seqs
+            )
+            return self.count_stream(
+                parsed.stream, parsed.total_bases, parsed.n_seqs
+            )
         records = self._parse(source)
         return self.count_sequences([r.seq for r in records])
 
@@ -201,7 +270,7 @@ class KmerEngine:
         for i, s in enumerate(seqs):
             grid[i, : len(s)] = codec.encode_bases(s)
         counts = _counts_matrix_batch(
-            jnp.asarray(grid), cfg.k, cfg.bins, cfg.canonical
+            jnp.asarray(grid), cfg.k, cfg.bins, cfg.canonical, self._pallas()
         )
         return np.asarray(counts)
 
@@ -212,10 +281,21 @@ class KmerEngine:
         t0 = time.perf_counter()
         n = len(seqs)
         counts = self.counts_matrix(seqs)
-        lengths = jnp.asarray([len(s) for s in seqs], dtype=jnp.int32)
-        packed = dist_ops.distance_matrix_packed(
-            jnp.asarray(counts), lengths, cfg.k
-        )
+        lengths = np.array([len(s) for s in seqs], dtype=np.int64)
+        pallas = self._pallas()
+        if pallas is not None and cfg.bins <= distance_pallas._MAX_UNROLL_B:
+            sums = np.asarray(
+                distance_pallas.min_sum_matrix_pallas(
+                    jnp.asarray(counts), interpret=(pallas == "interpret")
+                )
+            )
+            square = dist_ops.finish_distances(sums, lengths, cfg.k)
+            rows, cols = np.triu_indices(n, k=1)
+            packed = square[rows, cols]
+        else:
+            packed = dist_ops.distance_matrix_packed(
+                jnp.asarray(counts), jnp.asarray(lengths, dtype=jnp.int32), cfg.k
+            )
         return DistanceResult(
             k=cfg.k,
             n=n,

@@ -66,6 +66,23 @@ def count_table(seqs: list[str], k: int, canonical: bool = False) -> dict[str, i
     }
 
 
+def count_table_any_k(
+    seqs: list[str], k: int, canonical: bool = False
+) -> dict[str, int]:
+    """Naive dict-based aggregate counter valid for ANY k (including k > 15
+    where dense vectors are impossible) — the oracle for the sparse engine."""
+    table: dict[str, int] = {}
+    for s in seqs:
+        for i in range(len(s) - k + 1):
+            w = s[i : i + k]
+            if any(ch not in "ACGT" for ch in w):
+                continue
+            if canonical:
+                w = min(w, codec.revcomp_str(w))
+            table[w] = table.get(w, 0) + 1
+    return table
+
+
 def distance_pair(cnt_i, cnt_j, len_i: int, len_j: int, k: int) -> np.float32:
     """Reference distance formula in float32 (contract point 4)."""
     s = np.int64(np.minimum(cnt_i, cnt_j).sum())

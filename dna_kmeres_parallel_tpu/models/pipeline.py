@@ -1,0 +1,247 @@
+"""Resumable streaming counter: batches, metrics, checkpoint/resume.
+
+The production counting loop: native parse -> flat encoded stream ->
+fixed-shape device batches (async dispatch keeps host prep and TPU compute
+overlapped) -> periodic checkpoint of (partial counts, stream cursor) so a
+preempted run resumes batch-granularly (SURVEY.md §5 failure-recovery plan;
+the reference has no recovery story at all).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from dna_kmeres_parallel_tpu.models.engine import (
+    CountResult,
+    _count_batch,
+    _pow2_bucket,
+    _round_up,
+    _LANE,
+)
+from dna_kmeres_parallel_tpu.models.sparse_engine import (
+    SparseCountResult,
+    merge_sparse_tables,
+)
+from dna_kmeres_parallel_tpu.ops import runtime
+from dna_kmeres_parallel_tpu.ops import sparse as sparse_ops
+from dna_kmeres_parallel_tpu.utils import checkpoint as ckpt_mod
+from dna_kmeres_parallel_tpu.utils import codec
+from dna_kmeres_parallel_tpu.utils.config import KmerConfig
+from dna_kmeres_parallel_tpu.utils.metrics import Metrics
+
+
+class StreamingCounter:
+    """Streamed, resumable, metered counting over a FASTA file or stream."""
+
+    def __init__(
+        self,
+        config: KmerConfig | None = None,
+        checkpoint_path: str | None = None,
+        checkpoint_every_bases: int = 1 << 28,
+        max_batches: int | None = None,
+    ):
+        """max_batches: stop (checkpointing progress) after N batches — for
+        bounded work slices and for crash/preemption simulation in tests."""
+        self.config = config or KmerConfig()
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every_bases = checkpoint_every_bases
+        self.max_batches = max_batches
+        self.metrics = Metrics()
+
+    # ------------------------------------------------------------------
+    def _load_stream(self, source):
+        from dna_kmeres_parallel_tpu import native
+        from dna_kmeres_parallel_tpu.utils import fasta
+
+        cfg = self.config
+        with self.metrics.phase("parse"):
+            if (
+                cfg.parser_variant == "modern"
+                and isinstance(source, (str, os.PathLike))
+                and native.available()
+            ):
+                parsed = native.parse_fasta_native(source, max_seqs=cfg.max_seqs)
+                self.metrics.count("invalid_bases", parsed.invalid_bases)
+                return parsed.stream, parsed.total_bases, parsed.n_seqs
+            if cfg.parser_variant == "modern":
+                records = fasta.parse_fasta(source, max_seqs=cfg.max_seqs)
+            else:
+                records = fasta.parse_fasta_reference(
+                    source, variant=cfg.parser_variant, max_seqs=cfg.max_seqs
+                )
+            parts = []
+            for i, r in enumerate(records):
+                if i:
+                    parts.append(np.array([codec.INVALID_BASE], dtype=np.uint8))
+                parts.append(codec.encode_bases(r.seq))
+            flat = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+            return flat, sum(len(r.seq) for r in records), len(records)
+
+    def _maybe_resume(self, total: int):
+        cfg = self.config
+        if not self.checkpoint_path or not os.path.exists(self.checkpoint_path):
+            return None
+        ck = ckpt_mod.load_checkpoint(self.checkpoint_path)
+        if ck.k != cfg.k or ck.canonical != cfg.canonical or ck.cursor > total:
+            return None  # incompatible checkpoint: start fresh
+        return ck
+
+    def _save(self, cursor: int, total_bases: int, hist=None, sparse=None):
+        if not self.checkpoint_path:
+            return
+        with self.metrics.phase("checkpoint"):
+            ck = ckpt_mod.CountCheckpoint(
+                k=self.config.k,
+                canonical=self.config.canonical,
+                cursor=cursor,
+                total_bases=total_bases,
+                hist=hist,
+                sparse_codes=sparse[0] if sparse else None,
+                sparse_counts=sparse[1] if sparse else None,
+            )
+            ckpt_mod.save_checkpoint(self.checkpoint_path, ck)
+            self.metrics.count("checkpoints")
+
+    # ------------------------------------------------------------------
+    def run(self, source):
+        """Count a FASTA source. Returns CountResult (dense, k <= 12) or
+        SparseCountResult (sorted table, k >= 13)."""
+        cfg = self.config
+        t0 = time.perf_counter()
+        flat, total_bases, n_seqs = self._load_stream(source)
+        if cfg.bins <= cfg.dense_bins_limit:
+            return self._run_dense(flat, total_bases, n_seqs, t0)
+        return self._run_sparse(flat, total_bases, n_seqs, t0)
+
+    def _batches(self, total: int, start: int):
+        cfg = self.config
+        overlap = cfg.k - 1
+        batch = max(min(cfg.batch_bases, _pow2_bucket(total)), cfg.k)
+        T = _round_up(batch + overlap, _LANE)
+        pos = start
+        while pos < total:
+            end = min(pos + batch, total)
+            yield pos, end, T, overlap
+            pos = end
+
+    def _run_dense(self, flat, total_bases, n_seqs, t0) -> CountResult:
+        cfg = self.config
+        total = flat.shape[0]
+        hist = np.zeros(cfg.bins, dtype=np.int64)
+        cursor = 0
+        ck = self._maybe_resume(total)
+        if ck is not None and ck.dense:
+            hist = ck.hist.astype(np.int64)
+            cursor = ck.cursor
+            self.metrics.count("resumed_from_base", cursor)
+
+        acc = None
+        since_ckpt = 0
+        done_batches = 0
+        stopped = False
+        pallas = runtime.pallas_mode() if cfg.use_pallas else None
+        for start, end, T, overlap in self._batches(total, cursor):
+            if self.max_batches is not None and done_batches >= self.max_batches:
+                # Early stop: checkpoint progress at this boundary and DO NOT
+                # write the final full-run checkpoint below.
+                if acc is not None:
+                    hist += np.asarray(acc, dtype=np.int64)
+                    acc = None
+                self._save(start, total_bases, hist=hist)
+                stopped = True
+                break
+            done_batches += 1
+            with self.metrics.phase("device"):
+                seg = flat[start : min(end + overlap, total)]
+                padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
+                padded[: seg.shape[0]] = seg
+                h = _count_batch(
+                    jnp.asarray(padded),
+                    jnp.int32(end - start),
+                    cfg.k,
+                    cfg.bins,
+                    cfg.canonical,
+                    pallas,
+                )
+                acc = h if acc is None else acc + h
+            self.metrics.count("bases", end - start)
+            self.metrics.count("batches")
+            since_ckpt += end - start
+            if since_ckpt >= self.checkpoint_every_bases:
+                hist += np.asarray(acc, dtype=np.int64)
+                acc = None
+                self._save(end, total_bases, hist=hist)
+                since_ckpt = 0
+        if acc is not None:
+            hist += np.asarray(acc, dtype=np.int64)
+        if not stopped:
+            self._save(total, total_bases, hist=hist)
+        return CountResult(
+            k=cfg.k,
+            canonical=cfg.canonical,
+            hist=hist,
+            n_seqs=n_seqs,
+            total_bases=total_bases,
+            elapsed_s=time.perf_counter() - t0,
+        )
+
+    def _run_sparse(self, flat, total_bases, n_seqs, t0) -> SparseCountResult:
+        cfg = self.config
+        total = flat.shape[0]
+        tables: list[tuple[np.ndarray, np.ndarray]] = []
+        cursor = 0
+        ck = self._maybe_resume(total)
+        if ck is not None and not ck.dense:
+            tables.append((ck.sparse_codes, ck.sparse_counts))
+            cursor = ck.cursor
+            self.metrics.count("resumed_from_base", cursor)
+
+        since_ckpt = 0
+        done_batches = 0
+        stopped = False
+        for start, end, T, overlap in self._batches(total, cursor):
+            if self.max_batches is not None and done_batches >= self.max_batches:
+                with self.metrics.phase("merge"):
+                    tables = [merge_sparse_tables(tables)]
+                self._save(start, total_bases, sparse=tables[0])
+                stopped = True
+                break
+            done_batches += 1
+            with self.metrics.phase("device"):
+                seg = flat[start : min(end + overlap, total)]
+                padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
+                padded[: seg.shape[0]] = seg
+                hi, lo, counts, starts = sparse_ops.sort_unique_counts(
+                    jnp.asarray(padded), jnp.int32(end - start), cfg.k, cfg.canonical
+                )
+            with self.metrics.phase("compact"):
+                idx = np.flatnonzero(np.asarray(starts))
+                codes64 = sparse_ops.merged_code64(
+                    np.asarray(hi)[idx], np.asarray(lo)[idx]
+                )
+                tables.append((codes64, np.asarray(counts)[idx].astype(np.int64)))
+            self.metrics.count("bases", end - start)
+            self.metrics.count("batches")
+            since_ckpt += end - start
+            if since_ckpt >= self.checkpoint_every_bases:
+                with self.metrics.phase("merge"):
+                    tables = [merge_sparse_tables(tables)]
+                self._save(end, total_bases, sparse=tables[0])
+                since_ckpt = 0
+        with self.metrics.phase("merge"):
+            codes, counts = merge_sparse_tables(tables)
+        if not stopped:
+            self._save(total, total_bases, sparse=(codes, counts))
+        return SparseCountResult(
+            k=cfg.k,
+            canonical=cfg.canonical,
+            codes=codes,
+            counts=counts,
+            n_seqs=n_seqs,
+            total_bases=total_bases,
+            elapsed_s=time.perf_counter() - t0,
+        )

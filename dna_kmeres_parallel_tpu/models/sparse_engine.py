@@ -1,0 +1,169 @@
+"""Sparse (sorted-table) counting engine for large k (16 <= k <= 31).
+
+Streams the flat base stream through ops/sparse.sort_unique_counts in fixed
+batches, compacts each batch's masked RLE output on host, and merges batch
+tables with an integer sorted-merge. Counts are exact (pure integer), and
+the result is a sorted (code_u64 -> count) table — the representation the
+k=21 / k=31 BASELINE configs require once 4^k outgrows HBM.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from dna_kmeres_parallel_tpu.ops import sparse as sparse_ops
+from dna_kmeres_parallel_tpu.utils import codec
+from dna_kmeres_parallel_tpu.utils.config import KmerConfig
+
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def merge_sparse_tables(
+    tables: list[tuple[np.ndarray, np.ndarray]]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge [(codes_u64 sorted-unique, counts int64), ...] into one."""
+    tables = [t for t in tables if t[0].size]
+    if not tables:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    codes = np.concatenate([t[0] for t in tables])
+    counts = np.concatenate([t[1] for t in tables])
+    order = np.argsort(codes, kind="stable")
+    codes, counts = codes[order], counts[order]
+    uniq_mask = np.empty(codes.shape, bool)
+    uniq_mask[0] = True
+    np.not_equal(codes[1:], codes[:-1], out=uniq_mask[1:])
+    group = np.cumsum(uniq_mask) - 1
+    out_codes = codes[uniq_mask]
+    out_counts = np.zeros(out_codes.shape[0], np.int64)
+    np.add.at(out_counts, group, counts)
+    return out_codes, out_counts
+
+
+@dataclass
+class SparseCountResult:
+    k: int
+    canonical: bool
+    codes: np.ndarray  # uint64 sorted distinct k-mer codes
+    counts: np.ndarray  # int64 counts aligned with codes
+    n_seqs: int
+    total_bases: int
+    elapsed_s: float = 0.0
+
+    @property
+    def total_kmers(self) -> int:
+        return int(self.counts.sum())
+
+    @property
+    def distinct_kmers(self) -> int:
+        return int(self.codes.shape[0])
+
+    def table(self) -> dict[str, int]:
+        return {
+            codec.code_to_kmer(int(c), self.k): int(n)
+            for c, n in zip(self.codes, self.counts)
+        }
+
+    def count_of(self, kmer: str) -> int:
+        code = np.uint64(codec.kmer_to_code(kmer))
+        i = np.searchsorted(self.codes, code)
+        if i < self.codes.shape[0] and self.codes[i] == code:
+            return int(self.counts[i])
+        return 0
+
+
+class SparseKmerEngine:
+    """Single-host sparse engine; bucket-sharded multi-chip variant lives in
+    parallel/bucketed.py."""
+
+    def __init__(self, config: KmerConfig | None = None, **kw):
+        self.config = (config or KmerConfig()).replace(**kw) if kw else (
+            config or KmerConfig()
+        )
+        if not (1 <= self.config.k <= sparse_ops.MAX_SPARSE_K):
+            raise ValueError(f"sparse engine supports k <= {sparse_ops.MAX_SPARSE_K}")
+
+    def count_stream(
+        self, flat: np.ndarray, total_bases: int, n_seqs: int
+    ) -> SparseCountResult:
+        cfg = self.config
+        t0 = time.perf_counter()
+        total = flat.shape[0]
+        tables: list[tuple[np.ndarray, np.ndarray]] = []
+        if total >= cfg.k:
+            overlap = cfg.k - 1
+            pow2 = 1 << (max(total, _LANE) - 1).bit_length()
+            batch = max(min(cfg.batch_bases, pow2), cfg.k)
+            T = _round_up(batch + overlap, _LANE)
+            start = 0
+            while start < total:
+                end = min(start + batch, total)
+                seg = flat[start : min(end + overlap, total)]
+                padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
+                padded[: seg.shape[0]] = seg
+                hi, lo, counts, starts = sparse_ops.sort_unique_counts(
+                    jnp.asarray(padded),
+                    jnp.int32(end - start),
+                    cfg.k,
+                    cfg.canonical,
+                )
+                starts_np = np.asarray(starts)
+                idx = np.flatnonzero(starts_np)
+                codes64 = sparse_ops.merged_code64(
+                    np.asarray(hi)[idx], np.asarray(lo)[idx]
+                )
+                tables.append(
+                    (codes64, np.asarray(counts)[idx].astype(np.int64))
+                )
+                start = end
+        codes, counts = merge_sparse_tables(tables)
+        return SparseCountResult(
+            k=cfg.k,
+            canonical=cfg.canonical,
+            codes=codes,
+            counts=counts,
+            n_seqs=n_seqs,
+            total_bases=total_bases,
+            elapsed_s=time.perf_counter() - t0,
+        )
+
+    def count_sequences(self, seqs: list[str]) -> SparseCountResult:
+        parts = []
+        for i, s in enumerate(seqs):
+            if i:
+                parts.append(np.array([codec.INVALID_BASE], dtype=np.uint8))
+            parts.append(codec.encode_bases(s))
+        flat = (
+            np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+        )
+        return self.count_stream(flat, sum(len(s) for s in seqs), len(seqs))
+
+    def count_file(self, source) -> SparseCountResult:
+        import os
+
+        from dna_kmeres_parallel_tpu import native
+        from dna_kmeres_parallel_tpu.utils import fasta
+
+        if (
+            self.config.parser_variant == "modern"
+            and isinstance(source, (str, os.PathLike))
+            and native.available()
+        ):
+            parsed = native.parse_fasta_native(source, max_seqs=self.config.max_seqs)
+            return self.count_stream(parsed.stream, parsed.total_bases, parsed.n_seqs)
+        if self.config.parser_variant == "modern":
+            records = fasta.parse_fasta(source, max_seqs=self.config.max_seqs)
+        else:
+            records = fasta.parse_fasta_reference(
+                source,
+                variant=self.config.parser_variant,
+                max_seqs=self.config.max_seqs,
+            )
+        return self.count_sequences([r.seq for r in records])

@@ -1,0 +1,167 @@
+"""ctypes loader for the native FASTA parser / 2-bit packer.
+
+Builds ``libfastaparse.so`` on demand with the Makefile (g++ is in the
+image; pybind11 is not, hence the plain C ABI + ctypes). Every entry point
+has a pure-Python fallback (utils/fasta.py, utils/codec.py) and the native
+results are differential-tested against those fallbacks.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from dataclasses import dataclass
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libfastaparse.so")
+
+_lib = None
+_build_error: str | None = None
+
+
+class _KpFasta(ctypes.Structure):
+    _fields_ = [
+        ("n_seqs", ctypes.c_int64),
+        ("stream_len", ctypes.c_int64),
+        ("stream", ctypes.POINTER(ctypes.c_uint8)),
+        ("offsets", ctypes.POINTER(ctypes.c_int64)),
+        ("lengths", ctypes.POINTER(ctypes.c_int64)),
+        ("ids", ctypes.POINTER(ctypes.c_char)),
+        ("ids_len", ctypes.c_int64),
+        ("total_bases", ctypes.c_int64),
+        ("invalid_bases", ctypes.c_int64),
+    ]
+
+
+def _build() -> str | None:
+    """Compile the shared library if missing/stale. Returns error or None."""
+    src = os.path.join(_DIR, "fastaparse.cpp")
+    try:
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(src):
+            return None
+        proc = subprocess.run(
+            ["make", "-C", _DIR, "-s"], capture_output=True, text=True, timeout=120
+        )
+        if proc.returncode != 0:
+            return proc.stderr[-2000:]
+        return None
+    except Exception as e:  # pragma: no cover
+        return repr(e)
+
+
+def _load():
+    global _lib, _build_error
+    if _lib is not None or _build_error is not None:
+        return _lib
+    _build_error = _build()
+    if _build_error is not None:
+        return None
+    lib = ctypes.CDLL(_SO)
+    lib.kp_parse_fasta.restype = ctypes.c_int
+    lib.kp_parse_fasta.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(_KpFasta)),
+    ]
+    lib.kp_free_fasta.argtypes = [ctypes.POINTER(_KpFasta)]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.kp_pack_2bit.argtypes = [u8p, ctypes.c_int64, u8p, u8p]
+    lib.kp_unpack_2bit.argtypes = [u8p, u8p, ctypes.c_int64, u8p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build_error() -> str | None:
+    _load()
+    return _build_error
+
+
+@dataclass
+class ParsedFasta:
+    """Native parse result: the device-ready flat stream plus metadata."""
+
+    n_seqs: int
+    stream: np.ndarray  # uint8 [stream_len], 0xFF = invalid/sentinel
+    offsets: np.ndarray  # int64 [n_seqs + 1]
+    lengths: np.ndarray  # int64 [n_seqs]
+    ids: list[str]
+    total_bases: int
+    invalid_bases: int
+
+    def sequence_codes(self, i: int) -> np.ndarray:
+        return self.stream[self.offsets[i] : self.offsets[i] + self.lengths[i]]
+
+
+def parse_fasta_native(path: str, max_seqs: int | None = None) -> ParsedFasta:
+    """Parse a FASTA file with the C++ parser into a flat encoded stream."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native parser unavailable: {_build_error}")
+    out = ctypes.POINTER(_KpFasta)()
+    rc = lib.kp_parse_fasta(
+        os.fspath(path).encode(), ctypes.c_int64(max_seqs or 0), ctypes.byref(out)
+    )
+    if rc == 1:
+        raise FileNotFoundError(path)
+    if rc != 0:
+        raise IOError(f"native FASTA parse failed with code {rc}")
+    r = out.contents
+    try:
+        n = int(r.n_seqs)
+        stream = np.ctypeslib.as_array(r.stream, shape=(int(r.stream_len),)).copy() if r.stream_len else np.zeros(0, np.uint8)
+        offsets = np.ctypeslib.as_array(r.offsets, shape=(n + 1,)).copy()
+        lengths = (
+            np.ctypeslib.as_array(r.lengths, shape=(n,)).copy()
+            if n
+            else np.zeros(0, np.int64)
+        )
+        raw_ids = ctypes.string_at(r.ids, int(r.ids_len)) if r.ids_len else b""
+        ids = [s.decode("ascii", "replace") for s in raw_ids.split(b"\0") if s]
+        return ParsedFasta(
+            n_seqs=n,
+            stream=stream,
+            offsets=offsets.astype(np.int64),
+            lengths=lengths.astype(np.int64),
+            ids=ids,
+            total_bases=int(r.total_bases),
+            invalid_bases=int(r.invalid_bases),
+        )
+    finally:
+        lib.kp_free_fasta(out)
+
+
+def pack_2bit_native(bases: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+    """uint8 base codes -> (packed data 4/byte, validity mask 8/byte, length)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native packer unavailable: {_build_error}")
+    bases = np.ascontiguousarray(bases, dtype=np.uint8)
+    n = bases.shape[0]
+    data = np.zeros((n + 3) // 4, dtype=np.uint8)
+    mask = np.zeros((n + 7) // 8, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.kp_pack_2bit(
+        bases.ctypes.data_as(u8p), n, data.ctypes.data_as(u8p), mask.ctypes.data_as(u8p)
+    )
+    return data, mask, n
+
+
+def unpack_2bit_native(data: np.ndarray, mask: np.ndarray, n: int) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native packer unavailable: {_build_error}")
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    mask = np.ascontiguousarray(mask, dtype=np.uint8)
+    out = np.zeros(n, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.kp_unpack_2bit(
+        data.ctypes.data_as(u8p), mask.ctypes.data_as(u8p), n, out.ctypes.data_as(u8p)
+    )
+    return out

@@ -1,0 +1,243 @@
+// Native FASTA parser + 2-bit packer — the host-side hot path.
+//
+// TPU-native successor of the reference's importSeqs/importSeqsNoNL
+// (/root/reference/main.cu:401-545): single pass over the file, emitting a
+// flat uint8 base-code stream (A=0,C=1,G=2,T=3; 0xFF for invalid characters
+// and as the inter-sequence sentinel — the role the reference's '|'->'\0'
+// sentinel plays at main.cu:506,539), per-sequence offsets/lengths, and the
+// concatenated header lines. Also implements the 2-bit pack (4 bases/byte)
+// + validity bitmask the reference only sketched (utils.h:65-92).
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this image).
+//
+// Build: make -C dna_kmeres_parallel_tpu/native   (g++ -O3 -shared -fPIC)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+
+namespace {
+
+constexpr uint8_t kInvalid = 0xFF;
+
+// ASCII -> base code LUT (case-sensitive, matching the reference's exact
+// char compares at kernels.h:136-139: only 'A','C','G','T' match).
+struct Lut {
+  uint8_t v[256];
+  Lut() {
+    memset(v, kInvalid, sizeof(v));
+    v['A'] = 0;
+    v['C'] = 1;
+    v['G'] = 2;
+    v['T'] = 3;
+  }
+};
+const Lut kLut;
+
+struct Buf {
+  uint8_t* data = nullptr;
+  int64_t len = 0;
+  int64_t cap = 0;
+  void reserve(int64_t need) {
+    if (len + need <= cap) return;
+    int64_t ncap = cap ? cap : 1 << 20;
+    while (ncap < len + need) ncap *= 2;
+    data = static_cast<uint8_t*>(realloc(data, ncap));
+    cap = ncap;
+  }
+  void push(const uint8_t* src, int64_t n) {
+    reserve(n);
+    memcpy(data + len, src, n);
+    len += n;
+  }
+  void push1(uint8_t b) {
+    reserve(1);
+    data[len++] = b;
+  }
+};
+
+struct I64Buf {
+  int64_t* data = nullptr;
+  int64_t len = 0;
+  int64_t cap = 0;
+  void push(int64_t x) {
+    if (len == cap) {
+      cap = cap ? cap * 2 : 4096;
+      data = static_cast<int64_t*>(realloc(data, cap * sizeof(int64_t)));
+    }
+    data[len++] = x;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Result of a parse; all arrays are malloc'd and freed by kp_free_fasta.
+struct KpFasta {
+  int64_t n_seqs;
+  int64_t stream_len;
+  uint8_t* stream;   // flat base codes with one 0xFF sentinel between seqs
+  int64_t* offsets;  // [n_seqs + 1] start offset of each sequence in stream
+  int64_t* lengths;  // [n_seqs] real sequence length (no sentinel)
+  char* ids;         // concatenated NUL-terminated header lines (with '>')
+  int64_t ids_len;
+  int64_t total_bases;
+  int64_t invalid_bases;
+};
+
+// Parse a FASTA file into a flat encoded stream.
+//   max_seqs <= 0 means unlimited.
+// Record semantics = the "modern" parser (fasta.parse_fasta): '>' starts a
+// header, sequence is the concatenation of following non-header lines,
+// blank lines ignored, trailing CR stripped.
+// Returns 0 on success, 1 on open failure, 2 on read failure.
+int kp_parse_fasta(const char* path, int64_t max_seqs, KpFasta** out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+
+  Buf stream;
+  I64Buf offsets;
+  I64Buf lengths;
+  Buf ids;
+  int64_t n_seqs = 0;
+  int64_t cur_len = 0;
+  int64_t total_bases = 0;
+  int64_t invalid_bases = 0;
+  bool in_seq = false;
+  bool done = false;
+
+  auto end_record = [&]() {
+    if (in_seq) {
+      lengths.push(cur_len);
+      n_seqs++;
+      in_seq = false;
+      if (max_seqs > 0 && n_seqs >= max_seqs) done = true;
+    }
+  };
+
+  constexpr int64_t CHUNK = 1 << 20;
+  uint8_t* buf = static_cast<uint8_t*>(malloc(CHUNK));
+  Buf line;  // line assembly across chunk boundaries
+
+  auto handle_line = [&](const uint8_t* s, int64_t n) {
+    // strip trailing CR
+    while (n > 0 && s[n - 1] == '\r') n--;
+    if (n == 0) return;
+    if (s[0] == '>') {
+      end_record();
+      if (done) return;
+      ids.push(s, n);
+      ids.push1('\0');
+      // sentinel between records (not before the first)
+      if (n_seqs > 0 || stream.len > 0) stream.push1(kInvalid);
+      offsets.push(stream.len);
+      cur_len = 0;
+      in_seq = true;
+    } else if (in_seq) {
+      stream.reserve(n);
+      uint8_t* dst = stream.data + stream.len;
+      for (int64_t i = 0; i < n; i++) {
+        uint8_t code = kLut.v[s[i]];
+        dst[i] = code;
+        invalid_bases += (code == kInvalid);
+      }
+      stream.len += n;
+      cur_len += n;
+      total_bases += n;
+    }
+  };
+
+  while (!done) {
+    int64_t got = static_cast<int64_t>(fread(buf, 1, CHUNK, f));
+    if (got < 0) {
+      fclose(f);
+      free(buf);
+      return 2;
+    }
+    if (got == 0) break;
+    int64_t pos = 0;
+    while (pos < got && !done) {
+      // find newline
+      const uint8_t* nl =
+          static_cast<const uint8_t*>(memchr(buf + pos, '\n', got - pos));
+      if (nl) {
+        int64_t n = nl - (buf + pos);
+        if (line.len) {
+          line.push(buf + pos, n);
+          handle_line(line.data, line.len);
+          line.len = 0;
+        } else {
+          handle_line(buf + pos, n);
+        }
+        pos += n + 1;
+      } else {
+        line.push(buf + pos, got - pos);
+        pos = got;
+      }
+    }
+  }
+  if (!done && line.len) {
+    handle_line(line.data, line.len);
+    line.len = 0;
+  }
+  end_record();
+  fclose(f);
+  free(buf);
+  free(line.data);
+
+  offsets.push(stream.len);  // terminal offset (always present, unlike the
+                             // reference's EOF-only push at main.cu:523)
+
+  KpFasta* r = static_cast<KpFasta*>(malloc(sizeof(KpFasta)));
+  r->n_seqs = n_seqs;
+  r->stream_len = stream.len;
+  r->stream = stream.data;
+  r->offsets = offsets.data;
+  r->lengths = lengths.data;
+  r->ids = reinterpret_cast<char*>(ids.data);
+  r->ids_len = ids.len;
+  r->total_bases = total_bases;
+  r->invalid_bases = invalid_bases;
+  *out = r;
+  return 0;
+}
+
+void kp_free_fasta(KpFasta* r) {
+  if (!r) return;
+  free(r->stream);
+  free(r->offsets);
+  free(r->lengths);
+  free(r->ids);
+  free(r);
+}
+
+// 2-bit pack: base codes -> 4 bases/byte (little-endian within byte) plus a
+// validity bitmask (8 bases/byte). Invalid bases pack as 0 with mask bit 0.
+// out_data must hold (n+3)/4 bytes, out_mask (n+7)/8 bytes.
+void kp_pack_2bit(const uint8_t* bases, int64_t n, uint8_t* out_data,
+                  uint8_t* out_mask) {
+  int64_t nd = (n + 3) / 4;
+  int64_t nm = (n + 7) / 8;
+  memset(out_data, 0, nd);
+  memset(out_mask, 0, nm);
+  for (int64_t i = 0; i < n; i++) {
+    uint8_t b = bases[i];
+    if (b < 4) {
+      out_data[i >> 2] |= static_cast<uint8_t>(b << ((i & 3) * 2));
+      out_mask[i >> 3] |= static_cast<uint8_t>(1u << (i & 7));
+    }
+  }
+}
+
+// Unpack (inverse of kp_pack_2bit): out must hold n bytes.
+void kp_unpack_2bit(const uint8_t* data, const uint8_t* mask, int64_t n,
+                    uint8_t* out) {
+  for (int64_t i = 0; i < n; i++) {
+    bool ok = (mask[i >> 3] >> (i & 7)) & 1;
+    out[i] = ok ? ((data[i >> 2] >> ((i & 3) * 2)) & 3) : kInvalid;
+  }
+}
+
+}  // extern "C"

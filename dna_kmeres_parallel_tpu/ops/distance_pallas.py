@@ -1,0 +1,89 @@
+"""Pallas TPU kernel: tiled integer (min,+) pairwise reduction.
+
+The TPU-native replacement for the reference's step-2 — n synchronous
+one-query-per-launch kernels (/root/reference/main.cu:327-335, kernels.h:85-109)
+— as ONE tiled program over the [S, bins] counts matrix:
+
+  grid (S/TI, S/TJ); cell (i, j) loads counts[i-tile] [TI, B] and the
+  transposed counts[j-tile] [B, TJ] into VMEM and accumulates
+  sum_b min(a[i,b], c[b,j]) on the VPU with an unrolled static loop over b
+  (a [TI,1] sublane-broadcast min'd against a [1,TJ] lane-broadcast per b).
+
+Integer in, integer out: the float distance formula is applied downstream by
+ops.distance.finish_distances for bit-exact parity (SURVEY.md §2.4.4).
+
+B (padded bins) is static and must be modest (<= 512: unrolled loop); this
+covers the reference workload k=3/4 (64/256 bins). Larger-k distances route
+to the jnp path in ops/distance.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TI = 256
+_TJ = 256
+_MAX_UNROLL_B = 512
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _min_sum_kernel(a_ref, ct_ref, out_ref):
+    """a_ref: [TI, B] int32; ct_ref: [B, TJ] int32; out_ref: [TI, TJ] int32."""
+    B = a_ref.shape[1]
+    acc = jnp.zeros(out_ref.shape, jnp.int32)
+    for b in range(B):  # static unroll; B <= _MAX_UNROLL_B
+        col = a_ref[:, b : b + 1]  # [TI, 1] broadcast over lanes
+        row = ct_ref[b : b + 1, :]  # [1, TJ] broadcast over sublanes
+        acc = acc + jnp.minimum(col, row)
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def min_sum_matrix_pallas(counts: jax.Array, interpret: bool = False) -> jax.Array:
+    """[S, bins] int32 -> [S, S] int32 full symmetric min-sum matrix.
+
+    Rows are zero-padded to the tile size; zero rows produce zero min-sums
+    and are sliced off. Bins are zero-padded to the lane width; zero bins
+    contribute min(0,0)=0, preserving exactness.
+    """
+    S, B = counts.shape
+    if B > _MAX_UNROLL_B:
+        raise ValueError(
+            f"pallas min-sum kernel supports bins <= {_MAX_UNROLL_B}, got {B}"
+        )
+    Sp = _round_up(max(S, 8), _TI)
+    Bp = _round_up(B, 128)
+    padded = jnp.zeros((Sp, Bp), jnp.int32).at[:S, :B].set(counts)
+    transposed = padded.T  # [Bp, Sp]
+
+    grid = (Sp // _TI, Sp // _TJ)
+    out = pl.pallas_call(
+        _min_sum_kernel,
+        out_shape=jax.ShapeDtypeStruct((Sp, Sp), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (_TI, Bp), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (Bp, _TJ), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (_TI, _TJ), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Sp * Sp * Bp, bytes_accessed=2 * Sp * Bp * 4 + Sp * Sp * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(padded, transposed)
+    return out[:S, :S]

@@ -1,0 +1,278 @@
+"""Pallas TPU kernels: fused rolling-code + histogram / counts-matrix.
+
+Replaces the reference's step-1 count kernel — O(L * 4^k) per-k-mer string
+rescans (/root/reference/kernels.h:113-144) — with fused single-pass kernels:
+
+  bases (uint8 codes) -> k-window rolling codes (static-k shift/or, VPU)
+                      -> one-hot bin membership
+                      -> integer reduction in VMEM.
+
+Kernels:
+
+- ``counts_matrix_pallas``: [S, L] base grid -> [S, bins] per-sequence
+  counts (input of the distance engine). One-hot compare + VPU reduce,
+  bins <= 1024 (covers the reference workload k=3..5).
+- ``histogram_pallas``: flat code stream -> [bins] dense histogram via the
+  **two-level MXU outer-product**: split code = hi*W + lo, build one-hot
+  planes oh_hi [H, chunk] and oh_lo [chunk, W] (bf16), and accumulate
+  hist2d [H, W] += oh_hi @ oh_lo on the MXU. Compare cost is H + W per
+  code (vs `bins` for flat one-hot), turning the histogram into matmuls.
+  f32 accumulation is exact below 2^24 per cell; the kernel flushes the
+  f32 tile into its int32 output block periodically so any stream length
+  stays exact.
+
+Larger bins (4^11 = 4M) shard the hi axis across grid groups so the
+accumulator tile stays within VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dna_kmeres_parallel_tpu.ops.encode import INVALID
+
+_MAX_ONEHOT_BINS = 1024
+_SEQ_TILE = 8
+_F32_EXACT_LIMIT = 1 << 24  # per-cell f32 integer exactness bound
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _rolling_codes_2d(bases, k: int, n: int):
+    """[R, T] uint8 -> ([R, n] int32 codes, [R, n] bool valid), n = T-k+1."""
+    code = jnp.zeros((bases.shape[0], n), jnp.int32)
+    valid = jnp.ones((bases.shape[0], n), jnp.bool_)
+    for t in range(k):
+        w = jax.lax.slice_in_dim(bases, t, t + n, axis=1)
+        valid = valid & (w < 4)
+        code = (code << 2) | (w & 3).astype(jnp.int32)
+    return code, valid
+
+
+def _revcomp_2d(codes, k: int):
+    rc = jnp.zeros_like(codes)
+    c = codes
+    for _ in range(k):
+        rc = (rc << 2) | ((c & 3) ^ 3)
+        c = c >> 2
+    return rc
+
+
+# ---------------------------------------------------------------------------
+# Per-sequence counts matrix (small bins, one-hot + VPU reduce)
+# ---------------------------------------------------------------------------
+
+
+def _make_counts_kernel(k: int, bins: int, n_windows: int, canonical: bool):
+    # Keep the materialized one-hot below ~2 MB: TS * chunk * bins * 4.
+    chunk = max(32, min(512, (1 << 21) // (_SEQ_TILE * bins * 4)))
+    nchunks = -(-n_windows // chunk)
+
+    def kernel(bases_ref, out_ref):
+        codes, valid = _rolling_codes_2d(bases_ref[:], k, n_windows)
+        if canonical:
+            codes = jnp.minimum(codes, _revcomp_2d(codes, k))
+        codes = jnp.where(valid, codes, bins)  # sentinel outside [0, bins)
+        bin_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, bins), 2)
+        acc = jnp.zeros((_SEQ_TILE, bins), jnp.int32)
+        for c in range(nchunks):  # static unroll
+            lo = c * chunk
+            hi = min(lo + chunk, n_windows)
+            blk = codes[:, lo:hi]
+            onehot = (blk[:, :, None] == bin_ids).astype(jnp.int32)
+            acc = acc + jnp.sum(onehot, axis=1)
+        out_ref[:] = acc
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "bins", "canonical", "interpret")
+)
+def counts_matrix_pallas(
+    bases: jax.Array,
+    k: int,
+    bins: int,
+    canonical: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """[S, L] uint8 base grid -> [S, bins] int32 per-sequence counts.
+
+    Rows are independent sequences (pad with INVALID). bins <= 1024.
+    """
+    if bins > _MAX_ONEHOT_BINS:
+        raise ValueError(f"counts_matrix_pallas supports bins <= {_MAX_ONEHOT_BINS}")
+    S, L = bases.shape
+    Sp = _round_up(max(S, _SEQ_TILE), _SEQ_TILE)
+    Lp = _round_up(max(L, k + 127), 128)
+    padded = jnp.full((Sp, Lp), INVALID, jnp.uint8).at[:S, :L].set(bases)
+    n_windows = Lp - k + 1
+
+    kernel = _make_counts_kernel(k, bins, n_windows, canonical)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Sp, bins), jnp.int32),
+        grid=(Sp // _SEQ_TILE,),
+        in_specs=[
+            pl.BlockSpec((_SEQ_TILE, Lp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (_SEQ_TILE, bins), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(padded)
+    return out[:S]
+
+
+# ---------------------------------------------------------------------------
+# Flat histogram: two-level MXU outer-product
+# ---------------------------------------------------------------------------
+
+
+def _split_hw(bins: int) -> tuple[int, int]:
+    """Balanced hi/lo split: bins = H * W, W a multiple of 128 (lane dim),
+    compare cost H + W per code is minimized near sqrt(bins)."""
+    W = 128
+    while W * W < bins and W < 2048:
+        W *= 2
+    W = min(W, bins)
+    H = max(bins // W, 1)
+    return H, W
+
+
+def _make_hist2d_kernel(
+    chunk: int,
+    n_chunks_per_tile: int,
+    H: int,
+    W: int,
+    hi_group: int,
+    flush_every: int,
+):
+    """codes tile [R, tile] -> accumulate hist2d [hi_group, W] f32 for the
+    hi range [g*hi_group, (g+1)*hi_group) via oh_hi @ oh_lo on the MXU.
+
+    The f32 accumulator holds exact integers only below 2^24, so it is
+    flushed into the int32 output block every ``flush_every`` tiles (the
+    output block keeps the same index across a group's tiles, so it stays
+    VMEM-resident and accumulates like a matmul output)."""
+    w_bits = W.bit_length() - 1
+
+    def kernel(codes_ref, out_ref, acc_ref):
+        # Grid is (n_groups, n_tiles) with tiles INNERMOST so the single
+        # scratch accumulator serves one hi-group at a time. codes_ref is
+        # an [8, C] block (TPU tiling needs sublane >= 8); rows are just
+        # consecutive spans of the flat stream.
+        g = pl.program_id(0)  # hi group index
+        t = pl.program_id(1)  # stream tile index
+        n_tiles = pl.num_programs(1)
+
+        @pl.when(t == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        hi_base = g * hi_group
+        hi_ids = (
+            jax.lax.broadcasted_iota(jnp.int32, (hi_group, 1), 0) + hi_base
+        )
+        lo_ids = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+
+        acc = acc_ref[:]
+        for r in range(8):  # static: sublane rows of the block
+            for c in range(n_chunks_per_tile):  # static unroll
+                blk = codes_ref[r : r + 1, c * chunk : (c + 1) * chunk]
+                hi = blk >> w_bits  # [1, chunk] — lanes
+                lo = (blk & (W - 1)).reshape(chunk, 1)  # [chunk, 1]
+                # Invalid codes carry a sentinel hi outside every group.
+                oh_hi = (hi_ids == hi).astype(jnp.bfloat16)  # [hi_group, chunk]
+                oh_lo = (lo_ids == lo).astype(jnp.bfloat16)  # [chunk, W]
+                acc = acc + jnp.dot(
+                    oh_hi, oh_lo, preferred_element_type=jnp.float32
+                )
+
+        @pl.when((t % flush_every == flush_every - 1) | (t == n_tiles - 1))
+        def _():
+            out_ref[:] = out_ref[:] + acc.astype(jnp.int32)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        @pl.when((t % flush_every != flush_every - 1) & (t != n_tiles - 1))
+        def _():
+            acc_ref[:] = acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("bins", "interpret"))
+def histogram_codes_pallas(
+    codes: jax.Array, valid: jax.Array, bins: int, interpret: bool = False
+) -> jax.Array:
+    """[T] int32 window codes (+ validity) -> [bins] int32 dense histogram.
+
+    Two-level MXU outer-product. Exact for any T: the f32 accumulator is
+    flushed into the int32 output block before any cell can reach 2^24.
+    """
+    T = codes.shape[0]
+    H, W = _split_hw(bins)
+    # Route invalid codes to hi = H (outside every group).
+    safe = jnp.where(valid, codes, H * W + (W - 1) + 1)
+
+    chunk = 512
+    tile = 8 * chunk  # codes per grid step: an [8, chunk] block
+    Tp = _round_up(max(T, tile), tile)
+    padded = jnp.full((Tp,), H * W + W, jnp.int32).at[:T].set(safe)
+    n_tiles = Tp // tile
+
+    # Cap the accumulator tile at ~4 MB of VMEM.
+    max_rows = max((1 << 20) // W, 8)
+    n_groups = max(_round_up(H, max_rows) // max_rows, 1)
+    hi_group = _round_up(H, n_groups) // n_groups
+
+    # Flush the f32 accumulator to int32 well before any cell can reach the
+    # 2^24 exactness bound (a cell gains at most `tile` hits per tile).
+    flush_every = max((_F32_EXACT_LIMIT // 2) // tile, 1)
+    kernel = _make_hist2d_kernel(chunk, chunk // chunk, H, W, hi_group, flush_every)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_groups * hi_group, W), jnp.int32),
+        grid=(n_groups, n_tiles),
+        in_specs=[
+            pl.BlockSpec((8, chunk), lambda g, t: (t, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (hi_group, W), lambda g, t: (g, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((hi_group, W), jnp.float32)],
+        interpret=interpret,
+    )(padded.reshape(n_tiles * 8, chunk))
+    return out.reshape(-1)[:bins]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "bins", "canonical", "interpret")
+)
+def histogram_pallas(
+    bases: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    bins: int,
+    canonical: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flat [T] uint8 base stream -> [bins] int32 histogram of windows
+    starting at positions < n_own (fused encode + 2-level MXU histogram)."""
+    from dna_kmeres_parallel_tpu.ops import encode as encode_ops
+
+    codes, valid = encode_ops.rolling_codes(bases, k)
+    n = codes.shape[0]
+    own = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1) < n_own
+    valid = valid & own
+    if canonical:
+        codes = encode_ops.canonicalize(codes, k)
+    return histogram_codes_pallas(codes, valid, bins, interpret=interpret)

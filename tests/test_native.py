@@ -1,0 +1,103 @@
+"""Native C++ parser/packer vs the pure-Python implementations."""
+
+import numpy as np
+import pytest
+
+from dna_kmeres_parallel_tpu import native
+from dna_kmeres_parallel_tpu.utils import codec, fasta
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason=f"native lib unavailable: {native.build_error()}"
+)
+
+
+def _write(tmp_path, records, width=60):
+    path = tmp_path / "t.fasta"
+    fasta.write_fasta(path, records, width=width)
+    return str(path)
+
+
+def test_parse_matches_python(tmp_path, make_dna):
+    records = [(f">r{i} desc {i}", make_dna(100 + 37 * i, invalid_frac=0.05)) for i in range(12)]
+    path = _write(tmp_path, records)
+    got = native.parse_fasta_native(path)
+    want = fasta.parse_fasta(path)
+    assert got.n_seqs == len(want) == len(records)
+    assert got.ids == [r.id for r in want]
+    for i, r in enumerate(want):
+        codes = got.sequence_codes(i)
+        assert np.array_equal(codes, codec.encode_bases(r.seq))
+        assert got.lengths[i] == len(r.seq)
+    assert got.total_bases == sum(len(r.seq) for r in want)
+
+
+def test_stream_sentinels(tmp_path):
+    path = _write(tmp_path, [(">a", "AAAA"), (">b", "TTTT")])
+    got = native.parse_fasta_native(path)
+    # Exactly one INVALID sentinel between sequences.
+    assert got.stream_len if hasattr(got, "stream_len") else True
+    assert got.stream.shape[0] == 9
+    assert got.stream[4] == codec.INVALID_BASE
+    assert np.array_equal(got.stream[:4], [0, 0, 0, 0])
+    assert np.array_equal(got.stream[5:], [3, 3, 3, 3])
+    assert got.offsets.tolist() == [0, 5, 9]
+
+
+def test_max_seqs_cap(tmp_path, make_dna):
+    records = [(f">r{i}", make_dna(50)) for i in range(10)]
+    path = _write(tmp_path, records)
+    got = native.parse_fasta_native(path, max_seqs=3)
+    assert got.n_seqs == 3
+    assert got.ids == [f">r{i}" for i in range(3)]
+
+
+def test_no_trailing_newline(tmp_path, make_dna):
+    s = make_dna(83)
+    path = tmp_path / "nt.fasta"
+    path.write_text(f">only\n{s[:40]}\n{s[40:]}")  # no trailing newline
+    got = native.parse_fasta_native(str(path))
+    assert got.n_seqs == 1
+    assert np.array_equal(got.sequence_codes(0), codec.encode_bases(s))
+
+
+def test_crlf(tmp_path, make_dna):
+    s = make_dna(64)
+    path = tmp_path / "crlf.fasta"
+    path.write_bytes(f">w\r\n{s[:32]}\r\n{s[32:]}\r\n".encode())
+    got = native.parse_fasta_native(str(path))
+    assert got.n_seqs == 1
+    assert np.array_equal(got.sequence_codes(0), codec.encode_bases(s))
+
+
+def test_missing_file():
+    with pytest.raises(FileNotFoundError):
+        native.parse_fasta_native("/definitely/not/here.fasta")
+
+
+def test_invalid_count(tmp_path):
+    path = _write(tmp_path, [(">x", "ACGTNNNacgt")])
+    got = native.parse_fasta_native(path)
+    assert got.invalid_bases == 7  # 3 Ns + 4 lowercase
+    assert got.total_bases == 11
+
+
+def test_pack_unpack_native_matches_python(make_dna):
+    for L in (0, 1, 7, 8, 9, 1000):
+        bases = codec.encode_bases(make_dna(L, invalid_frac=0.1))
+        nd, nm, n = native.pack_2bit_native(bases)
+        pd, pm, pn = codec.pack_bases(bases)
+        assert n == pn == L
+        assert np.array_equal(nd, pd)
+        assert np.array_equal(nm, pm)
+        assert np.array_equal(native.unpack_2bit_native(nd, nm, n), bases)
+
+
+def test_large_multiline_stream(tmp_path, make_dna):
+    # Cross-chunk line assembly: the C parser reads 1 MB chunks; force lines
+    # spanning chunk boundaries with a ~3 MB file of short lines.
+    records = [(f">big{i}", make_dna(150_000)) for i in range(8)]
+    path = _write(tmp_path, records, width=61)
+    got = native.parse_fasta_native(path)
+    assert got.n_seqs == 8
+    for i, (_, s) in enumerate(records):
+        assert np.array_equal(got.sequence_codes(i), codec.encode_bases(s))

@@ -1,0 +1,126 @@
+"""Pallas kernel tests in interpreter mode (exact-equality vs oracle).
+
+Interpreter mode also catches OOB indexing that compiled TPU mode masks
+(SURVEY.md §5 race-detection plan). The same kernels run compiled on real
+TPU via the benchmark/CLI paths.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dna_kmeres_parallel_tpu.models import oracle
+from dna_kmeres_parallel_tpu.ops import distance_pallas, histogram_pallas
+from dna_kmeres_parallel_tpu.ops import distance as dist_ops
+from dna_kmeres_parallel_tpu.ops import encode as encode_ops
+from dna_kmeres_parallel_tpu.utils import codec
+
+
+@pytest.mark.parametrize("k,bins", [(3, 64), (4, 256), (5, 1024)])
+def test_counts_matrix_pallas(make_dna, k, bins):
+    seqs = [make_dna(150 + 31 * i, invalid_frac=0.03) for i in range(11)]
+    L = max(len(s) for s in seqs)
+    grid = np.full((len(seqs), L), codec.INVALID_BASE, dtype=np.uint8)
+    for i, s in enumerate(seqs):
+        grid[i, : len(s)] = codec.encode_bases(s)
+    got = np.asarray(
+        histogram_pallas.counts_matrix_pallas(
+            jnp.asarray(grid), k, bins, interpret=True
+        ),
+        dtype=np.int64,
+    )
+    want = oracle.counts_matrix(seqs, k)
+    assert np.array_equal(got, want)
+
+
+def test_counts_matrix_pallas_canonical(make_dna):
+    k = 4
+    seqs = [make_dna(200) for _ in range(5)]
+    L = max(len(s) for s in seqs)
+    grid = np.full((len(seqs), L), codec.INVALID_BASE, dtype=np.uint8)
+    for i, s in enumerate(seqs):
+        grid[i, : len(s)] = codec.encode_bases(s)
+    got = np.asarray(
+        histogram_pallas.counts_matrix_pallas(
+            jnp.asarray(grid), k, 256, canonical=True, interpret=True
+        ),
+        dtype=np.int64,
+    )
+    want = oracle.counts_matrix(seqs, k, canonical=True)
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("k", [3, 6, 8, 11])
+def test_histogram_pallas_2level(make_dna, k):
+    # Covers H=1 (64 bins), H<groups, and the multi-group k=11 (4M bins).
+    s = make_dna(20000, invalid_frac=0.02)
+    bases = jnp.asarray(codec.encode_bases(s))
+    got = np.asarray(
+        histogram_pallas.histogram_pallas(
+            bases, jnp.int32(len(s) - k + 1), k, codec.num_bins(k), interpret=True
+        ),
+        dtype=np.int64,
+    )
+    want = oracle.count_vector(s, k)
+    assert np.array_equal(got, want)
+
+
+def test_histogram_pallas_ownership_mask(make_dna):
+    # Windows starting at positions >= n_own must not count (halo semantics).
+    k = 5
+    s = make_dna(1000)
+    bases = jnp.asarray(codec.encode_bases(s))
+    n_own = 400
+    got = np.asarray(
+        histogram_pallas.histogram_pallas(
+            bases, jnp.int32(n_own), k, codec.num_bins(k), interpret=True
+        ),
+        dtype=np.int64,
+    )
+    want = oracle.count_vector(s[: n_own + k - 1], k)
+    assert np.array_equal(got, want)
+
+
+def test_histogram_pallas_canonical(make_dna):
+    k = 6
+    s = make_dna(5000)
+    bases = jnp.asarray(codec.encode_bases(s))
+    got = np.asarray(
+        histogram_pallas.histogram_pallas(
+            bases,
+            jnp.int32(len(s) - k + 1),
+            k,
+            codec.num_bins(k),
+            canonical=True,
+            interpret=True,
+        ),
+        dtype=np.int64,
+    )
+    want = oracle.count_vector(s, k, canonical=True)
+    assert np.array_equal(got, want)
+
+
+def test_min_sum_pallas_matches_jnp(make_dna):
+    k = 3
+    seqs = [make_dna(70 + 9 * i) for i in range(37)]  # S=37: pad path
+    counts = oracle.counts_matrix(seqs, k).astype(np.int32)
+    got = np.asarray(
+        distance_pallas.min_sum_matrix_pallas(jnp.asarray(counts), interpret=True)
+    )
+    want = np.asarray(dist_ops.min_sum_matrix(jnp.asarray(counts), row_block=8))
+    assert np.array_equal(got, want)
+
+
+def test_min_sum_pallas_distances_exact(make_dna):
+    # Full path: pallas min-sums + host finish == oracle distances, bitwise.
+    k = 3
+    seqs = [make_dna(100 + 5 * i, invalid_frac=0.02) for i in range(9)]
+    counts = oracle.counts_matrix(seqs, k).astype(np.int32)
+    lengths = np.array([len(s) for s in seqs], dtype=np.int64)
+    sums = np.asarray(
+        distance_pallas.min_sum_matrix_pallas(jnp.asarray(counts), interpret=True)
+    )
+    sq = dist_ops.finish_distances(sums, lengths, k)
+    rows, cols = np.triu_indices(len(seqs), k=1)
+    want = oracle.distance_matrix_packed(seqs, k)
+    assert np.array_equal(sq[rows, cols], want)

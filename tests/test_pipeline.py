@@ -1,0 +1,123 @@
+"""Streaming counter: metrics, checkpoint/resume, crash recovery."""
+
+import numpy as np
+import pytest
+
+from dna_kmeres_parallel_tpu.models import oracle
+from dna_kmeres_parallel_tpu.models.pipeline import StreamingCounter
+from dna_kmeres_parallel_tpu.utils import checkpoint as ckpt_mod
+from dna_kmeres_parallel_tpu.utils import fasta
+from dna_kmeres_parallel_tpu.utils.config import KmerConfig
+
+
+@pytest.fixture
+def fasta_file(tmp_path, make_dna):
+    records = [(f">r{i}", make_dna(400 + 31 * i, invalid_frac=0.02)) for i in range(6)]
+    path = tmp_path / "in.fasta"
+    fasta.write_fasta(path, records)
+    return str(path), [s for _, s in records]
+
+
+def test_dense_run_matches_oracle(fasta_file):
+    path, seqs = fasta_file
+    result = StreamingCounter(KmerConfig(k=5, batch_bases=512)).run(path)
+    want = sum(
+        (oracle.count_vector(s, 5) for s in seqs), np.zeros(4**5, np.int64)
+    )
+    assert np.array_equal(result.hist, want)
+
+
+def test_sparse_run_matches_oracle(fasta_file):
+    path, seqs = fasta_file
+    result = StreamingCounter(KmerConfig(k=21, batch_bases=512)).run(path)
+    assert result.table() == oracle.count_table_any_k(seqs, 21)
+
+
+def test_metrics_populated(fasta_file):
+    path, seqs = fasta_file
+    sc = StreamingCounter(KmerConfig(k=4, batch_bases=256))
+    sc.run(path)
+    rep = sc.metrics.report()
+    assert rep["counters"]["bases"] >= sum(len(s) for s in seqs)
+    assert rep["counters"]["batches"] > 1
+    assert rep["phase_seconds"]["device"] > 0
+    assert rep["phase_seconds"]["parse"] > 0
+    assert "bases_per_sec_device" in rep
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    ck = ckpt_mod.CountCheckpoint(
+        k=5, canonical=True, cursor=1234, total_bases=999,
+        hist=np.arange(4**5, dtype=np.int64),
+    )
+    path = str(tmp_path / "c.npz")
+    ckpt_mod.save_checkpoint(path, ck)
+    back = ckpt_mod.load_checkpoint(path)
+    assert back.k == 5 and back.canonical and back.cursor == 1234
+    assert np.array_equal(back.hist, ck.hist)
+
+    sck = ckpt_mod.CountCheckpoint(
+        k=21, canonical=False, cursor=7, total_bases=99,
+        sparse_codes=np.array([3, 9], np.uint64),
+        sparse_counts=np.array([4, 5], np.int64),
+    )
+    ckpt_mod.save_checkpoint(path, sck)
+    back = ckpt_mod.load_checkpoint(path)
+    assert not back.dense
+    assert back.sparse_codes.tolist() == [3, 9]
+
+
+def test_crash_resume_dense(fasta_file, tmp_path):
+    path, seqs = fasta_file
+    cfg = KmerConfig(k=5, batch_bases=256)
+    ckpt = str(tmp_path / "resume.npz")
+
+    # "Crash" after 3 batches (progress checkpointed at the stop boundary).
+    sc1 = StreamingCounter(cfg, checkpoint_path=ckpt, max_batches=3)
+    sc1.run(path)
+    saved = ckpt_mod.load_checkpoint(ckpt)
+    assert saved.cursor == 3 * 256
+
+    # Resume with a fresh counter: result must equal the uninterrupted run.
+    sc2 = StreamingCounter(cfg, checkpoint_path=ckpt, checkpoint_every_bases=1 << 40)
+    result = sc2.run(path)
+    assert sc2.metrics.counters.get("resumed_from_base") == saved.cursor
+    want = sum(
+        (oracle.count_vector(s, 5) for s in seqs), np.zeros(4**5, np.int64)
+    )
+    assert np.array_equal(result.hist, want)
+
+
+def test_crash_resume_sparse(fasta_file, tmp_path):
+    path, seqs = fasta_file
+    cfg = KmerConfig(k=21, batch_bases=256)
+    ckpt = str(tmp_path / "resume_sparse.npz")
+
+    sc1 = StreamingCounter(cfg, checkpoint_path=ckpt, max_batches=2)
+    sc1.run(path)
+    saved = ckpt_mod.load_checkpoint(ckpt)
+    assert saved.cursor == 2 * 256
+
+    sc2 = StreamingCounter(cfg, checkpoint_path=ckpt, checkpoint_every_bases=1 << 40)
+    result = sc2.run(path)
+    assert sc2.metrics.counters.get("resumed_from_base") == saved.cursor
+    assert result.table() == oracle.count_table_any_k(seqs, 21)
+
+
+def test_mismatched_checkpoint_ignored(fasta_file, tmp_path):
+    path, seqs = fasta_file
+    ckpt = str(tmp_path / "wrongk.npz")
+    ckpt_mod.save_checkpoint(
+        ckpt,
+        ckpt_mod.CountCheckpoint(
+            k=7, canonical=False, cursor=50, total_bases=10,
+            hist=np.zeros(4**7, np.int64),
+        ),
+    )
+    sc = StreamingCounter(KmerConfig(k=5), checkpoint_path=ckpt)
+    result = sc.run(path)  # k mismatch -> fresh count, then overwrites ckpt
+    want = sum(
+        (oracle.count_vector(s, 5) for s in seqs), np.zeros(4**5, np.int64)
+    )
+    assert np.array_equal(result.hist, want)
+    assert "resumed_from_base" not in sc.metrics.counters

@@ -1,0 +1,111 @@
+"""Sparse (sorted-table) engine tests: split codes, RLE, merge, large k."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dna_kmeres_parallel_tpu.models import oracle
+from dna_kmeres_parallel_tpu.models.sparse_engine import (
+    SparseKmerEngine,
+    merge_sparse_tables,
+)
+from dna_kmeres_parallel_tpu.ops import sparse as sparse_ops
+from dna_kmeres_parallel_tpu.utils import codec
+from dna_kmeres_parallel_tpu.utils.config import KmerConfig
+
+
+@pytest.mark.parametrize("k", [13, 16, 17, 21, 31])
+def test_split_codes_match_host(make_dna, k):
+    s = make_dna(300, invalid_frac=0.03)
+    bases = jnp.asarray(codec.encode_bases(s))
+    (hi, lo), valid = sparse_ops.rolling_codes_split(bases, k)
+    hi, lo, valid = np.asarray(hi), np.asarray(lo), np.asarray(valid)
+    for i in range(len(s) - k + 1):
+        w = s[i : i + k]
+        if any(c not in "ACGT" for c in w):
+            assert not valid[i]
+            continue
+        code = codec.kmer_to_code(w)
+        assert valid[i]
+        assert int(hi[i]) == code >> (2 * sparse_ops._lo_bases(k))
+        assert int(lo[i]) == code & ((1 << (2 * sparse_ops._lo_bases(k))) - 1)
+
+
+@pytest.mark.parametrize("k", [13, 17, 21, 31])
+def test_revcomp_split_matches_string(make_dna, k):
+    s = make_dna(k + 40)
+    bases = jnp.asarray(codec.encode_bases(s))
+    (hi, lo), _ = sparse_ops.rolling_codes_split(bases, k)
+    rc_hi, rc_lo = sparse_ops.revcomp_split(hi, lo, k)
+    nlo = sparse_ops._lo_bases(k)
+    for i in range(len(s) - k + 1):
+        rc_code = codec.kmer_to_code(codec.revcomp_str(s[i : i + k]))
+        assert int(np.asarray(rc_hi)[i]) == rc_code >> (2 * nlo)
+        assert int(np.asarray(rc_lo)[i]) == rc_code & ((1 << (2 * nlo)) - 1)
+
+
+def test_sort_unique_counts_small():
+    # "AAAAA..." at k=16: all windows identical.
+    s = "A" * 40
+    bases = jnp.asarray(codec.encode_bases(s))
+    hi, lo, counts, starts = sparse_ops.sort_unique_counts(
+        bases, jnp.int32(len(s) - 16 + 1), 16
+    )
+    idx = np.flatnonzero(np.asarray(starts))
+    assert idx.shape == (1,)
+    assert int(np.asarray(counts)[idx[0]]) == 40 - 16 + 1
+    assert int(np.asarray(hi)[idx[0]]) == 0 and int(np.asarray(lo)[idx[0]]) == 0
+
+
+@pytest.mark.parametrize("k,canonical", [(17, False), (21, False), (21, True), (31, False)])
+def test_sparse_engine_matches_naive(make_dna, k, canonical):
+    seqs = [make_dna(200 + 41 * i, invalid_frac=0.02) for i in range(5)]
+    engine = SparseKmerEngine(KmerConfig(k=k, canonical=canonical, batch_bases=256))
+    result = engine.count_sequences(seqs)
+    want = oracle.count_table_any_k(seqs, k, canonical)
+    got = result.table()
+    assert got == want
+    assert result.total_kmers == sum(want.values())
+
+
+def test_sparse_engine_batch_boundaries(make_dna):
+    # Tiny batches: cross-batch duplicate k-mers must merge exactly.
+    s = make_dna(100) * 3  # force repeats across batch boundaries
+    k = 17
+    small = SparseKmerEngine(KmerConfig(k=k, batch_bases=128))
+    big = SparseKmerEngine(KmerConfig(k=k, batch_bases=1 << 20))
+    a, b = small.count_sequences([s]), big.count_sequences([s])
+    assert np.array_equal(a.codes, b.codes)
+    assert np.array_equal(a.counts, b.counts)
+    assert a.total_kmers == len(s) - k + 1
+
+
+def test_merge_sparse_tables():
+    t1 = (np.array([1, 5, 9], np.uint64), np.array([2, 3, 1], np.int64))
+    t2 = (np.array([5, 7], np.uint64), np.array([10, 4], np.int64))
+    codes, counts = merge_sparse_tables([t1, t2])
+    assert codes.tolist() == [1, 5, 7, 9]
+    assert counts.tolist() == [2, 13, 4, 1]
+
+
+def test_count_of_lookup(make_dna):
+    s = make_dna(500)
+    k = 21
+    result = SparseKmerEngine(KmerConfig(k=k)).count_sequences([s])
+    want = oracle.count_table_any_k([s], k)
+    some = list(want.items())[:20]
+    for kmer, cnt in some:
+        assert result.count_of(kmer) == cnt
+    assert result.count_of("A" * k) == want.get("A" * k, 0)
+
+
+def test_sparse_file(tmp_path, make_dna):
+    from dna_kmeres_parallel_tpu.utils import fasta
+
+    records = [(f">r{i}", make_dna(300)) for i in range(4)]
+    path = tmp_path / "s.fasta"
+    fasta.write_fasta(path, records)
+    result = SparseKmerEngine(KmerConfig(k=21)).count_file(str(path))
+    want = oracle.count_table_any_k([s for _, s in records], 21)
+    assert result.table() == want
+    assert result.n_seqs == 4
