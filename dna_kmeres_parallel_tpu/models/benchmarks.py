@@ -34,20 +34,27 @@ def run_count_bench(
     batch_bases = min(batch_bases, total_bases)
     n_batches = max(total_bases // batch_bases, 1)
 
-    key = jax.random.PRNGKey(seed)
-    bases = jax.random.randint(
-        key, (batch_bases,), 0, 4, dtype=jnp.int32
-    ).astype(jnp.uint8)
-    bases = jax.device_put(bases)
+    # Distinct inputs per dispatch (cycled) so no layer of the stack can
+    # legally dedupe repeated executions and fake the timing.
+    n_distinct = min(n_batches, 4)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_distinct)
+    inputs = [
+        jax.device_put(
+            jax.random.randint(kk, (batch_bases,), 0, 4, jnp.int32).astype(
+                jnp.uint8
+            )
+        )
+        for kk in keys
+    ]
     n_own = jnp.int32(batch_bases - k + 1)
 
     # Warmup / compile.
-    _count_batch(bases, n_own, k, bins, canonical).block_until_ready()
+    _count_batch(inputs[0], n_own, k, bins, canonical).block_until_ready()
 
     t0 = time.perf_counter()
     acc = None
-    for _ in range(n_batches):
-        h = _count_batch(bases, n_own, k, bins, canonical)
+    for i in range(n_batches):
+        h = _count_batch(inputs[i % n_distinct], n_own, k, bins, canonical)
         acc = h if acc is None else acc + h
     acc.block_until_ready()
     elapsed = time.perf_counter() - t0
@@ -77,43 +84,110 @@ def run_impl_matrix_bench(
     ks=(4, 8, 11),
     total_bases: int = 32 << 20,
     seed: int = 0,
+    reps: int = 3,
 ) -> list[dict]:
     """Compare histogram implementations (jnp scatter/onehot vs the Pallas
-    two-level MXU kernel) per k on the current device. Returns reports."""
+    two-level MXU kernel) per k on the current device.
+
+    Each repetition uses a DIFFERENT input array and the result feeds an
+    accumulating sum, so no layer (XLA, the PJRT plugin, or a remote
+    execution tunnel) can legally cache/dedupe the dispatches.
+    """
     import numpy as np
 
     from dna_kmeres_parallel_tpu.models.engine import _count_batch
 
-    key = jax.random.PRNGKey(seed)
-    bases = jax.random.randint(key, (total_bases,), 0, 4, dtype=jnp.int32).astype(
-        jnp.uint8
-    )
-    bases = jax.device_put(bases)
+    keys = jax.random.split(jax.random.PRNGKey(seed), reps)
+    inputs = [
+        jax.device_put(
+            jax.random.randint(kk, (total_bases,), 0, 4, jnp.int32).astype(jnp.uint8)
+        )
+        for kk in keys
+    ]
     reports = []
     for k in ks:
         bins = codec.num_bins(k)
         n_own = jnp.int32(total_bases - k + 1)
         for impl, pallas in (("jnp", None), ("pallas", "compiled")):
             try:
-                h = _count_batch(bases, n_own, k, bins, False, pallas)
-                h.block_until_ready()
+                _count_batch(inputs[0], n_own, k, bins, False, pallas).block_until_ready()
                 t0 = time.perf_counter()
-                for _ in range(3):
-                    h = _count_batch(bases, n_own, k, bins, False, pallas)
-                h.block_until_ready()
-                dt = (time.perf_counter() - t0) / 3
-                total = int(np.asarray(h, dtype=np.int64).sum())
+                acc = None
+                for b in inputs:
+                    h = _count_batch(b, n_own, k, bins, False, pallas)
+                    acc = h if acc is None else acc + h
+                acc.block_until_ready()
+                dt = (time.perf_counter() - t0) / reps
+                total = int(np.asarray(acc, dtype=np.int64).sum())
                 reports.append(
                     {
                         "k": k,
                         "impl": impl,
                         "gbases_per_sec": round(total_bases / dt / 1e9, 4),
-                        "exact": total == total_bases - k + 1,
+                        "exact": total == reps * (total_bases - k + 1),
                     }
                 )
             except Exception as e:  # pragma: no cover - perf exploration
                 reports.append({"k": k, "impl": impl, "error": repr(e)[:200]})
     return reports
+
+
+def run_sparse_bench(
+    k: int = 21,
+    canonical: bool = False,
+    total_bases: int = 64 << 20,
+    batch_bases: int = 16 << 20,
+    seed: int = 0,
+) -> dict:
+    """Throughput of the sparse (sort + RLE) count path at large k —
+    the k=21 north-star configuration. Device work only (compaction and
+    cross-batch merge excluded here; see StreamingCounter metrics for the
+    full pipeline split)."""
+    import numpy as np
+
+    from dna_kmeres_parallel_tpu.ops import sparse as sparse_ops
+
+    batch_bases = min(batch_bases, total_bases)
+    n_batches = max(total_bases // batch_bases, 1)
+    n_distinct = min(n_batches, 4)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_distinct)
+    inputs = [
+        jax.device_put(
+            jax.random.randint(kk, (batch_bases,), 0, 4, jnp.int32).astype(
+                jnp.uint8
+            )
+        )
+        for kk in keys
+    ]
+    n_own = jnp.int32(batch_bases - k + 1)
+
+    out = sparse_ops.sort_unique_counts(inputs[0], n_own, k, canonical)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    checks = []
+    for i in range(n_batches):
+        hi, lo, counts, starts = sparse_ops.sort_unique_counts(
+            inputs[i % n_distinct], n_own, k, canonical
+        )
+        # Cheap device-side reduction keeps results live without host pulls.
+        checks.append(jnp.sum(jnp.where(starts, counts, 0)))
+    total_counted = sum(int(c) for c in jax.block_until_ready(checks))
+    elapsed = time.perf_counter() - t0
+
+    measured = n_batches * batch_bases
+    return {
+        "bench": "sparse_count",
+        "k": k,
+        "canonical": canonical,
+        "total_bases": measured,
+        "batch_bases": batch_bases,
+        "elapsed_s": round(elapsed, 4),
+        "gbases_per_sec": round(measured / elapsed / 1e9, 4),
+        "windows_counted": total_counted,
+        "windows_expected": n_batches * (batch_bases - k + 1),
+        "device": str(jax.devices()[0]),
+    }
 
 
 def run_distance_bench(

@@ -1,0 +1,243 @@
+"""Bucket-sharded sparse counting: each chip owns a code range (k >= 16).
+
+The expert-parallel analogue of SURVEY.md §2.5: when 4^k dwarfs any chip's
+HBM (k=21, k=31), k-mer codes are ROUTED to the chip that owns their
+lexicographic range (the "expert") with a fixed-capacity ``all_to_all`` over
+ICI, and each chip builds the sorted sub-table for its own range:
+
+  per chip:  rolling split codes -> owner = top log2(D) bits
+          -> sort by owner -> fixed-capacity [D, cap] send buffer
+          -> jax.lax.all_to_all                          (ICI exchange)
+          -> local two-key sort + scatter-free RLE        (ops/sparse.py)
+          -> per-chip sorted sub-table (masked, static shape)
+
+Because owners are the code's top bits, concatenating per-chip tables in
+device order yields the globally sorted table. Fixed capacity is checked:
+an overflow flag (any owner bucket exceeding cap) is returned and must be
+asserted false by the host — capacity 2x the uniform share is generous for
+genomic data.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dna_kmeres_parallel_tpu.ops import sparse as sparse_ops
+from dna_kmeres_parallel_tpu.parallel.mesh import DATA_AXIS
+
+_SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+def _owner_bits(k: int, n_dev: int) -> tuple[int, bool]:
+    """(shift, use_hi): owner = (hi if use_hi else lo) >> shift."""
+    d_bits = max(n_dev - 1, 1).bit_length() if n_dev > 1 else 0
+    nlo = sparse_ops._lo_bases(k)
+    hi_bits = 2 * (k - nlo)
+    if hi_bits >= d_bits:
+        return hi_bits - d_bits, True
+    return 2 * nlo - d_bits, False
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "canonical", "mesh", "axis")
+)
+def count_bucket_sharded(
+    bases: jax.Array,
+    n_own_per_shard: jax.Array,
+    k: int,
+    canonical: bool,
+    mesh: jax.sharding.Mesh,
+    axis: str = DATA_AXIS,
+):
+    """Bucket-sharded sparse count of a sharded base stream.
+
+    bases: [D, T + k - 1] uint8 — one stream shard per device, each carrying
+      its own k-1 halo (host-prepared; see models/pipeline.py feeder).
+    n_own_per_shard: [D] int32 — windows owned by each shard.
+
+    Returns (hi, lo, counts, starts, overflow):
+      hi/lo/counts/starts: [D, cap * D] masked RLE sub-tables, device d
+        holding only codes whose top bits route to d;
+      overflow: [] bool — True if any send bucket exceeded capacity
+        (results invalid; re-run with a larger batch split).
+    """
+    D = mesh.shape[axis]
+    n_windows = bases.shape[1] - k + 1
+    # Capacity is in DISTINCT codes per owner (local RLE collapses duplicates
+    # before routing, so skewed data like homopolymers can't overflow on
+    # multiplicity). Canonical folding concentrates the code space in its
+    # lower half, so its owner distribution is ~2x skewed: double the slack.
+    cap_mult = 4 if canonical else 2
+    # +64 fixed slack: binomial tails dominate the uniform share for small
+    # shards (the multiplier alone covers large-n concentration).
+    cap = min(-(-cap_mult * n_windows // D) + 64, n_windows)
+    shift, use_hi = _owner_bits(k, D)
+
+    def _rle(hi_s, lo_s, cnt_s):
+        """Sorted (hi, lo) with per-element counts -> (starts mask, totals).
+        totals[i] = sum of cnt over the run starting at i (garbage off-start).
+        Scatter-free: reverse min-scan for run extents + prefix sums."""
+        m = hi_s.shape[0]
+        prev_hi = jnp.concatenate(
+            [jnp.full((1,), _SENTINEL, jnp.uint32), hi_s[:-1]]
+        )
+        prev_lo = jnp.concatenate(
+            [jnp.full((1,), _SENTINEL, jnp.uint32), lo_s[:-1]]
+        )
+        is_valid = hi_s != _SENTINEL
+        run_starts = ((hi_s != prev_hi) | (lo_s != prev_lo)) & is_valid
+        idx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0).squeeze(-1)
+        flagged = jnp.where(run_starts | ~is_valid, idx, m)
+        nxt = jax.lax.associative_scan(jnp.minimum, flagged, reverse=True)
+        after = jnp.concatenate([nxt[1:], jnp.full((1,), m, jnp.int32)])
+        csum = jnp.cumsum(cnt_s)  # inclusive prefix sum
+        csum_at_end = jnp.take(csum, jnp.clip(after - 1, 0, m - 1))
+        totals = csum_at_end - (csum - cnt_s)
+        return run_starts, totals
+
+    def shard_fn(b, n_own):
+        b = b.reshape(-1)
+        n_own = n_own.reshape(())
+        (hi, lo), valid = sparse_ops.rolling_codes_split(b, k)
+        n = hi.shape[0]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        valid = valid & (pos < n_own)
+        if canonical:
+            hi, lo = sparse_ops.canonicalize_split(hi, lo, k)
+        hi = jnp.where(valid, hi, _SENTINEL)
+        lo = jnp.where(valid, lo, _SENTINEL)
+
+        # Local pre-aggregation: sort by code and collapse duplicates, so
+        # only DISTINCT (code, count) pairs travel over ICI.
+        hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2)
+        ones = jnp.ones((n,), jnp.int32)
+        starts_mask, totals = _rle(hi_s, lo_s, ones)
+        # Non-starts become sentinels so they compress to nothing downstream.
+        hi_u = jnp.where(starts_mask, hi_s, _SENTINEL)
+        lo_u = jnp.where(starts_mask, lo_s, _SENTINEL)
+        cnt_u = jnp.where(starts_mask, totals, 0)
+
+        # Re-sort pulls the masked non-starts (sentinels) out of the way.
+        hi_u, lo_u, cnt_u = jax.lax.sort((hi_u, lo_u, cnt_u), num_keys=2)
+        owner_src = hi_u if use_hi else lo_u
+        owner = jnp.where(
+            hi_u != _SENTINEL, (owner_src >> shift).astype(jnp.int32), jnp.int32(D)
+        )
+        if not use_hi:
+            # Owner bits come from the lo word (k close to 16): owner is NOT
+            # monotone in (hi, lo) order — group by owner explicitly.
+            owner, hi_u, lo_u, cnt_u = jax.lax.sort(
+                (owner, hi_u, lo_u, cnt_u), num_keys=1
+            )
+
+        targets = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0).squeeze(-1)
+        starts = jnp.searchsorted(owner, targets)
+        ends = jnp.searchsorted(owner, targets, side="right")
+        seg_len = ends - starts
+        overflow = jnp.any(seg_len > cap)
+
+        # Fixed-capacity send buffers: [D, cap] per plane. Pad by cap
+        # sentinels so slices never clamp/misalign.
+        pad_u = jnp.full((cap,), _SENTINEL, jnp.uint32)
+        pad_i = jnp.zeros((cap,), jnp.int32)
+        hi_p = jnp.concatenate([hi_u, pad_u])
+        lo_p = jnp.concatenate([lo_u, pad_u])
+        cnt_p = jnp.concatenate([cnt_u, pad_i])
+
+        def take(start):
+            return (
+                jax.lax.dynamic_slice(hi_p, (start,), (cap,)),
+                jax.lax.dynamic_slice(lo_p, (start,), (cap,)),
+                jax.lax.dynamic_slice(cnt_p, (start,), (cap,)),
+            )
+
+        send_hi, send_lo, send_cnt = jax.vmap(take)(starts)
+        col = jax.lax.broadcasted_iota(jnp.int32, (D, cap), 1)
+        in_seg = col < jnp.minimum(seg_len, cap)[:, None]
+        send_hi = jnp.where(in_seg, send_hi, _SENTINEL)
+        send_lo = jnp.where(in_seg, send_lo, _SENTINEL)
+        send_cnt = jnp.where(in_seg, send_cnt, 0)
+
+        # ICI exchange: row d goes to device d; we receive one row per peer.
+        recv_hi = jax.lax.all_to_all(send_hi, axis, 0, 0, tiled=True)
+        recv_lo = jax.lax.all_to_all(send_lo, axis, 0, 0, tiled=True)
+        recv_cnt = jax.lax.all_to_all(send_cnt, axis, 0, 0, tiled=True)
+
+        # Merge the <= D pre-aggregated tables: sort and sum run counts.
+        hi2, lo2, cnt2 = jax.lax.sort(
+            (recv_hi.reshape(-1), recv_lo.reshape(-1), recv_cnt.reshape(-1)),
+            num_keys=2,
+        )
+        run_starts, counts = _rle(hi2, lo2, cnt2)
+
+        ov = jax.lax.pmax(overflow.astype(jnp.int32), axis)
+        return (
+            hi2[None],
+            lo2[None],
+            counts[None],
+            run_starts[None],
+            ov[None],
+        )
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis, None), P(axis)),
+        check_vma=False,
+    )
+    hi, lo, counts, starts, ov = fn(bases, n_own_per_shard)
+    return hi, lo, counts, starts, jnp.any(ov > 0)
+
+
+def shard_stream_with_halo(
+    flat: np.ndarray, k: int, mesh, axis: str = DATA_AXIS
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side feeder: split a flat stream into [D, T + k - 1] shards with
+    per-shard halos (tail windows completed by the next shard's head) and
+    the per-shard owned-window counts. Pads with INVALID."""
+    from dna_kmeres_parallel_tpu.ops.encode import INVALID
+
+    D = mesh.shape[axis]
+    total = flat.shape[0]
+    T = -(-total // D)
+    halo = k - 1
+    out = np.full((D, T + halo), INVALID, dtype=np.uint8)
+    n_own = np.zeros(D, dtype=np.int32)
+    for d in range(D):
+        start = d * T
+        end = min(start + T + halo, total)
+        if start < total:
+            seg = flat[start:end]
+            out[d, : seg.shape[0]] = seg
+            n_own[d] = max(min(T, total - start), 0)
+    return out, n_own
+
+
+def gather_table(hi, lo, counts, starts) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side compaction of the per-device masked RLE outputs into one
+    globally sorted (codes_u64, counts) table. Owners partition the code
+    space, so a sorted-merge of the per-device tables is exact (and also
+    covers the k~16 case where owner bits are not the code's top bits)."""
+    from dna_kmeres_parallel_tpu.models.sparse_engine import merge_sparse_tables
+
+    hi = np.asarray(hi)
+    lo = np.asarray(lo)
+    counts = np.asarray(counts)
+    starts = np.asarray(starts)
+    tables = []
+    for d in range(hi.shape[0]):
+        idx = np.flatnonzero(starts[d])
+        tables.append(
+            (
+                sparse_ops.merged_code64(hi[d][idx], lo[d][idx]),
+                counts[d][idx].astype(np.int64),
+            )
+        )
+    return merge_sparse_tables(tables)

@@ -1,0 +1,175 @@
+"""Multi-host ingestion and mesh glue.
+
+The reference is strictly single-process (SURVEY.md §2.5). Multi-host runs
+here follow the standard JAX recipe:
+
+1. every process calls ``init_distributed()`` (jax.distributed.initialize,
+   env-driven) so ``jax.devices()`` spans the pod slice;
+2. the input FASTA is split into **record-aligned byte ranges**, one per
+   host — each host reads a disjoint range that starts exactly at a record
+   header, so no record is dropped or double-counted (SURVEY.md §7 hard
+   part: "record-boundary-aligned multi-host file sharding");
+3. each host parses/encodes its range locally and contributes its shard of
+   the global stream via ``jax.make_array_from_process_local_data``;
+4. the jitted sharded count (parallel/sharded_count.py) runs on the global
+   mesh — histogram merge is an integer psum over ICI/DCN, bit-exact.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def split_fasta_byte_ranges(path: str, n_parts: int) -> list[tuple[int, int]]:
+    """Split a FASTA file into n record-aligned byte ranges.
+
+    Each range starts at the beginning of a record header line ('>' at file
+    start or right after a newline). Ranges partition the file: every byte
+    belongs to exactly one range, and every record lies entirely within one
+    range (records are never split because boundaries are record starts).
+    """
+    size = os.path.getsize(path)
+    if n_parts <= 1 or size == 0:
+        return [(0, size)]
+    bounds = [0]
+    with open(path, "rb") as f:
+        for i in range(1, n_parts):
+            target = size * i // n_parts
+            search_start = max(target - 1, 0)
+            f.seek(search_start)
+            # Scan forward for the next "\n>" (a record start), keeping a
+            # 1-byte overlap so the pattern is seen across read boundaries.
+            pos = None
+            abs_pos = search_start
+            overlap = b""
+            while pos is None:
+                chunk = f.read(1 << 20)
+                if not chunk:
+                    break
+                buf = overlap + chunk
+                j = buf.find(b"\n>")
+                if j >= 0:
+                    pos = abs_pos - len(overlap) + j + 1
+                    break
+                abs_pos += len(chunk)
+                overlap = buf[-1:]
+            bounds.append(pos if pos is not None else size)
+        bounds.append(size)
+    # De-duplicate (ranges may collapse if records are huge) but keep order.
+    out = []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        out.append((a, max(a, b)))
+    return out
+
+
+def read_range_records(path: str, start: int, end: int):
+    """Parse the records whose header starts within [start, end)."""
+    from dna_kmeres_parallel_tpu.utils import fasta
+
+    with open(path, "rb") as f:
+        f.seek(start)
+        data = f.read(end - start)
+    return fasta.parse_fasta(data)
+
+
+def encode_range_stream(path: str, start: int, end: int) -> tuple[np.ndarray, int, int]:
+    """Byte range -> flat encoded stream (0xFF sentinels), like the native
+    parser but restricted to one host's range."""
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    records = read_range_records(path, start, end)
+    parts = []
+    for i, r in enumerate(records):
+        if i:
+            parts.append(np.array([codec.INVALID_BASE], dtype=np.uint8))
+        parts.append(codec.encode_bases(r.seq))
+    flat = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    return flat, sum(len(r.seq) for r in records), len(records)
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """jax.distributed.initialize with env fallbacks (JAX_COORDINATOR_ADDRESS,
+    JAX_NUM_PROCESSES, JAX_PROCESS_ID). No-op when single-process."""
+    import jax
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if process_id is None:
+        process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
+    if num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def make_global_stream(local_flat: np.ndarray, mesh, axis: str = "data"):
+    """Assemble the global sharded stream from per-process local shards.
+
+    Pads the local shard to the per-process slice size agreed across hosts
+    (callers must pass the same global length on every process via the mesh
+    contract). Single-process: equivalent to device_put_sharded_stream.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dna_kmeres_parallel_tpu.ops.encode import INVALID
+
+    n_local = max(len(jax.local_devices()), 1)
+    sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() == 1:
+        pad = (-local_flat.shape[0]) % n_local
+        if pad:
+            local_flat = np.concatenate(
+                [local_flat, np.full(pad, INVALID, dtype=np.uint8)]
+            )
+        return jax.device_put(local_flat, sharding)
+    # Hosts' ranges differ in length; agree on the max and pad every local
+    # shard to it (INVALID padding never counts) so the global shape is
+    # consistent across processes.
+    from jax.experimental import multihost_utils
+
+    lengths = multihost_utils.process_allgather(
+        np.array([local_flat.shape[0]], dtype=np.int64)
+    )
+    target = int(np.max(lengths))
+    target += (-target) % n_local
+    pad = target - local_flat.shape[0]
+    if pad:
+        local_flat = np.concatenate(
+            [local_flat, np.full(pad, INVALID, dtype=np.uint8)]
+        )
+    global_len = target * jax.process_count()
+    return jax.make_array_from_process_local_data(
+        sharding, local_flat, (global_len,)
+    )
+
+
+def count_file_multihost(path: str, config, mesh, axis: str = "data"):
+    """Each host counts its record-aligned range; psum merges over the mesh.
+
+    Returns the replicated dense histogram as np.int64. (Dense k only —
+    the bucket-sharded sparse path is parallel/bucketed.py.)
+    """
+    import jax
+
+    from dna_kmeres_parallel_tpu.parallel import sharded_count as sc
+
+    ranges = split_fasta_byte_ranges(path, jax.process_count())
+    start, end = ranges[jax.process_index() % len(ranges)]
+    flat, total_bases, n_seqs = encode_range_stream(path, start, end)
+    stream = make_global_stream(flat, mesh, axis)
+    hist = sc.count_sharded(
+        stream, config.k, config.bins, config.canonical, mesh, axis
+    )
+    return np.asarray(hist, dtype=np.int64), total_bases, n_seqs

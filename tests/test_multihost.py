@@ -1,0 +1,88 @@
+"""Multi-host ingestion: record-aligned byte ranges + single-process global path."""
+
+import numpy as np
+import pytest
+
+from dna_kmeres_parallel_tpu.models import oracle
+from dna_kmeres_parallel_tpu.parallel import multihost
+from dna_kmeres_parallel_tpu.parallel.mesh import make_mesh
+from dna_kmeres_parallel_tpu.utils import fasta
+from dna_kmeres_parallel_tpu.utils.config import KmerConfig
+
+
+@pytest.fixture
+def big_fasta(tmp_path, make_dna):
+    records = [(f">r{i} h", make_dna(200 + (i * 91) % 400)) for i in range(40)]
+    path = tmp_path / "multi.fasta"
+    fasta.write_fasta(path, records, width=73)
+    return str(path), [s for _, s in records]
+
+
+@pytest.mark.parametrize("n_parts", [1, 2, 3, 5, 8])
+def test_ranges_partition_file(big_fasta, n_parts):
+    path, seqs = big_fasta
+    import os
+
+    ranges = multihost.split_fasta_byte_ranges(path, n_parts)
+    assert ranges[0][0] == 0
+    assert ranges[-1][1] == os.path.getsize(path)
+    for (a1, b1), (a2, b2) in zip(ranges[:-1], ranges[1:]):
+        assert b1 == a2  # contiguous, disjoint
+
+
+@pytest.mark.parametrize("n_parts", [2, 4, 7])
+def test_ranges_preserve_all_records(big_fasta, n_parts):
+    path, seqs = big_fasta
+    ranges = multihost.split_fasta_byte_ranges(path, n_parts)
+    gathered = []
+    for a, b in ranges:
+        gathered.extend(multihost.read_range_records(path, a, b))
+    whole = fasta.parse_fasta(path)
+    assert [(r.id, r.seq) for r in gathered] == [(r.id, r.seq) for r in whole]
+
+
+def test_ranges_start_at_headers(big_fasta):
+    path, _ = big_fasta
+    with open(path, "rb") as f:
+        data = f.read()
+    for a, _ in multihost.split_fasta_byte_ranges(path, 5)[1:]:
+        assert data[a : a + 1] == b">"
+        assert data[a - 1 : a] == b"\n"
+
+
+def test_range_counts_sum_to_whole(big_fasta):
+    # Counting each range independently and summing == counting the file:
+    # the distributed-ingest exactness contract.
+    path, seqs = big_fasta
+    k = 5
+    total = np.zeros(4**k, np.int64)
+    for a, b in multihost.split_fasta_byte_ranges(path, 4):
+        recs = multihost.read_range_records(path, a, b)
+        for r in recs:
+            total += oracle.count_vector(r.seq, k)
+    want = sum((oracle.count_vector(s, k) for s in seqs), np.zeros(4**k, np.int64))
+    assert np.array_equal(total, want)
+
+
+def test_count_file_multihost_single_process(big_fasta):
+    # process_count()==1 path over the virtual 8-device mesh.
+    path, seqs = big_fasta
+    cfg = KmerConfig(k=4)
+    mesh = make_mesh(8)
+    hist, total_bases, n_seqs = multihost.count_file_multihost(path, cfg, mesh)
+    want = sum(
+        (oracle.count_vector(s, 4) for s in seqs), np.zeros(256, np.int64)
+    )
+    assert np.array_equal(hist, want)
+    assert n_seqs == len(seqs)
+    assert total_bases == sum(len(s) for s in seqs)
+
+
+def test_tiny_file_more_parts_than_records(tmp_path):
+    path = tmp_path / "tiny.fasta"
+    fasta.write_fasta(path, [(">a", "ACGTACGT")])
+    ranges = multihost.split_fasta_byte_ranges(str(path), 8)
+    recs = []
+    for a, b in ranges:
+        recs.extend(multihost.read_range_records(str(path), a, b))
+    assert [(r.id, r.seq) for r in recs] == [(">a", "ACGTACGT")]
