@@ -198,6 +198,35 @@ def cmd_selftest(args) -> int:
     return 0 if verdict["counts_equal"] and verdict["distances_equal"] else 1
 
 
+def cmd_stream(args) -> int:
+    """Resumable streaming count with metrics and checkpointing."""
+    from dna_kmeres_parallel_tpu.models.pipeline import StreamingCounter
+    from dna_kmeres_parallel_tpu.utils import io
+
+    sc = StreamingCounter(
+        _build_config(args),
+        checkpoint_path=args.checkpoint,
+        checkpoint_every_bases=_parse_size(args.checkpoint_every),
+    )
+    result = sc.run(args.input)
+    if args.output:
+        io.write_count_table_csv(args.output, result.table())
+    report = {
+        "k": args.k,
+        "canonical": args.canonical,
+        "n_seqs": result.n_seqs,
+        "total_bases": result.total_bases,
+        "total_kmers": result.total_kmers,
+        "distinct_kmers": result.distinct_kmers,
+        "elapsed_s": round(result.elapsed_s, 4),
+        "metrics": sc.metrics.report(),
+        "checkpoint": args.checkpoint,
+        "output": args.output,
+    }
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_bench(args) -> int:
     from dna_kmeres_parallel_tpu.models.benchmarks import run_count_bench
 
@@ -236,6 +265,22 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("input")
     p.set_defaults(fn=cmd_selftest)
+
+    p = sub.add_parser(
+        "stream", help="resumable streaming count (checkpoint/resume, metrics)"
+    )
+    _add_common(p)
+    p.add_argument("input")
+    p.add_argument("-o", "--output", default=None, help="count table CSV path")
+    p.add_argument(
+        "--checkpoint", default=None, help="checkpoint .npz path (resume if present)"
+    )
+    p.add_argument(
+        "--checkpoint-every",
+        default="256M",
+        help="bases between checkpoints (e.g. 64M, 1G)",
+    )
+    p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("bench", help="single-chip throughput microbenchmark")
     p.add_argument("--k", type=int, default=11)

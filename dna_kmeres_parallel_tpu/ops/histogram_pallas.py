@@ -185,17 +185,28 @@ def _make_hist2d_kernel(
         lo_ids = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
 
         acc = acc_ref[:]
-        for r in range(8):  # static: sublane rows of the block
-            for c in range(n_chunks_per_tile):  # static unroll
-                blk = codes_ref[r : r + 1, c * chunk : (c + 1) * chunk]
-                hi = blk >> w_bits  # [1, chunk] — lanes
-                lo = (blk & (W - 1)).reshape(chunk, 1)  # [chunk, 1]
-                # Invalid codes carry a sentinel hi outside every group.
-                oh_hi = (hi_ids == hi).astype(jnp.bfloat16)  # [hi_group, chunk]
-                oh_lo = (lo_ids == lo).astype(jnp.bfloat16)  # [chunk, W]
-                acc = acc + jnp.dot(
-                    oh_hi, oh_lo, preferred_element_type=jnp.float32
+        if H == 1:
+            # Degenerate hi plane: a [1, chunk] @ [chunk, W] matmul wastes
+            # the MXU (M=1). Use a direct one-hot sum on the VPU instead,
+            # row by row to bound the materialized [chunk, W] plane.
+            for r in range(8):
+                col = codes_ref[r : r + 1, :].reshape(chunk, 1)  # [chunk, 1]
+                oh = (col == lo_ids) & (col < W)  # sentinel codes miss all
+                acc = acc + jnp.sum(oh.astype(jnp.int32), axis=0)[None, :].astype(
+                    jnp.float32
                 )
+        else:
+            for r in range(8):  # static: sublane rows of the block
+                for c in range(n_chunks_per_tile):  # static unroll
+                    blk = codes_ref[r : r + 1, c * chunk : (c + 1) * chunk]
+                    hi = blk >> w_bits  # [1, chunk] — lanes
+                    lo = (blk & (W - 1)).reshape(chunk, 1)  # [chunk, 1]
+                    # Invalid codes carry a sentinel hi outside every group.
+                    oh_hi = (hi_ids == hi).astype(jnp.bfloat16)  # [hi_group, chunk]
+                    oh_lo = (lo_ids == lo).astype(jnp.bfloat16)  # [chunk, W]
+                    acc = acc + jnp.dot(
+                        oh_hi, oh_lo, preferred_element_type=jnp.float32
+                    )
 
         @pl.when((t % flush_every == flush_every - 1) | (t == n_tiles - 1))
         def _():

@@ -156,3 +156,34 @@ def test_cli_engines_agree(tmp_path, make_dna, capsys):
     )
     # Byte-identical CSVs — the dual-engine diff the reference intended.
     assert out_a.read_text() == out_b.read_text()
+
+
+def test_cli_stream_with_checkpoint(tmp_path, make_dna, capsys):
+    from dna_kmeres_parallel_tpu import cli
+
+    path = tmp_path / "s.fasta"
+    fasta.write_fasta(path, [(f">r{i}", make_dna(300)) for i in range(4)])
+    ckpt = tmp_path / "ck.npz"
+    out_csv = tmp_path / "t.csv"
+    rc = cli.main(
+        [
+            "stream", "--k", "5", str(path),
+            "-o", str(out_csv), "--checkpoint", str(ckpt),
+            "--checkpoint-every", "1K",
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["total_kmers"] == report["total_bases"] - 4 * 4
+    # The device phase meters stream positions (bases + sentinels).
+    assert report["metrics"]["counters"]["bases"] >= report["total_bases"]
+    assert ckpt.exists()
+    assert out_csv.read_text().startswith("kmer,count\n")
+
+    # Second run resumes from the completed checkpoint (cursor == end).
+    rc = cli.main(
+        ["stream", "--k", "5", str(path), "--checkpoint", str(ckpt)]
+    )
+    assert rc == 0
+    report2 = json.loads(capsys.readouterr().out)
+    assert report2["total_kmers"] == report["total_kmers"]
