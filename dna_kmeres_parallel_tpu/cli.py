@@ -151,6 +151,16 @@ def cmd_distance(args) -> int:
     records = _load_records(args)
     seqs = [r.seq for r in records]
     t0 = time.perf_counter()
+    if args.engine != "oracle" and args.stream_panel and args.output:
+        # Big-S path: the distance matrix never materializes; panels of
+        # packed rows append to the CSV directly.
+        report = KmerEngine(_build_config(args)).distance_stream_to_csv(
+            seqs, args.output, panel_rows=args.stream_panel
+        )
+        report.update({"k": args.k, "engine": args.engine, "streamed": True})
+        report["elapsed_s"] = round(report["elapsed_s"], 4)
+        print(json.dumps(report))
+        return 0
     if args.engine == "oracle":
         packed = oracle.distance_matrix_packed(seqs, args.k, args.canonical)
     else:
@@ -258,6 +268,14 @@ def main(argv=None) -> int:
     )
     p.add_argument(
         "--tsv", default=None, help="ragged lower-triangle TSV (printMinDistances format)"
+    )
+    p.add_argument(
+        "--stream-panel",
+        type=int,
+        default=None,
+        metavar="ROWS",
+        help="stream the distance matrix to CSV in ROWS-row panels "
+        "(bounded memory for large sequence counts)",
     )
     p.set_defaults(fn=cmd_distance)
 

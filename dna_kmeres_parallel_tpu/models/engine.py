@@ -314,6 +314,55 @@ class KmerEngine:
             [r.seq for r in records], ids=[r.id for r in records]
         )
 
+    def distance_stream_to_csv(
+        self,
+        seqs: list[str],
+        output_path,
+        panel_rows: int = 2048,
+    ) -> dict:
+        """Large-S distance path: the [S, S] matrix never materializes.
+
+        Counts live on device ([S, bins] int32 — tiny); the (min,+) matrix
+        is computed one row panel at a time (Pallas panel kernel) and each
+        panel's packed strict-upper-triangle entries are appended to the
+        CSV in reference format. Handles the reference's design-target
+        scale (54K sequences -> 1.46G pairs) in bounded memory.
+        """
+        cfg = self.config
+        t0 = time.perf_counter()
+        S = len(seqs)
+        counts = jnp.asarray(self.counts_matrix(seqs))
+        lengths = np.array([len(s) for s in seqs], dtype=np.int64)
+        pallas = self._pallas()
+        n_pairs = 0
+        with open(output_path, "w", encoding="ascii") as f:
+            for r0 in range(0, S - 1, panel_rows):
+                r1 = min(r0 + panel_rows, S)
+                panel = counts[r0:r1]
+                if pallas is not None and cfg.bins <= distance_pallas._MAX_UNROLL_B:
+                    sums = np.asarray(
+                        distance_pallas.min_sum_matrix_pallas(
+                            panel, counts, interpret=(pallas == "interpret")
+                        )
+                    )
+                else:
+                    sums = np.asarray(
+                        dist_ops.min_sum_matrix(panel, counts_other=counts)
+                    )
+                d = dist_ops.finish_distances_panel(
+                    sums, lengths[r0:r1], lengths, cfg.k
+                )
+                for i in range(r0, r1):
+                    row = d[i - r0, i + 1 :]
+                    f.write("".join("%f\n" % v for v in row))
+                    n_pairs += row.shape[0]
+        return {
+            "n_seqs": S,
+            "n_pairs": n_pairs,
+            "elapsed_s": time.perf_counter() - t0,
+            "output": str(output_path),
+        }
+
     # ------------------------------------------------------------- verification
     def verify_against_oracle(self, seqs: list[str]) -> dict:
         """Differential check (the formalization of the reference's dual-engine

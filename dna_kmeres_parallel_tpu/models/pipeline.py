@@ -43,14 +43,40 @@ class StreamingCounter:
         checkpoint_path: str | None = None,
         checkpoint_every_bases: int = 1 << 28,
         max_batches: int | None = None,
+        max_retries: int = 2,
+        trace_dir: str | None = None,
     ):
         """max_batches: stop (checkpointing progress) after N batches — for
-        bounded work slices and for crash/preemption simulation in tests."""
+        bounded work slices and for crash/preemption simulation in tests.
+        max_retries: transient device failures per batch are retried this
+        many times before surfacing (preemption-style fault tolerance).
+        trace_dir: capture a jax.profiler xplane trace of the run."""
         self.config = config or KmerConfig()
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every_bases = checkpoint_every_bases
         self.max_batches = max_batches
+        self.max_retries = max_retries
+        self.trace_dir = trace_dir
         self.metrics = Metrics()
+
+    def _with_retry(self, fn):
+        """Run fn(), retrying transient device errors (the reference exits on
+        first error, main.cu:224-227; here a failed batch is re-dispatched)."""
+        last = None
+        for attempt in range(self.max_retries + 1):
+            try:
+                return fn()
+            except Exception as e:  # jax runtime errors share no base class
+                last = e
+                name = type(e).__name__
+                transient = any(
+                    t in name or t in str(e)
+                    for t in ("Internal", "Unavailable", "DataLoss", "RESOURCE")
+                )
+                if not transient or attempt == self.max_retries:
+                    raise
+                self.metrics.count("batch_retries")
+        raise last
 
     # ------------------------------------------------------------------
     def _load_stream(self, source):
@@ -110,12 +136,15 @@ class StreamingCounter:
     def run(self, source):
         """Count a FASTA source. Returns CountResult (dense, k <= 12) or
         SparseCountResult (sorted table, k >= 13)."""
+        from dna_kmeres_parallel_tpu.utils.profiling import trace
+
         cfg = self.config
         t0 = time.perf_counter()
         flat, total_bases, n_seqs = self._load_stream(source)
-        if cfg.bins <= cfg.dense_bins_limit:
-            return self._run_dense(flat, total_bases, n_seqs, t0)
-        return self._run_sparse(flat, total_bases, n_seqs, t0)
+        with trace(self.trace_dir):
+            if cfg.bins <= cfg.dense_bins_limit:
+                return self._run_dense(flat, total_bases, n_seqs, t0)
+            return self._run_sparse(flat, total_bases, n_seqs, t0)
 
     def _batches(self, total: int, start: int):
         cfg = self.config
@@ -159,13 +188,15 @@ class StreamingCounter:
                 seg = flat[start : min(end + overlap, total)]
                 padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
                 padded[: seg.shape[0]] = seg
-                h = _count_batch(
-                    jnp.asarray(padded),
-                    jnp.int32(end - start),
-                    cfg.k,
-                    cfg.bins,
-                    cfg.canonical,
-                    pallas,
+                h = self._with_retry(
+                    lambda: _count_batch(
+                        jnp.asarray(padded),
+                        jnp.int32(end - start),
+                        cfg.k,
+                        cfg.bins,
+                        cfg.canonical,
+                        pallas,
+                    )
                 )
                 acc = h if acc is None else acc + h
             self.metrics.count("bases", end - start)
@@ -215,8 +246,13 @@ class StreamingCounter:
                 seg = flat[start : min(end + overlap, total)]
                 padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
                 padded[: seg.shape[0]] = seg
-                hi, lo, counts, starts = sparse_ops.sort_unique_counts(
-                    jnp.asarray(padded), jnp.int32(end - start), cfg.k, cfg.canonical
+                hi, lo, counts, starts = self._with_retry(
+                    lambda: sparse_ops.sort_unique_counts(
+                        jnp.asarray(padded),
+                        jnp.int32(end - start),
+                        cfg.k,
+                        cfg.canonical,
+                    )
                 )
             with self.metrics.phase("compact"):
                 idx = np.flatnonzero(np.asarray(starts))

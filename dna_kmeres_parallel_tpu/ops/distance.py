@@ -76,6 +76,17 @@ def finish_distances(
     return np.float32(1.0) - min_sums.astype(np.float32) / denom
 
 
+def finish_distances_panel(
+    min_sums: np.ndarray, lengths_rows: np.ndarray, lengths_all: np.ndarray, k: int
+) -> np.ndarray:
+    """Panel variant of finish_distances: rows vs all. [R, S] float32."""
+    min_sums = np.asarray(min_sums)
+    lr = np.asarray(lengths_rows, dtype=np.int64)[:, None]
+    la = np.asarray(lengths_all, dtype=np.int64)[None, :]
+    denom = (np.minimum(lr, la) - k + 1).astype(np.float32)
+    return np.float32(1.0) - min_sums.astype(np.float32) / denom
+
+
 @functools.partial(jax.jit, static_argnames=("k", "row_block"))
 def distance_matrix_square(
     counts: jax.Array, lengths: jax.Array, k: int, row_block: int = 128

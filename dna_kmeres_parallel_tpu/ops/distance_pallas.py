@@ -47,27 +47,39 @@ def _min_sum_kernel(a_ref, ct_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def min_sum_matrix_pallas(counts: jax.Array, interpret: bool = False) -> jax.Array:
-    """[S, bins] int32 -> [S, S] int32 full symmetric min-sum matrix.
+def min_sum_matrix_pallas(
+    counts: jax.Array,
+    counts_other: jax.Array | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """[S, bins] x [S2, bins] int32 -> [S, S2] int32 min-sum matrix.
+
+    counts_other defaults to counts (the symmetric all-pairs case); passing
+    a row panel as ``counts`` against the full matrix as ``counts_other``
+    yields one panel of the distance matrix — the streamed big-S path.
 
     Rows are zero-padded to the tile size; zero rows produce zero min-sums
     and are sliced off. Bins are zero-padded to the lane width; zero bins
     contribute min(0,0)=0, preserving exactness.
     """
+    other = counts if counts_other is None else counts_other
     S, B = counts.shape
+    S2 = other.shape[0]
     if B > _MAX_UNROLL_B:
         raise ValueError(
             f"pallas min-sum kernel supports bins <= {_MAX_UNROLL_B}, got {B}"
         )
     Sp = _round_up(max(S, 8), _TI)
+    S2p = _round_up(max(S2, 8), _TJ)
     Bp = _round_up(B, 128)
     padded = jnp.zeros((Sp, Bp), jnp.int32).at[:S, :B].set(counts)
-    transposed = padded.T  # [Bp, Sp]
+    other_p = jnp.zeros((S2p, Bp), jnp.int32).at[:S2, :B].set(other)
+    transposed = other_p.T  # [Bp, S2p]
 
-    grid = (Sp // _TI, Sp // _TJ)
+    grid = (Sp // _TI, S2p // _TJ)
     out = pl.pallas_call(
         _min_sum_kernel,
-        out_shape=jax.ShapeDtypeStruct((Sp, Sp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Sp, S2p), jnp.int32),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -81,9 +93,10 @@ def min_sum_matrix_pallas(counts: jax.Array, interpret: bool = False) -> jax.Arr
             (_TI, _TJ), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Sp * Sp * Bp, bytes_accessed=2 * Sp * Bp * 4 + Sp * Sp * 4,
+            flops=2 * Sp * S2p * Bp,
+            bytes_accessed=(Sp + S2p) * Bp * 4 + Sp * S2p * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(padded, transposed)
-    return out[:S, :S]
+    return out[:S, :S2]

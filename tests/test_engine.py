@@ -187,3 +187,15 @@ def test_cli_stream_with_checkpoint(tmp_path, make_dna, capsys):
     assert rc == 0
     report2 = json.loads(capsys.readouterr().out)
     assert report2["total_kmers"] == report["total_kmers"]
+
+
+def test_distance_stream_to_csv_matches(tmp_path, make_dna):
+    # The panel-streamed big-S path writes byte-identical CSV to the
+    # in-memory path (and thus to the oracle).
+    seqs = [make_dna(80 + 7 * i, invalid_frac=0.02) for i in range(23)]
+    engine = KmerEngine(KmerConfig(k=3))
+    a, b = tmp_path / "a.csv", tmp_path / "b.csv"
+    report = engine.distance_stream_to_csv(seqs, a, panel_rows=5)
+    io.write_distances_csv(b, engine.distance_sequences(seqs).packed)
+    assert a.read_text() == b.read_text()
+    assert report["n_pairs"] == 23 * 22 // 2
