@@ -104,17 +104,37 @@ def run_impl_matrix_bench(
         )
         for kk in keys
     ]
+    import functools
+
+    from dna_kmeres_parallel_tpu.ops import encode as encode_ops
+    from dna_kmeres_parallel_tpu.ops import histogram as hist_ops
+
+    @functools.partial(jax.jit, static_argnames=("k", "bins"))
+    def _count_sorted(bases, n_own, k, bins):
+        codes, valid = encode_ops.rolling_codes(bases, k)
+        n = codes.shape[0]
+        own = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1) < n_own
+        return hist_ops.histogram_sorted(codes, valid & own, bins)
+
     reports = []
     for k in ks:
         bins = codec.num_bins(k)
         n_own = jnp.int32(total_bases - k + 1)
-        for impl, pallas in (("jnp", None), ("pallas", "compiled")):
+        for impl, pallas in (
+            ("jnp", None),
+            ("pallas", "compiled"),
+            ("sorted", "sorted"),
+        ):
             try:
-                _count_batch(inputs[0], n_own, k, bins, False, pallas).block_until_ready()
+                if impl == "sorted":
+                    fn = lambda b: _count_sorted(b, n_own, k, bins)
+                else:
+                    fn = lambda b: _count_batch(b, n_own, k, bins, False, pallas)
+                fn(inputs[0]).block_until_ready()
                 t0 = time.perf_counter()
                 acc = None
                 for b in inputs:
-                    h = _count_batch(b, n_own, k, bins, False, pallas)
+                    h = fn(b)
                     acc = h if acc is None else acc + h
                 acc.block_until_ready()
                 dt = (time.perf_counter() - t0) / reps

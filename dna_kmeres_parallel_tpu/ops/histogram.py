@@ -63,6 +63,21 @@ def histogram_scatter(codes: jax.Array, valid: jax.Array, bins: int) -> jax.Arra
     return hist[:bins]
 
 
+def histogram_sorted(codes: jax.Array, valid: jax.Array, bins: int) -> jax.Array:
+    """Dense histogram via sort + vectorized bin-edge search. [T] -> [bins].
+
+    hist[b] = #codes in [b, b+1) = searchsorted(sorted, b+1) - (..., b):
+    one device sort plus a batched binary search — no scatter at all. The
+    TPU-friendly formulation for medium-large dense bins where one-hot
+    compare costs outgrow the sort.
+    """
+    safe = jnp.where(valid, codes, bins)  # invalids beyond the last edge
+    sorted_codes = jax.lax.sort(safe)
+    edges = jnp.arange(bins + 1, dtype=codes.dtype)
+    pos = jnp.searchsorted(sorted_codes, edges)
+    return jnp.diff(pos).astype(jnp.int32)
+
+
 def histogram(codes: jax.Array, valid: jax.Array, bins: int) -> jax.Array:
     """Dense histogram, auto-selecting the implementation by ``bins``."""
     if bins <= ONEHOT_BINS_LIMIT:

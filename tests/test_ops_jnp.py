@@ -131,3 +131,13 @@ def test_distance_packed_matches_oracle(make_dna):
     want = oracle.distance_matrix_packed(seqs, k)
     assert got.dtype == np.float32
     assert np.array_equal(got, want)
+
+
+def test_histogram_sorted_matches_oracle(make_dna):
+    s = make_dna(5000, invalid_frac=0.02)
+    for k in (4, 8, 11):
+        codes, valid = _codes(s, k)
+        got = np.asarray(
+            hist_ops.histogram_sorted(codes, valid, 4**k), dtype=np.int64
+        )
+        assert np.array_equal(got, oracle.count_vector(s, k))
