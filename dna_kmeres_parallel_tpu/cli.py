@@ -237,6 +237,27 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_info(args) -> int:
+    """Per-sequence stats dump (the reference's printSeqs/VERBOSE analogue,
+    main.cu:664-669, structured instead of raw prints)."""
+    records = _load_records(args)
+    seqs = [r.seq for r in records]
+    lengths = [len(s) for s in seqs]
+    invalid = sum(1 for s in seqs for ch in s if ch not in "ACGT")
+    report = {
+        "n_seqs": len(seqs),
+        "total_bases": sum(lengths),
+        "min_len": min(lengths, default=0),
+        "max_len": max(lengths, default=0),
+        "invalid_bases": invalid,
+        "ids": [r.id for r in records[:20]],
+    }
+    if args.verbose:
+        report["lengths"] = lengths
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_bench(args) -> int:
     from dna_kmeres_parallel_tpu.models.benchmarks import run_count_bench
 
@@ -283,6 +304,12 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("input")
     p.set_defaults(fn=cmd_selftest)
+
+    p = sub.add_parser("info", help="per-sequence stats for a FASTA file")
+    _add_common(p)
+    p.add_argument("input")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.set_defaults(fn=cmd_info)
 
     p = sub.add_parser(
         "stream", help="resumable streaming count (checkpoint/resume, metrics)"

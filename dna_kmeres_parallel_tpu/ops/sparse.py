@@ -141,7 +141,10 @@ def sort_unique_counts(
     next_flag = starts | ~is_valid
     flagged = jnp.where(next_flag, idx, n)
     # next_start_at_or_after[i] = min(flagged[i:]) — reverse cumulative min.
-    next_start = jax.lax.associative_scan(jnp.minimum, flagged, reverse=True)
+    # lax.cummin (native scan primitive) — NOT associative_scan, whose
+    # generic slice/concat tree takes >15 min to compile at 4M elements on
+    # the TPU toolchain (cummin: ~30 s).
+    next_start = jax.lax.cummin(flagged, reverse=True)
     # For a start at i, its run ends at the next flagged position AFTER i.
     after = jnp.concatenate([next_start[1:], jnp.full((1,), n, jnp.int32)])
     counts = after - idx

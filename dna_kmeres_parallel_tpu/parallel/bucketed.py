@@ -94,7 +94,8 @@ def count_bucket_sharded(
         run_starts = ((hi_s != prev_hi) | (lo_s != prev_lo)) & is_valid
         idx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0).squeeze(-1)
         flagged = jnp.where(run_starts | ~is_valid, idx, m)
-        nxt = jax.lax.associative_scan(jnp.minimum, flagged, reverse=True)
+        # cummin, not associative_scan — see ops/sparse.py compile-time note.
+        nxt = jax.lax.cummin(flagged, reverse=True)
         after = jnp.concatenate([nxt[1:], jnp.full((1,), m, jnp.int32)])
         csum = jnp.cumsum(cnt_s)  # inclusive prefix sum
         csum_at_end = jnp.take(csum, jnp.clip(after - 1, 0, m - 1))

@@ -111,6 +111,16 @@ def kmer_codes(base_codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     return codes, valid
 
 
+def all_kmers(k: int) -> list[str]:
+    """All 4^k k-mer strings in canonical (lexicographic) order — the
+    explicit vocabulary the reference materializes with its odometer
+    (utils.h:21-50); here it exists only for display/debug, never in the
+    compute path (codes are implicit)."""
+    if k > 12:
+        raise ValueError("refusing to materialize 4^k strings for k > 12")
+    return [code_to_kmer(c, k) for c in range(num_bins(k))]
+
+
 def revcomp_str(seq: str) -> str:
     """Reverse complement of an ACGT string (N and others map to N)."""
     comp = {"A": "T", "C": "G", "G": "C", "T": "A"}

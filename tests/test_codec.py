@@ -94,3 +94,15 @@ def test_pack_density():
     packed, mask, L = codec.pack_bases(bases)
     assert packed.nbytes * 4 == L
     assert mask.nbytes * 8 == L
+
+
+def test_all_kmers_enumeration():
+    # The explicit vocabulary in lexicographic order (reference utils.h:21-50
+    # equivalent): AAA, AAC, AAG, AAT, ACA, ...
+    kmers = codec.all_kmers(3)
+    assert len(kmers) == 64
+    assert kmers[:5] == ["AAA", "AAC", "AAG", "AAT", "ACA"]
+    assert kmers[-1] == "TTT"
+    assert kmers == sorted(kmers)
+    for i, km in enumerate(kmers):
+        assert codec.kmer_to_code(km) == i

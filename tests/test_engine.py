@@ -199,3 +199,17 @@ def test_distance_stream_to_csv_matches(tmp_path, make_dna):
     io.write_distances_csv(b, engine.distance_sequences(seqs).packed)
     assert a.read_text() == b.read_text()
     assert report["n_pairs"] == 23 * 22 // 2
+
+
+def test_cli_info(tmp_path, make_dna, capsys):
+    from dna_kmeres_parallel_tpu import cli
+
+    path = tmp_path / "i.fasta"
+    fasta.write_fasta(path, [(">a", "ACGTN"), (">b", make_dna(50))])
+    rc = cli.main(["info", str(path), "-v"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["n_seqs"] == 2
+    assert report["total_bases"] == 55
+    assert report["invalid_bases"] == 1
+    assert report["lengths"] == [5, 50]
