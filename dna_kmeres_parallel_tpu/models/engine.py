@@ -192,6 +192,25 @@ class KmerEngine:
         between sequences) — the native-parser fast path."""
         cfg = self.config
         t0 = time.perf_counter()
+        # Medium-dense bins (k=9..12): the one-hot compare cost outgrows the
+        # Pallas kernel and XLA scatter crawls; the sorted-sparse path is
+        # ~2-3x faster on TPU (see docs/ARCHITECTURE.md). Count sparse and
+        # materialize the dense histogram once at the end (codes are unique,
+        # so it's a direct indexed store, not a scatter-add).
+        if (1 << 16) < cfg.bins and total_bases > 0:
+            from dna_kmeres_parallel_tpu.models.sparse_engine import SparseKmerEngine
+
+            sp = SparseKmerEngine(cfg).count_stream(flat, total_bases, n_seqs)
+            hist = np.zeros(cfg.bins, dtype=np.int64)
+            hist[sp.codes.astype(np.int64)] = sp.counts
+            return CountResult(
+                k=cfg.k,
+                canonical=cfg.canonical,
+                hist=hist,
+                n_seqs=n_seqs,
+                total_bases=total_bases,
+                elapsed_s=time.perf_counter() - t0,
+            )
         hist = np.zeros(cfg.bins, dtype=np.int64)
         total = flat.shape[0]
         if total >= cfg.k:

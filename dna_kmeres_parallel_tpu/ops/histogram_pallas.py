@@ -147,6 +147,98 @@ def _split_hw(bins: int) -> tuple[int, int]:
     return H, W
 
 
+def _make_hist2d_fused_kernel(
+    k: int,
+    canonical: bool,
+    chunk: int,
+    H: int,
+    W: int,
+    hi_group: int,
+    flush_every: int,
+    sentinel: int,
+):
+    """Fully fused: uint8 bases (with per-row halo) -> rolling codes ->
+    [canonical] -> two-level one-hot -> MXU outer-product accumulate.
+
+    Encoding in-kernel keeps the bases in VMEM: the stream is read once as
+    uint8 instead of XLA materializing int32 code arrays in HBM (measured
+    ~10 ms/4M codes for the unfused XLA encode — more than the sort!).
+
+    codes_ref block: [8, chunk + k - 1] uint8 — each row a contiguous span
+    of the stream, its tail overlapping the next row's head (halo), with
+    absolute start position rows_base = (t*8 + r) * chunk for ownership
+    masking against n_own.
+    """
+    w_bits = W.bit_length() - 1
+
+    def kernel(bases_ref, n_own_ref, out_ref, acc_ref):
+        g = pl.program_id(0)  # hi group index
+        t = pl.program_id(1)  # stream tile index
+        n_tiles = pl.num_programs(1)
+
+        @pl.when(t == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        hi_base = g * hi_group
+        hi_ids = (
+            jax.lax.broadcasted_iota(jnp.int32, (hi_group, 1), 0) + hi_base
+        )
+        lo_ids = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        n_own = n_own_ref[0]
+
+        acc = acc_ref[:]
+        for r in range(8):  # static: rows of the block
+            row = bases_ref[r : r + 1, :]  # [1, chunk + k - 1] uint8
+            code = jnp.zeros((1, chunk), jnp.int32)
+            valid = jnp.ones((1, chunk), jnp.bool_)
+            for s in range(k):  # static unroll: rolling code
+                w = jax.lax.slice_in_dim(row, s, s + chunk, axis=1)
+                valid = valid & (w < 4)
+                code = (code << 2) | (w & 3).astype(jnp.int32)
+            if canonical:
+                rc = jnp.zeros_like(code)
+                c = code
+                for _ in range(k):
+                    rc = (rc << 2) | ((c & 3) ^ 3)
+                    c = c >> 2
+                code = jnp.minimum(code, rc)
+            # Ownership: window global start position < n_own.
+            pos = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+                + (t * 8 + r) * chunk
+            )
+            valid = valid & (pos < n_own)
+            code = jnp.where(valid, code, sentinel)
+
+            if H == 1:
+                col = code.reshape(chunk, 1)
+                oh = (col == lo_ids) & (col < W)
+                acc = acc + jnp.sum(oh.astype(jnp.int32), axis=0)[None, :].astype(
+                    jnp.float32
+                )
+            else:
+                hi = code >> w_bits  # [1, chunk] — lanes
+                lo = (code & (W - 1)).reshape(chunk, 1)  # [chunk, 1]
+                oh_hi = (hi_ids == hi).astype(jnp.bfloat16)
+                oh_lo = (lo_ids == lo).astype(jnp.bfloat16)
+                acc = acc + jnp.dot(
+                    oh_hi, oh_lo, preferred_element_type=jnp.float32
+                )
+
+        @pl.when((t % flush_every == flush_every - 1) | (t == n_tiles - 1))
+        def _():
+            out_ref[:] = out_ref[:] + acc.astype(jnp.int32)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        @pl.when((t % flush_every != flush_every - 1) & (t != n_tiles - 1))
+        def _():
+            acc_ref[:] = acc
+
+    return kernel
+
+
 def _make_hist2d_kernel(
     chunk: int,
     n_chunks_per_tile: int,
@@ -277,13 +369,50 @@ def histogram_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """Flat [T] uint8 base stream -> [bins] int32 histogram of windows
-    starting at positions < n_own (fused encode + 2-level MXU histogram)."""
-    from dna_kmeres_parallel_tpu.ops import encode as encode_ops
+    starting at positions < n_own. Fully fused: the kernel reads raw uint8
+    bases (VMEM) and does rolling-code encode + canonicalization + the
+    two-level MXU histogram in one pass — no intermediate code arrays in
+    HBM."""
+    T = bases.shape[0]
+    H, W = _split_hw(bins)
+    chunk = 512
+    halo = k - 1
+    rows_per_tile = 8
+    span = chunk * rows_per_tile  # windows per tile
+    Tp = _round_up(max(T, span), span)
+    n_tiles = Tp // span
+    n_rows = n_tiles * rows_per_tile
+    padded = jnp.full((Tp + halo,), INVALID, jnp.uint8).at[:T].set(bases)
+    starts = jnp.arange(n_rows, dtype=jnp.int32) * chunk
+    rows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(padded, (s,), (chunk + halo,))
+    )(starts)  # [n_rows, chunk + halo], each row haloed into its successor
 
-    codes, valid = encode_ops.rolling_codes(bases, k)
-    n = codes.shape[0]
-    own = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1) < n_own
-    valid = valid & own
-    if canonical:
-        codes = encode_ops.canonicalize(codes, k)
-    return histogram_codes_pallas(codes, valid, bins, interpret=interpret)
+    max_rows = max((1 << 20) // W, 8)
+    n_groups = max(_round_up(H, max_rows) // max_rows, 1)
+    hi_group = _round_up(H, n_groups) // n_groups
+    flush_every = max((_F32_EXACT_LIMIT // 2) // span, 1)
+    sentinel = H * W + W
+
+    kernel = _make_hist2d_fused_kernel(
+        k, canonical, chunk, H, W, hi_group, flush_every, sentinel
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_groups * hi_group, W), jnp.int32),
+        grid=(n_groups, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (rows_per_tile, chunk + halo),
+                lambda g, t: (t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (hi_group, W), lambda g, t: (g, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((hi_group, W), jnp.float32)],
+        interpret=interpret,
+    )(rows, jnp.asarray(n_own, dtype=jnp.int32).reshape(1))
+    return out.reshape(-1)[:bins]
