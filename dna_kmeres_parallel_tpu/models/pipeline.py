@@ -252,6 +252,9 @@ class StreamingCounter:
                         jnp.int32(end - start),
                         cfg.k,
                         cfg.canonical,
+                        pallas=(
+                            runtime.pallas_mode() if cfg.use_pallas else None
+                        ),
                     )
                 )
             with self.metrics.phase("compact"):

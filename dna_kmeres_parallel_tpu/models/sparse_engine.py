@@ -90,6 +90,13 @@ class SparseKmerEngine:
         if not (1 <= self.config.k <= sparse_ops.MAX_SPARSE_K):
             raise ValueError(f"sparse engine supports k <= {sparse_ops.MAX_SPARSE_K}")
 
+    def _pallas(self) -> str | None:
+        from dna_kmeres_parallel_tpu.ops import runtime
+
+        if not self.config.use_pallas:
+            return None
+        return runtime.pallas_mode()
+
     def count_stream(
         self, flat: np.ndarray, total_bases: int, n_seqs: int
     ) -> SparseCountResult:
@@ -113,6 +120,7 @@ class SparseKmerEngine:
                     jnp.int32(end - start),
                     cfg.k,
                     cfg.canonical,
+                    pallas=self._pallas(),
                 )
                 starts_np = np.asarray(starts)
                 idx = np.flatnonzero(starts_np)

@@ -1,0 +1,126 @@
+"""Pallas fused encoder: uint8 bases -> split-word (hi, lo) window codes.
+
+The XLA-lowered split-word encode (ops/sparse.rolling_codes_split) costs
+~10 ms per 4M windows at k=21 — every unrolled shift/or round-trips int32
+arrays through HBM. This kernel reads each base tile once into VMEM and
+emits the (hi, lo) planes directly, with validity/ownership sentinels and
+optional RC canonicalization folded in. It feeds the sort in the sparse
+counting path (ops/sparse.sort_unique_counts).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dna_kmeres_parallel_tpu.ops.encode import INVALID
+from dna_kmeres_parallel_tpu.ops.sparse import MAX_SPARSE_K, _lo_bases
+
+_SENTINEL = 0xFFFFFFFF
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _make_encode_kernel(k: int, canonical: bool, chunk: int):
+    nlo = _lo_bases(k)
+    nhi = k - nlo
+
+    def kernel(bases_ref, n_own_ref, hi_ref, lo_ref):
+        t = pl.program_id(0)
+        n_own = n_own_ref[0]
+        sent = jnp.uint32(_SENTINEL)
+        for r in range(8):
+            row = bases_ref[r : r + 1, :]  # [1, chunk + k - 1] uint8
+            hi = jnp.zeros((1, chunk), jnp.uint32)
+            lo = jnp.zeros((1, chunk), jnp.uint32)
+            valid = jnp.ones((1, chunk), jnp.bool_)
+            for s in range(k):  # static unroll
+                w = jax.lax.slice_in_dim(row, s, s + chunk, axis=1)
+                valid = valid & (w < 4)
+                b = (w & 3).astype(jnp.uint32)
+                if s < nhi:
+                    hi = (hi << 2) | b
+                else:
+                    lo = (lo << 2) | b
+            if canonical:
+                rc_hi = jnp.zeros_like(hi)
+                rc_lo = jnp.zeros_like(lo)
+                sh, sl = hi, lo
+                for i in range(k):
+                    d = sl & 3
+                    sl = (sl >> 2) | ((sh & 3) << (2 * (nlo - 1)))
+                    sh = sh >> 2
+                    comp = d ^ 3
+                    if i < nhi:
+                        rc_hi = (rc_hi << 2) | comp
+                    else:
+                        rc_lo = (rc_lo << 2) | comp
+                take_rc = (rc_hi < hi) | ((rc_hi == hi) & (rc_lo < lo))
+                hi = jnp.where(take_rc, rc_hi, hi)
+                lo = jnp.where(take_rc, rc_lo, lo)
+            pos = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+                + (t * 8 + r) * chunk
+            )
+            valid = valid & (pos < n_own)
+            hi_ref[r : r + 1, :] = jnp.where(valid, hi, sent)
+            lo_ref[r : r + 1, :] = jnp.where(valid, lo, sent)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "canonical", "interpret")
+)
+def rolling_codes_split_pallas(
+    bases: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    canonical: bool = False,
+    interpret: bool = False,
+):
+    """[T] uint8 stream -> (hi, lo) uint32 [Tp] window codes (sentinel
+    0xFFFFFFFF where invalid / beyond n_own; Tp = T rounded up to the tile
+    span — the sentinel tail sorts to the end and is ignored downstream)."""
+    if not (1 <= k <= MAX_SPARSE_K):
+        raise ValueError(f"k must be in [1, {MAX_SPARSE_K}]")
+    T = bases.shape[0]
+    chunk = 512
+    halo = k - 1
+    span = 8 * chunk
+    Tp = _round_up(max(T, span), span)
+    n_tiles = Tp // span
+    n_rows = n_tiles * 8
+    padded = jnp.full((Tp + halo,), INVALID, jnp.uint8).at[:T].set(bases)
+    starts = jnp.arange(n_rows, dtype=jnp.int32) * chunk
+    rows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(padded, (s,), (chunk + halo,))
+    )(starts)
+
+    kernel = _make_encode_kernel(k, canonical, chunk)
+    hi, lo = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rows, chunk), jnp.uint32),
+            jax.ShapeDtypeStruct((n_rows, chunk), jnp.uint32),
+        ),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (8, chunk + halo), lambda t: (t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((8, chunk), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(rows, jnp.asarray(n_own, dtype=jnp.int32).reshape(1))
+    return hi.reshape(-1), lo.reshape(-1)

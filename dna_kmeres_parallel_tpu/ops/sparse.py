@@ -100,34 +100,53 @@ def canonicalize_split(hi: jax.Array, lo: jax.Array, k: int):
     return jnp.where(take_rc, rc_hi, hi), jnp.where(take_rc, rc_lo, lo)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "canonical"))
+@functools.partial(jax.jit, static_argnames=("k", "canonical", "pallas"))
 def sort_unique_counts(
-    bases: jax.Array, n_own: jax.Array, k: int, canonical: bool = False
+    bases: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    canonical: bool = False,
+    pallas: str | None = None,
 ):
     """Flat [T] base stream -> sorted sparse count table (static shapes).
 
     Returns (hi, lo, counts, starts):
-      hi, lo:  uint32 [N] sorted window codes (N = T-k+1; invalid windows
-               sort to the sentinel tail hi=0xFFFFFFFF)
+      hi, lo:  uint32 [N] sorted window codes (invalid windows sort to the
+               sentinel tail hi=0xFFFFFFFF; N = T-k+1 on the jnp path, T
+               rounded up to the encoder tile on the Pallas path)
       counts:  int32 [N] — at run-start positions, the run length (count of
                that k-mer); elsewhere garbage
       starts:  bool [N] — True at the first element of each distinct run
                (False for the invalid-sentinel tail)
 
+    pallas='compiled'/'interpret' routes the encode through the fused
+    Pallas kernel (ops/encode_pallas.py) — one VMEM pass instead of XLA's
+    HBM-round-tripping unrolled shifts.
+
     Host-side compaction: idx = flatnonzero(starts);
     table = (hi[idx], lo[idx], counts[idx]).
     """
-    (hi, lo), valid = rolling_codes_split(bases, k)
-    n = hi.shape[0]
-    own = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1) < n_own
-    valid = valid & own
-    if canonical:
-        hi, lo = canonicalize_split(hi, lo, k)
     sentinel = jnp.uint32(0xFFFFFFFF)
-    hi = jnp.where(valid, hi, sentinel)
-    lo = jnp.where(valid, lo, sentinel)
+    if pallas is not None:
+        from dna_kmeres_parallel_tpu.ops.encode_pallas import (
+            rolling_codes_split_pallas,
+        )
+
+        hi, lo = rolling_codes_split_pallas(
+            bases, n_own, k, canonical, interpret=(pallas == "interpret")
+        )
+    else:
+        (hi, lo), valid = rolling_codes_split(bases, k)
+        n = hi.shape[0]
+        own = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1) < n_own
+        valid = valid & own
+        if canonical:
+            hi, lo = canonicalize_split(hi, lo, k)
+        hi = jnp.where(valid, hi, sentinel)
+        lo = jnp.where(valid, lo, sentinel)
 
     hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2)
+    n = hi_s.shape[0]
 
     prev_hi = jnp.concatenate([jnp.full((1,), sentinel, jnp.uint32), hi_s[:-1]])
     prev_lo = jnp.concatenate([jnp.full((1,), sentinel, jnp.uint32), lo_s[:-1]])

@@ -109,3 +109,27 @@ def test_sparse_file(tmp_path, make_dna):
     want = oracle.count_table_any_k([s for _, s in records], 21)
     assert result.table() == want
     assert result.n_seqs == 4
+
+
+@pytest.mark.parametrize("k,canonical", [(13, False), (21, False), (21, True), (31, True)])
+def test_pallas_encoder_matches_jnp(make_dna, k, canonical):
+    # The fused Pallas split-word encoder (interpret mode) produces the
+    # same sorted table as the jnp encode path.
+    s = make_dna(700, invalid_frac=0.03)
+    bases = jnp.asarray(codec.encode_bases(s))
+    n_own = jnp.int32(len(s) - k + 1)
+    ref = sparse_ops.sort_unique_counts(bases, n_own, k, canonical)
+    pal = sparse_ops.sort_unique_counts(bases, n_own, k, canonical, pallas="interpret")
+
+    def compact(out):
+        hi, lo, counts, starts = out
+        idx = np.flatnonzero(np.asarray(starts))
+        return (
+            sparse_ops.merged_code64(np.asarray(hi)[idx], np.asarray(lo)[idx]),
+            np.asarray(counts)[idx],
+        )
+
+    rc, rn = compact(ref)
+    pc, pn = compact(pal)
+    assert np.array_equal(rc, pc)
+    assert np.array_equal(rn, pn)
