@@ -217,6 +217,9 @@ def run_distance_bench(
     from dna_kmeres_parallel_tpu.ops import distance as dist_ops
     from dna_kmeres_parallel_tpu.models.engine import _counts_matrix_batch
 
+    from dna_kmeres_parallel_tpu.ops import distance_pallas
+    from dna_kmeres_parallel_tpu.ops import runtime
+
     bins = codec.num_bins(k)
     key = jax.random.PRNGKey(seed)
     grid = jax.random.randint(
@@ -227,15 +230,25 @@ def run_distance_bench(
     counts = _counts_matrix_batch(grid, k, bins, False)
     counts.block_until_ready()
 
+    use_pallas = runtime.pallas_mode() == "compiled" and bins <= 512
+    fn = (
+        (lambda c: distance_pallas.min_sum_matrix_pallas(c))
+        if use_pallas
+        else (lambda c: dist_ops.min_sum_matrix(c))
+    )
+    fn(counts).block_until_ready()  # warmup/compile
+    reps = 3
+    variants = [counts + jnp.int32(i) for i in range(reps)]  # defeat dedupe
     t0 = time.perf_counter()
-    sq = dist_ops.distance_matrix_square(counts, lengths, k)
-    sq.block_until_ready()
-    elapsed = time.perf_counter() - t0
+    outs = [fn(v) for v in variants]
+    jax.block_until_ready(outs)
+    elapsed = (time.perf_counter() - t0) / reps
 
     n_pairs = n_seqs * (n_seqs - 1) // 2
     return {
         "bench": "distance",
         "k": k,
+        "impl": "pallas" if use_pallas else "jnp",
         "n_seqs": n_seqs,
         "seq_len": seq_len,
         "n_pairs": n_pairs,

@@ -44,8 +44,29 @@ def _owner_bits(k: int, n_dev: int) -> tuple[int, bool]:
     return 2 * nlo - d_bits, False
 
 
+def window_minimizers(bases: jax.Array, k: int, m: int) -> jax.Array:
+    """Minimizer m-mer code of every k-window. [T] uint8 -> [T-k+1] int32.
+
+    minimizer(i) = min of the k-m+1 m-mer codes inside window [i, i+k) —
+    adjacent windows usually share their minimizer, so minimizer-routed
+    k-mers land on the same owner in runs (the KMC-style partitioning named
+    by the k=31 target config). Windows touching invalid bases get INT32_MAX
+    (callers mask them via their own validity anyway).
+    """
+    from dna_kmeres_parallel_tpu.ops import encode as encode_ops
+
+    big = jnp.int32(2**31 - 1)
+    mcodes, mvalid = encode_ops.rolling_codes(bases, m)
+    mcodes = jnp.where(mvalid, mcodes, big)
+    n = bases.shape[0] - k + 1
+    mini = jnp.full((n,), big, jnp.int32)
+    for j in range(k - m + 1):  # static unroll
+        mini = jnp.minimum(mini, jax.lax.slice_in_dim(mcodes, j, j + n, axis=0))
+    return mini
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "canonical", "mesh", "axis")
+    jax.jit, static_argnames=("k", "canonical", "mesh", "axis", "owner_mode", "minimizer_m")
 )
 def count_bucket_sharded(
     bases: jax.Array,
@@ -54,16 +75,22 @@ def count_bucket_sharded(
     canonical: bool,
     mesh: jax.sharding.Mesh,
     axis: str = DATA_AXIS,
+    owner_mode: str = "prefix",
+    minimizer_m: int = 7,
 ):
     """Bucket-sharded sparse count of a sharded base stream.
 
     bases: [D, T + k - 1] uint8 — one stream shard per device, each carrying
       its own k-1 halo (host-prepared; see models/pipeline.py feeder).
     n_own_per_shard: [D] int32 — windows owned by each shard.
+    owner_mode: 'prefix' routes by the code's top bits (per-device tables
+      concatenate globally sorted); 'minimizer' routes by a multiplicative
+      hash of the window's minimizer m-mer (KMC-style; smoother load under
+      skew, tables merged by the host gather).
 
     Returns (hi, lo, counts, starts, overflow):
       hi/lo/counts/starts: [D, cap * D] masked RLE sub-tables, device d
-        holding only codes whose top bits route to d;
+        holding only codes routed to d;
       overflow: [] bool — True if any send bucket exceeded capacity
         (results invalid; re-run with a larger batch split).
     """
@@ -79,19 +106,21 @@ def count_bucket_sharded(
     cap = min(-(-cap_mult * n_windows // D) + 64, n_windows)
     shift, use_hi = _owner_bits(k, D)
 
-    def _rle(hi_s, lo_s, cnt_s):
-        """Sorted (hi, lo) with per-element counts -> (starts mask, totals).
+    def _rle(owner_s, hi_s, lo_s, cnt_s):
+        """Sorted (owner, hi, lo) with per-element counts -> (starts, totals).
         totals[i] = sum of cnt over the run starting at i (garbage off-start).
         Scatter-free: reverse min-scan for run extents + prefix sums."""
         m = hi_s.shape[0]
-        prev_hi = jnp.concatenate(
-            [jnp.full((1,), _SENTINEL, jnp.uint32), hi_s[:-1]]
-        )
-        prev_lo = jnp.concatenate(
-            [jnp.full((1,), _SENTINEL, jnp.uint32), lo_s[:-1]]
-        )
+
+        def shift1(x, fill):
+            return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
+
         is_valid = hi_s != _SENTINEL
-        run_starts = ((hi_s != prev_hi) | (lo_s != prev_lo)) & is_valid
+        run_starts = (
+            (owner_s != shift1(owner_s, D))
+            | (hi_s != shift1(hi_s, _SENTINEL))
+            | (lo_s != shift1(lo_s, _SENTINEL))
+        ) & is_valid
         idx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0).squeeze(-1)
         flagged = jnp.where(run_starts | ~is_valid, idx, m)
         # cummin, not associative_scan — see ops/sparse.py compile-time note.
@@ -111,31 +140,36 @@ def count_bucket_sharded(
         valid = valid & (pos < n_own)
         if canonical:
             hi, lo = sparse_ops.canonicalize_split(hi, lo, k)
+
+        if owner_mode == "minimizer":
+            # KMC-style routing: Fibonacci hash of the window's minimizer.
+            mini = window_minimizers(b, k, minimizer_m)
+            hashed = (mini.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)) >> (
+                32 - max(D - 1, 1).bit_length() if D > 1 else 31
+            )
+            owner = jnp.minimum(hashed.astype(jnp.int32), D - 1)
+        else:
+            owner_src = hi if use_hi else lo
+            owner = (owner_src >> shift).astype(jnp.int32)
+        owner = jnp.where(valid, owner, jnp.int32(D))
         hi = jnp.where(valid, hi, _SENTINEL)
         lo = jnp.where(valid, lo, _SENTINEL)
 
-        # Local pre-aggregation: sort by code and collapse duplicates, so
-        # only DISTINCT (code, count) pairs travel over ICI.
-        hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2)
+        # Local pre-aggregation: group by (owner, code) and collapse
+        # duplicates, so only DISTINCT (code, count) pairs travel over ICI.
+        owner_s, hi_s, lo_s = jax.lax.sort((owner, hi, lo), num_keys=3)
         ones = jnp.ones((n,), jnp.int32)
-        starts_mask, totals = _rle(hi_s, lo_s, ones)
+        starts_mask, totals = _rle(owner_s, hi_s, lo_s, ones)
         # Non-starts become sentinels so they compress to nothing downstream.
+        own_u = jnp.where(starts_mask, owner_s, jnp.int32(D))
         hi_u = jnp.where(starts_mask, hi_s, _SENTINEL)
         lo_u = jnp.where(starts_mask, lo_s, _SENTINEL)
         cnt_u = jnp.where(starts_mask, totals, 0)
 
         # Re-sort pulls the masked non-starts (sentinels) out of the way.
-        hi_u, lo_u, cnt_u = jax.lax.sort((hi_u, lo_u, cnt_u), num_keys=2)
-        owner_src = hi_u if use_hi else lo_u
-        owner = jnp.where(
-            hi_u != _SENTINEL, (owner_src >> shift).astype(jnp.int32), jnp.int32(D)
+        owner, hi_u, lo_u, cnt_u = jax.lax.sort(
+            (own_u, hi_u, lo_u, cnt_u), num_keys=3
         )
-        if not use_hi:
-            # Owner bits come from the lo word (k close to 16): owner is NOT
-            # monotone in (hi, lo) order — group by owner explicitly.
-            owner, hi_u, lo_u, cnt_u = jax.lax.sort(
-                (owner, hi_u, lo_u, cnt_u), num_keys=1
-            )
 
         targets = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0).squeeze(-1)
         starts = jnp.searchsorted(owner, targets)
@@ -175,7 +209,8 @@ def count_bucket_sharded(
             (recv_hi.reshape(-1), recv_lo.reshape(-1), recv_cnt.reshape(-1)),
             num_keys=2,
         )
-        run_starts, counts = _rle(hi2, lo2, cnt2)
+        zero_owner = jnp.zeros_like(cnt2)
+        run_starts, counts = _rle(zero_owner, hi2, lo2, cnt2)
 
         ov = jax.lax.pmax(overflow.astype(jnp.int32), axis)
         return (

@@ -84,3 +84,50 @@ def test_bucketed_matches_single_host_sparse(make_dna, mesh8):
     single = SparseKmerEngine(KmerConfig(k=k)).count_sequences(seqs)
     assert np.array_equal(codes, single.codes)
     assert np.array_equal(counts, single.counts)
+
+
+def test_window_minimizers_property(make_dna):
+    # minimizer = min m-mer code over the window, computed independently.
+    s = make_dna(200)
+    k, m = 21, 7
+    bases = jnp.asarray(codec.encode_bases(s))
+    mini = np.asarray(bucketed.window_minimizers(bases, k, m))
+    for i in range(0, len(s) - k + 1, 13):
+        window = s[i : i + k]
+        want = min(
+            codec.kmer_to_code(window[j : j + m]) for j in range(k - m + 1)
+        )
+        assert mini[i] == want
+
+
+@pytest.mark.parametrize("k", [17, 21, 31])
+def test_bucketed_minimizer_matches_naive(make_dna, mesh8, k):
+    seqs = [make_dna(300 + 11 * i, invalid_frac=0.02) for i in range(4)]
+    flat = _flat(seqs)
+    shards, n_own = bucketed.shard_stream_with_halo(flat, k, mesh8)
+    hi, lo, counts, starts, overflow = bucketed.count_bucket_sharded(
+        jnp.asarray(shards), jnp.asarray(n_own), k, False, mesh8,
+        owner_mode="minimizer",
+    )
+    assert not bool(overflow)
+    codes, cnts = bucketed.gather_table(hi, lo, counts, starts)
+    want = oracle.count_table_any_k(seqs, k)
+    got = {codec.code_to_kmer(int(c), k): int(n) for c, n in zip(codes, cnts)}
+    assert got == want
+
+
+def test_bucketed_minimizer_skewed_input(mesh8):
+    # Homopolymer: all windows share one minimizer -> one owner, but the
+    # local RLE collapses them to a single pair, so no overflow.
+    k = 21
+    s = "A" * 2000
+    flat = _flat([s])
+    shards, n_own = bucketed.shard_stream_with_halo(flat, k, mesh8)
+    hi, lo, counts, starts, overflow = bucketed.count_bucket_sharded(
+        jnp.asarray(shards), jnp.asarray(n_own), k, False, mesh8,
+        owner_mode="minimizer",
+    )
+    assert not bool(overflow)
+    codes, cnts = bucketed.gather_table(hi, lo, counts, starts)
+    assert codes.shape == (1,)
+    assert int(cnts[0]) == 2000 - k + 1
