@@ -32,4 +32,51 @@ __version__ = "0.1.0"
 
 from dna_kmeres_parallel_tpu.utils.config import KmerConfig  # noqa: F401
 
-__all__ = ["KmerConfig", "__version__"]
+
+def count_file(path, k: int = 21, canonical: bool = False, **kw):
+    """Count k-mers in a FASTA file. Returns CountResult (dense, k <= 12)
+    or SparseCountResult (sorted table, larger k)."""
+    cfg = KmerConfig(k=k, canonical=canonical, **kw)
+    if cfg.bins <= cfg.dense_bins_limit:
+        from dna_kmeres_parallel_tpu.models.engine import KmerEngine
+
+        return KmerEngine(cfg).count_file(path)
+    from dna_kmeres_parallel_tpu.models.sparse_engine import SparseKmerEngine
+
+    return SparseKmerEngine(cfg).count_file(path)
+
+
+def count_sequences(seqs, k: int = 21, canonical: bool = False, **kw):
+    """Count k-mers over in-memory sequences (list of ACGT strings)."""
+    cfg = KmerConfig(k=k, canonical=canonical, **kw)
+    if cfg.bins <= cfg.dense_bins_limit:
+        from dna_kmeres_parallel_tpu.models.engine import KmerEngine
+
+        return KmerEngine(cfg).count_sequences(list(seqs))
+    from dna_kmeres_parallel_tpu.models.sparse_engine import SparseKmerEngine
+
+    return SparseKmerEngine(cfg).count_sequences(list(seqs))
+
+
+def distance_file(path, k: int = 3, **kw):
+    """Pairwise k-mer distance matrix of a FASTA file (DistanceResult)."""
+    from dna_kmeres_parallel_tpu.models.engine import KmerEngine
+
+    return KmerEngine(KmerConfig(k=k, **kw)).distance_file(path)
+
+
+def distance_sequences(seqs, k: int = 3, **kw):
+    """Pairwise k-mer distance matrix over in-memory sequences."""
+    from dna_kmeres_parallel_tpu.models.engine import KmerEngine
+
+    return KmerEngine(KmerConfig(k=k, **kw)).distance_sequences(list(seqs))
+
+
+__all__ = [
+    "KmerConfig",
+    "__version__",
+    "count_file",
+    "count_sequences",
+    "distance_file",
+    "distance_sequences",
+]

@@ -226,6 +226,7 @@ class KmerEngine:
             acc = None
             acc_windows = 0
             flush_limit = (1 << 31) - (1 << 27)
+            pallas = self._pallas()
             start = 0
             while start < total:
                 end = min(start + batch, total)
@@ -234,14 +235,32 @@ class KmerEngine:
                 seg = flat[start : min(end + overlap, total)]
                 padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
                 padded[: seg.shape[0]] = seg
-                h = _count_batch(
-                    jnp.asarray(padded),
-                    jnp.int32(end - start),
-                    cfg.k,
-                    cfg.bins,
-                    cfg.canonical,
-                    self._pallas(),
-                )
+                try:
+                    h = _count_batch(
+                        jnp.asarray(padded),
+                        jnp.int32(end - start),
+                        cfg.k,
+                        cfg.bins,
+                        cfg.canonical,
+                        pallas,
+                    )
+                except Exception as e:
+                    # Kernel-compile failures (e.g. a flaky remote Mosaic
+                    # helper) degrade to the jnp path instead of failing the
+                    # run; numerics are identical.
+                    if pallas is None or not any(
+                        s in str(e) for s in ("Mosaic", "remote_compile")
+                    ):
+                        raise
+                    pallas = None
+                    h = _count_batch(
+                        jnp.asarray(padded),
+                        jnp.int32(end - start),
+                        cfg.k,
+                        cfg.bins,
+                        cfg.canonical,
+                        None,
+                    )
                 acc = h if acc is None else acc + h
                 acc_windows += end - start
                 if acc_windows >= flush_limit:

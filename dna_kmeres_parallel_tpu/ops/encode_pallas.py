@@ -33,7 +33,7 @@ def _make_encode_kernel(k: int, canonical: bool, chunk: int):
 
     def kernel(bases_ref, n_own_ref, hi_ref, lo_ref):
         t = pl.program_id(0)
-        n_own = n_own_ref[0]
+        n_own = n_own_ref[0, 0]
         sent = jnp.uint32(_SENTINEL)
         for r in range(8):
             row = bases_ref[r : r + 1, :]  # [1, chunk + k - 1] uint8
@@ -93,14 +93,16 @@ def rolling_codes_split_pallas(
     T = bases.shape[0]
     chunk = 512
     halo = k - 1
+    # Lane-aligned row width (non-128-multiple block widths crash Mosaic).
+    row_w = _round_up(chunk + halo, 128)
     span = 8 * chunk
     Tp = _round_up(max(T, span), span)
     n_tiles = Tp // span
     n_rows = n_tiles * 8
-    padded = jnp.full((Tp + halo,), INVALID, jnp.uint8).at[:T].set(bases)
+    padded = jnp.full((Tp + row_w - chunk,), INVALID, jnp.uint8).at[:T].set(bases)
     starts = jnp.arange(n_rows, dtype=jnp.int32) * chunk
     rows = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(padded, (s,), (chunk + halo,))
+        lambda s: jax.lax.dynamic_slice(padded, (s,), (row_w,))
     )(starts)
 
     kernel = _make_encode_kernel(k, canonical, chunk)
@@ -113,14 +115,14 @@ def rolling_codes_split_pallas(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(
-                (8, chunk + halo), lambda t: (t, 0), memory_space=pltpu.VMEM
+                (8, row_w), lambda t: (t, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((8, chunk), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, chunk), lambda t: (t, 0), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(rows, jnp.asarray(n_own, dtype=jnp.int32).reshape(1))
+    )(rows, jnp.asarray(n_own, dtype=jnp.int32).reshape(1, 1))
     return hi.reshape(-1), lo.reshape(-1)

@@ -186,7 +186,7 @@ def _make_hist2d_fused_kernel(
             jax.lax.broadcasted_iota(jnp.int32, (hi_group, 1), 0) + hi_base
         )
         lo_ids = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-        n_own = n_own_ref[0]
+        n_own = n_own_ref[0, 0]
 
         acc = acc_ref[:]
         for r in range(8):  # static: rows of the block
@@ -377,16 +377,20 @@ def histogram_pallas(
     H, W = _split_hw(bins)
     chunk = 512
     halo = k - 1
+    # Lane-align the row width (non-multiple-of-128 block widths crash the
+    # Mosaic compiler); the extra overlap columns beyond chunk+halo are
+    # simply never sliced by the kernel.
+    row_w = _round_up(chunk + halo, 128)
     rows_per_tile = 8
     span = chunk * rows_per_tile  # windows per tile
     Tp = _round_up(max(T, span), span)
     n_tiles = Tp // span
     n_rows = n_tiles * rows_per_tile
-    padded = jnp.full((Tp + halo,), INVALID, jnp.uint8).at[:T].set(bases)
+    padded = jnp.full((Tp + row_w - chunk,), INVALID, jnp.uint8).at[:T].set(bases)
     starts = jnp.arange(n_rows, dtype=jnp.int32) * chunk
     rows = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(padded, (s,), (chunk + halo,))
-    )(starts)  # [n_rows, chunk + halo], each row haloed into its successor
+        lambda s: jax.lax.dynamic_slice(padded, (s,), (row_w,))
+    )(starts)  # [n_rows, row_w], each row haloed into its successor
 
     max_rows = max((1 << 20) // W, 8)
     n_groups = max(_round_up(H, max_rows) // max_rows, 1)
@@ -403,16 +407,16 @@ def histogram_pallas(
         grid=(n_groups, n_tiles),
         in_specs=[
             pl.BlockSpec(
-                (rows_per_tile, chunk + halo),
+                (rows_per_tile, row_w),
                 lambda g, t: (t, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (hi_group, W), lambda g, t: (g, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[pltpu.VMEM((hi_group, W), jnp.float32)],
         interpret=interpret,
-    )(rows, jnp.asarray(n_own, dtype=jnp.int32).reshape(1))
+    )(rows, jnp.asarray(n_own, dtype=jnp.int32).reshape(1, 1))
     return out.reshape(-1)[:bins]

@@ -1,0 +1,60 @@
+"""Top-level library API (the package boundary users import)."""
+
+import numpy as np
+
+import dna_kmeres_parallel_tpu as dkp
+from dna_kmeres_parallel_tpu.models import oracle
+from dna_kmeres_parallel_tpu.utils import fasta
+
+
+def test_count_sequences_dense(make_dna):
+    seqs = [make_dna(200) for _ in range(3)]
+    r = dkp.count_sequences(seqs, k=5)
+    want = sum(
+        (oracle.count_vector(s, 5) for s in seqs), np.zeros(4**5, np.int64)
+    )
+    assert np.array_equal(r.hist, want)
+
+
+def test_count_sequences_sparse(make_dna):
+    seqs = [make_dna(300)]
+    r = dkp.count_sequences(seqs, k=21)
+    assert r.table() == oracle.count_table_any_k(seqs, 21)
+
+
+def test_count_file_and_distance_file(tmp_path, make_dna):
+    records = [(f">r{i}", make_dna(150)) for i in range(4)]
+    path = tmp_path / "a.fasta"
+    fasta.write_fasta(path, records)
+    r = dkp.count_file(str(path), k=4)
+    assert r.n_seqs == 4
+    d = dkp.distance_file(str(path), k=3)
+    want = oracle.distance_matrix_packed([s for _, s in records], 3)
+    assert np.array_equal(d.packed, want)
+
+
+def test_engine_pallas_compile_fallback(make_dna, monkeypatch):
+    # A Mosaic/remote-compile failure on the Pallas path must degrade to the
+    # jnp path mid-run, not fail the count.
+    import dna_kmeres_parallel_tpu.models.engine as engine_mod
+    from dna_kmeres_parallel_tpu.models.engine import KmerEngine
+    from dna_kmeres_parallel_tpu.utils.config import KmerConfig
+
+    real = engine_mod._count_batch
+    calls = {"n": 0}
+
+    def flaky(bases, n_own, k, bins, canonical, pallas=None):
+        calls["n"] += 1
+        if pallas is not None:
+            raise RuntimeError("INTERNAL: remote_compile: HTTP 500 (Mosaic)")
+        return real(bases, n_own, k, bins, canonical, None)
+
+    monkeypatch.setattr(engine_mod, "_count_batch", flaky)
+    monkeypatch.setenv("KMER_TPU_PALLAS_INTERPRET", "1")  # force pallas mode
+    seqs = [make_dna(300) for _ in range(2)]
+    result = KmerEngine(KmerConfig(k=4, batch_bases=256)).count_sequences(seqs)
+    want = sum(
+        (oracle.count_vector(s, 4) for s in seqs), np.zeros(256, np.int64)
+    )
+    assert np.array_equal(result.hist, want)
+    assert calls["n"] > 2  # first pallas attempt + jnp retries
