@@ -258,11 +258,9 @@ class StreamingCounter:
                     )
                 )
             with self.metrics.phase("compact"):
-                idx = np.flatnonzero(np.asarray(starts))
-                codes64 = sparse_ops.merged_code64(
-                    np.asarray(hi)[idx], np.asarray(lo)[idx]
-                )
-                tables.append((codes64, np.asarray(counts)[idx].astype(np.int64)))
+                from dna_kmeres_parallel_tpu.models.sparse_engine import compact_rle
+
+                tables.append(compact_rle(hi, lo, counts, starts))
             self.metrics.count("bases", end - start)
             self.metrics.count("batches")
             since_ckpt += end - start

@@ -26,6 +26,25 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def compact_rle(hi, lo, counts, starts) -> tuple[np.ndarray, np.ndarray]:
+    """Masked device RLE output -> (codes_u64, counts_i64), via the native
+    C++ single-pass compactor when available (the Python fallback is
+    flatnonzero + fancy indexing)."""
+    from dna_kmeres_parallel_tpu import native
+
+    hi = np.asarray(hi)
+    lo = np.asarray(lo)
+    counts = np.asarray(counts)
+    starts = np.asarray(starts)
+    if native.available():
+        return native.compact_rle_native(hi, lo, counts, starts)
+    idx = np.flatnonzero(starts)
+    return (
+        sparse_ops.merged_code64(hi[idx], lo[idx]),
+        counts[idx].astype(np.int64),
+    )
+
+
 def merge_sparse_tables(
     tables: list[tuple[np.ndarray, np.ndarray]]
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -122,14 +141,7 @@ class SparseKmerEngine:
                     cfg.canonical,
                     pallas=self._pallas(),
                 )
-                starts_np = np.asarray(starts)
-                idx = np.flatnonzero(starts_np)
-                codes64 = sparse_ops.merged_code64(
-                    np.asarray(hi)[idx], np.asarray(lo)[idx]
-                )
-                tables.append(
-                    (codes64, np.asarray(counts)[idx].astype(np.int64))
-                )
+                tables.append(compact_rle(hi, lo, counts, starts))
                 start = end
         codes, counts = merge_sparse_tables(tables)
         return SparseCountResult(

@@ -68,8 +68,21 @@ def _load():
     ]
     lib.kp_free_fasta.argtypes = [ctypes.POINTER(_KpFasta)]
     u8p = ctypes.POINTER(ctypes.c_uint8)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
     lib.kp_pack_2bit.argtypes = [u8p, ctypes.c_int64, u8p, u8p]
     lib.kp_unpack_2bit.argtypes = [u8p, u8p, ctypes.c_int64, u8p]
+    lib.kp_count_dense.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int, i64p
+    ]
+    lib.kp_count_starts.restype = ctypes.c_int64
+    lib.kp_count_starts.argtypes = [u8p, ctypes.c_int64]
+    lib.kp_compact_rle.restype = ctypes.c_int64
+    lib.kp_compact_rle.argtypes = [
+        u32p, u32p, i32p, u8p, ctypes.c_int64, u64p, i64p
+    ]
     _lib = lib
     return _lib
 
@@ -151,6 +164,59 @@ def pack_2bit_native(bases: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
         bases.ctypes.data_as(u8p), n, data.ctypes.data_as(u8p), mask.ctypes.data_as(u8p)
     )
     return data, mask, n
+
+
+def count_dense_native(
+    stream: np.ndarray, k: int, n_own: int | None = None, canonical: bool = False
+) -> np.ndarray:
+    """Native dense k-mer count of an encoded stream (0xFF sentinels) —
+    the fast host golden engine for validating device results at scale."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native counter unavailable: {_build_error}")
+    if not (1 <= k <= 15):
+        raise ValueError("native dense counter supports k <= 15")
+    stream = np.ascontiguousarray(stream, dtype=np.uint8)
+    n = stream.shape[0]
+    if n_own is None:
+        n_own = n
+    out = np.zeros(1 << (2 * k), dtype=np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.kp_count_dense(
+        stream.ctypes.data_as(u8p), n, n_own, k, int(canonical),
+        out.ctypes.data_as(i64p),
+    )
+    return out
+
+
+def compact_rle_native(
+    hi: np.ndarray, lo: np.ndarray, counts: np.ndarray, starts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Compact masked RLE device output into (codes_u64, counts_i64)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native compactor unavailable: {_build_error}")
+    hi = np.ascontiguousarray(hi, dtype=np.uint32)
+    lo = np.ascontiguousarray(lo, dtype=np.uint32)
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    starts_u8 = np.ascontiguousarray(starts, dtype=np.uint8)
+    n = hi.shape[0]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    m = lib.kp_count_starts(starts_u8.ctypes.data_as(u8p), n)
+    out_code = np.zeros(m, dtype=np.uint64)
+    out_cnt = np.zeros(m, dtype=np.int64)
+    w = lib.kp_compact_rle(
+        hi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        starts_u8.ctypes.data_as(u8p),
+        n,
+        out_code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out_cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    assert w == m
+    return out_code, out_cnt
 
 
 def unpack_2bit_native(data: np.ndarray, mask: np.ndarray, n: int) -> np.ndarray:

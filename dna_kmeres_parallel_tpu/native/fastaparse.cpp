@@ -241,3 +241,66 @@ void kp_unpack_2bit(const uint8_t* data, const uint8_t* mask, int64_t n,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Dense k-mer count over an encoded stream (0xFF = invalid/sentinel),
+// rolling 2-bit codes, k <= 15. The native-speed twin of the NumPy oracle
+// (models/oracle.py) for validating device results on GB-scale inputs
+// without Python-loop costs. Counts windows starting at [0, n_own).
+// out must hold 4^k int64 zeros (caller-allocated).
+void kp_count_dense(const uint8_t* stream, int64_t n, int64_t n_own, int k,
+                    int canonical, int64_t* out) {
+  const uint32_t mask = (k == 16) ? 0xFFFFFFFFu : ((1u << (2 * k)) - 1);
+  uint32_t code = 0;
+  int run = 0;  // consecutive valid bases ending at i
+  if (n_own > n - k + 1) n_own = n - k + 1;
+  for (int64_t i = 0; i < n; i++) {
+    uint8_t b = stream[i];
+    if (b < 4) {
+      code = ((code << 2) | b) & mask;
+      run++;
+    } else {
+      run = 0;
+    }
+    int64_t start = i - k + 1;
+    if (run >= k && start < n_own) {
+      uint32_t c = code;
+      if (canonical) {
+        uint32_t rc = 0, t = code;
+        for (int j = 0; j < k; j++) {
+          rc = (rc << 2) | ((t & 3) ^ 3);
+          t >>= 2;
+        }
+        if (rc < c) c = rc;
+      }
+      out[c]++;
+    }
+  }
+}
+
+// Compact masked RLE output (device sparse tables) into dense arrays.
+// starts: bool mask [n]; returns number of set entries written to
+// out_hi/out_lo/out_cnt (caller allocates capacity >= popcount(starts);
+// call kp_count_starts first to size them).
+int64_t kp_count_starts(const uint8_t* starts, int64_t n) {
+  int64_t c = 0;
+  for (int64_t i = 0; i < n; i++) c += (starts[i] != 0);
+  return c;
+}
+
+int64_t kp_compact_rle(const uint32_t* hi, const uint32_t* lo,
+                       const int32_t* cnt, const uint8_t* starts, int64_t n,
+                       uint64_t* out_code, int64_t* out_cnt) {
+  int64_t w = 0;
+  for (int64_t i = 0; i < n; i++) {
+    if (starts[i]) {
+      out_code[w] = (static_cast<uint64_t>(hi[i]) << 32) | lo[i];
+      out_cnt[w] = cnt[i];
+      w++;
+    }
+  }
+  return w;
+}
+
+}  // extern "C"

@@ -101,3 +101,41 @@ def test_large_multiline_stream(tmp_path, make_dna):
     assert got.n_seqs == 8
     for i, (_, s) in enumerate(records):
         assert np.array_equal(got.sequence_codes(i), codec.encode_bases(s))
+
+
+def test_count_dense_native_matches_oracle(make_dna):
+    from dna_kmeres_parallel_tpu.models import oracle
+    from dna_kmeres_parallel_tpu.models.engine import KmerEngine
+    from dna_kmeres_parallel_tpu.utils.config import KmerConfig
+
+    seqs = [make_dna(400, invalid_frac=0.03) for _ in range(5)]
+    engine = KmerEngine(KmerConfig(k=5))
+    flat, _ = engine._flat_stream(seqs)
+    for k, canonical in ((3, False), (5, False), (5, True), (11, False)):
+        got = native.count_dense_native(flat, k, canonical=canonical)
+        want = sum(
+            (oracle.count_vector(s, k, canonical) for s in seqs),
+            np.zeros(4**k, np.int64),
+        )
+        assert np.array_equal(got, want), (k, canonical)
+
+
+def test_count_dense_native_n_own(make_dna):
+    from dna_kmeres_parallel_tpu.models import oracle
+
+    s = make_dna(500)
+    stream = codec.encode_bases(s)
+    k = 7
+    got = native.count_dense_native(stream, k, n_own=100)
+    want = oracle.count_vector(s[: 100 + k - 1], k)
+    assert np.array_equal(got, want)
+
+
+def test_compact_rle_native_matches_python():
+    hi = np.array([1, 1, 2, 7], np.uint32)
+    lo = np.array([9, 9, 0, 3], np.uint32)
+    counts = np.array([5, 99, 2, 1], np.int32)
+    starts = np.array([True, False, True, True])
+    codes, cnts = native.compact_rle_native(hi, lo, counts, starts)
+    assert codes.tolist() == [(1 << 32) | 9, (2 << 32) | 0, (7 << 32) | 3]
+    assert cnts.tolist() == [5, 2, 1]
