@@ -347,6 +347,9 @@ def main(argv=None) -> int:
                     else " (pairwise distances use dense 4^k count vectors)"
                 )
             )
+    from dna_kmeres_parallel_tpu.ops.runtime import apply_platform_env
+
+    apply_platform_env()
     _enable_compile_cache()
     try:
         return args.fn(args)

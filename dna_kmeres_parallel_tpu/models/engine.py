@@ -303,17 +303,31 @@ class KmerEngine:
 
     # ------------------------------------------------------------- distances
     def counts_matrix(self, seqs: list[str]) -> np.ndarray:
+        """Per-sequence count vectors [S, 4^k] int32.
+
+        Sequences are grouped into power-of-two length buckets so mixed
+        lengths don't all pad to the global max (the reference pads nothing
+        but rescans per k-mer; here padding is the only waste and bucketing
+        bounds it at 2x).
+        """
         cfg = self.config
         S = len(seqs)
-        L = max((len(s) for s in seqs), default=0)
-        Lp = _round_up(max(L, cfg.k), _LANE)
-        grid = np.full((S, Lp), codec.INVALID_BASE, dtype=np.uint8)
+        out = np.zeros((S, cfg.bins), dtype=np.int32)
+        if S == 0:
+            return out
+        buckets: dict[int, list[int]] = {}
         for i, s in enumerate(seqs):
-            grid[i, : len(s)] = codec.encode_bases(s)
-        counts = _counts_matrix_batch(
-            jnp.asarray(grid), cfg.k, cfg.bins, cfg.canonical, self._pallas()
-        )
-        return np.asarray(counts)
+            Lp = _round_up(max(_pow2_bucket(max(len(s), 1)), cfg.k), _LANE)
+            buckets.setdefault(Lp, []).append(i)
+        for Lp, idxs in buckets.items():
+            grid = np.full((len(idxs), Lp), codec.INVALID_BASE, dtype=np.uint8)
+            for row, i in enumerate(idxs):
+                grid[row, : len(seqs[i])] = codec.encode_bases(seqs[i])
+            counts = _counts_matrix_batch(
+                jnp.asarray(grid), cfg.k, cfg.bins, cfg.canonical, self._pallas()
+            )
+            out[np.asarray(idxs)] = np.asarray(counts)
+        return out
 
     def distance_sequences(
         self, seqs: list[str], ids: list[str] | None = None

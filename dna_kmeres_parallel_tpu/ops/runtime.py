@@ -6,6 +6,20 @@ import functools
 import os
 
 
+def apply_platform_env() -> None:
+    """Honor JAX_PLATFORMS / KMER_TPU_PLATFORM explicitly.
+
+    This environment's sitecustomize prepends its TPU plugin to
+    ``jax_platforms`` regardless of JAX_PLATFORMS, so the env var alone does
+    not select a backend; entry points call this to re-assert it."""
+    want = os.environ.get("KMER_TPU_PLATFORM") or os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+        is_tpu_backend.cache_clear()
+
+
 @functools.lru_cache(maxsize=1)
 def is_tpu_backend() -> bool:
     """True when the default JAX backend is a TPU (including the tunneled

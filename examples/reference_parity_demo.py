@@ -30,8 +30,11 @@ def main(argv):
 
     from dna_kmeres_parallel_tpu.models import oracle
     from dna_kmeres_parallel_tpu.models.engine import KmerEngine
+    from dna_kmeres_parallel_tpu.ops.runtime import apply_platform_env
     from dna_kmeres_parallel_tpu.utils import fasta, io
     from dna_kmeres_parallel_tpu.utils.config import KmerConfig
+
+    apply_platform_env()
 
     # Reference semantics: k=3 (kernels.h:14), MAX_SEQS=100 cap (main.cu:30).
     records = fasta.parse_fasta(fasta_path, max_seqs=100)

@@ -213,3 +213,30 @@ def test_cli_info(tmp_path, make_dna, capsys):
     assert report["total_bases"] == 55
     assert report["invalid_bases"] == 1
     assert report["lengths"] == [5, 50]
+
+
+def test_counts_matrix_length_buckets(make_dna):
+    # Wildly mixed lengths exercise the bucketing; results identical.
+    seqs = [make_dna(L) for L in (5, 130, 1000, 7, 258, 515, 64)]
+    engine = KmerEngine(KmerConfig(k=3))
+    got = engine.counts_matrix(seqs)
+    want = oracle.counts_matrix(seqs, 3)
+    assert np.array_equal(got, want)
+
+
+def test_reference_parity_demo_script(tmp_path, make_dna):
+    # The executable dual-engine differential (examples/) passes end to end.
+    import subprocess, sys, os
+
+    path = tmp_path / "demo.fasta"
+    fasta.write_fasta(path, [(f">r{i}", make_dna(120)) for i in range(8)])
+    outdir = tmp_path / "out"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "examples/reference_parity_demo.py", str(path), str(outdir)],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=240,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    verdict = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert verdict["csvs_byte_identical"] is True
+    assert (outdir / "min_distances.csv").exists()
