@@ -31,8 +31,11 @@ def main() -> int:
 
     from dna_kmeres_parallel_tpu.models.benchmarks import run_count_bench
 
+    # Defaults match a compile-cached program shape so the bench still runs
+    # if the remote compile service is flaky (first-compile costs minutes
+    # and can 500; see CLAUDE.md).
     k = int(os.environ.get("BENCH_K", "11"))
-    total = int(os.environ.get("BENCH_BASES", str(256 << 20)))
+    total = int(os.environ.get("BENCH_BASES", str(64 << 20)))
     batch = int(os.environ.get("BENCH_BATCH", str(16 << 20)))
 
     report = run_count_bench(k=k, canonical=False, total_bases=total, batch_bases=batch)

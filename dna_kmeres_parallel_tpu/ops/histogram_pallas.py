@@ -239,124 +239,6 @@ def _make_hist2d_fused_kernel(
     return kernel
 
 
-def _make_hist2d_kernel(
-    chunk: int,
-    n_chunks_per_tile: int,
-    H: int,
-    W: int,
-    hi_group: int,
-    flush_every: int,
-):
-    """codes tile [R, tile] -> accumulate hist2d [hi_group, W] f32 for the
-    hi range [g*hi_group, (g+1)*hi_group) via oh_hi @ oh_lo on the MXU.
-
-    The f32 accumulator holds exact integers only below 2^24, so it is
-    flushed into the int32 output block every ``flush_every`` tiles (the
-    output block keeps the same index across a group's tiles, so it stays
-    VMEM-resident and accumulates like a matmul output)."""
-    w_bits = W.bit_length() - 1
-
-    def kernel(codes_ref, out_ref, acc_ref):
-        # Grid is (n_groups, n_tiles) with tiles INNERMOST so the single
-        # scratch accumulator serves one hi-group at a time. codes_ref is
-        # an [8, C] block (TPU tiling needs sublane >= 8); rows are just
-        # consecutive spans of the flat stream.
-        g = pl.program_id(0)  # hi group index
-        t = pl.program_id(1)  # stream tile index
-        n_tiles = pl.num_programs(1)
-
-        @pl.when(t == 0)
-        def _():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
-            out_ref[:] = jnp.zeros_like(out_ref)
-
-        hi_base = g * hi_group
-        hi_ids = (
-            jax.lax.broadcasted_iota(jnp.int32, (hi_group, 1), 0) + hi_base
-        )
-        lo_ids = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-
-        acc = acc_ref[:]
-        if H == 1:
-            # Degenerate hi plane: a [1, chunk] @ [chunk, W] matmul wastes
-            # the MXU (M=1). Use a direct one-hot sum on the VPU instead,
-            # row by row to bound the materialized [chunk, W] plane.
-            for r in range(8):
-                col = codes_ref[r : r + 1, :].reshape(chunk, 1)  # [chunk, 1]
-                oh = (col == lo_ids) & (col < W)  # sentinel codes miss all
-                acc = acc + jnp.sum(oh.astype(jnp.int32), axis=0)[None, :].astype(
-                    jnp.float32
-                )
-        else:
-            for r in range(8):  # static: sublane rows of the block
-                for c in range(n_chunks_per_tile):  # static unroll
-                    blk = codes_ref[r : r + 1, c * chunk : (c + 1) * chunk]
-                    hi = blk >> w_bits  # [1, chunk] — lanes
-                    lo = (blk & (W - 1)).reshape(chunk, 1)  # [chunk, 1]
-                    # Invalid codes carry a sentinel hi outside every group.
-                    oh_hi = (hi_ids == hi).astype(jnp.bfloat16)  # [hi_group, chunk]
-                    oh_lo = (lo_ids == lo).astype(jnp.bfloat16)  # [chunk, W]
-                    acc = acc + jnp.dot(
-                        oh_hi, oh_lo, preferred_element_type=jnp.float32
-                    )
-
-        @pl.when((t % flush_every == flush_every - 1) | (t == n_tiles - 1))
-        def _():
-            out_ref[:] = out_ref[:] + acc.astype(jnp.int32)
-            acc_ref[:] = jnp.zeros_like(acc_ref)
-
-        @pl.when((t % flush_every != flush_every - 1) & (t != n_tiles - 1))
-        def _():
-            acc_ref[:] = acc
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("bins", "interpret"))
-def histogram_codes_pallas(
-    codes: jax.Array, valid: jax.Array, bins: int, interpret: bool = False
-) -> jax.Array:
-    """[T] int32 window codes (+ validity) -> [bins] int32 dense histogram.
-
-    Two-level MXU outer-product. Exact for any T: the f32 accumulator is
-    flushed into the int32 output block before any cell can reach 2^24.
-    """
-    T = codes.shape[0]
-    H, W = _split_hw(bins)
-    # Route invalid codes to hi = H (outside every group).
-    safe = jnp.where(valid, codes, H * W + (W - 1) + 1)
-
-    chunk = 512
-    tile = 8 * chunk  # codes per grid step: an [8, chunk] block
-    Tp = _round_up(max(T, tile), tile)
-    padded = jnp.full((Tp,), H * W + W, jnp.int32).at[:T].set(safe)
-    n_tiles = Tp // tile
-
-    # Cap the accumulator tile at ~4 MB of VMEM.
-    max_rows = max((1 << 20) // W, 8)
-    n_groups = max(_round_up(H, max_rows) // max_rows, 1)
-    hi_group = _round_up(H, n_groups) // n_groups
-
-    # Flush the f32 accumulator to int32 well before any cell can reach the
-    # 2^24 exactness bound (a cell gains at most `tile` hits per tile).
-    flush_every = max((_F32_EXACT_LIMIT // 2) // tile, 1)
-    kernel = _make_hist2d_kernel(chunk, chunk // chunk, H, W, hi_group, flush_every)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n_groups * hi_group, W), jnp.int32),
-        grid=(n_groups, n_tiles),
-        in_specs=[
-            pl.BlockSpec((8, chunk), lambda g, t: (t, 0), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec(
-            (hi_group, W), lambda g, t: (g, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[pltpu.VMEM((hi_group, W), jnp.float32)],
-        interpret=interpret,
-    )(padded.reshape(n_tiles * 8, chunk))
-    return out.reshape(-1)[:bins]
-
-
 @functools.partial(
     jax.jit, static_argnames=("k", "bins", "canonical", "interpret")
 )
