@@ -34,14 +34,17 @@ def _make_encode_kernel(k: int, canonical: bool, chunk: int):
     def kernel(bases_ref, n_own_ref, hi_ref, lo_ref):
         t = pl.program_id(0)
         n_own = n_own_ref[0, 0]
-        sent = jnp.uint32(_SENTINEL)
         for r in range(8):
             row = bases_ref[r : r + 1, :]  # [1, chunk + k - 1] uint8
             hi = jnp.zeros((1, chunk), jnp.uint32)
             lo = jnp.zeros((1, chunk), jnp.uint32)
             valid = jnp.ones((1, chunk), jnp.bool_)
             for s in range(k):  # static unroll
-                w = jax.lax.slice_in_dim(row, s, s + chunk, axis=1)
+                # int32 compare domain — uint8-derived bool masks crash the
+                # Mosaic compiler downstream (see histogram_pallas note).
+                w = jax.lax.slice_in_dim(row, s, s + chunk, axis=1).astype(
+                    jnp.int32
+                )
                 valid = valid & (w < 4)
                 b = (w & 3).astype(jnp.uint32)
                 if s < nhi:
@@ -69,8 +72,14 @@ def _make_encode_kernel(k: int, canonical: bool, chunk: int):
                 + (t * 8 + r) * chunk
             )
             valid = valid & (pos < n_own)
-            hi_ref[r : r + 1, :] = jnp.where(valid, hi, sent)
-            lo_ref[r : r + 1, :] = jnp.where(valid, lo, sent)
+            # int32 select + int32 stores: uint32 kernel OUTPUTS crash the
+            # Mosaic compiler (bisected); bit patterns are preserved and the
+            # wrapper bitcasts back to uint32.
+            sent_i = jnp.int32(-1)  # 0xFFFFFFFF
+            hi_i = jax.lax.bitcast_convert_type(hi, jnp.int32)
+            lo_i = jax.lax.bitcast_convert_type(lo, jnp.int32)
+            hi_ref[r : r + 1, :] = jnp.where(valid, hi_i, sent_i)
+            lo_ref[r : r + 1, :] = jnp.where(valid, lo_i, sent_i)
 
     return kernel
 
@@ -109,8 +118,8 @@ def rolling_codes_split_pallas(
     hi, lo = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((n_rows, chunk), jnp.uint32),
-            jax.ShapeDtypeStruct((n_rows, chunk), jnp.uint32),
+            jax.ShapeDtypeStruct((n_rows, chunk), jnp.int32),
+            jax.ShapeDtypeStruct((n_rows, chunk), jnp.int32),
         ),
         grid=(n_tiles,),
         in_specs=[
@@ -125,4 +134,6 @@ def rolling_codes_split_pallas(
         ),
         interpret=interpret,
     )(rows, jnp.asarray(n_own, dtype=jnp.int32).reshape(1, 1))
-    return hi.reshape(-1), lo.reshape(-1)
+    hi = jax.lax.bitcast_convert_type(hi.reshape(-1), jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(lo.reshape(-1), jnp.uint32)
+    return hi, lo

@@ -194,9 +194,14 @@ def _make_hist2d_fused_kernel(
             code = jnp.zeros((1, chunk), jnp.int32)
             valid = jnp.ones((1, chunk), jnp.bool_)
             for s in range(k):  # static unroll: rolling code
-                w = jax.lax.slice_in_dim(row, s, s + chunk, axis=1)
+                # Cast to int32 BEFORE comparing: bool masks derived from
+                # uint8 lane compares crash the Mosaic compiler when they
+                # later feed an int32 select (empirically bisected).
+                w = jax.lax.slice_in_dim(row, s, s + chunk, axis=1).astype(
+                    jnp.int32
+                )
                 valid = valid & (w < 4)
-                code = (code << 2) | (w & 3).astype(jnp.int32)
+                code = (code << 2) | (w & 3)
             if canonical:
                 rc = jnp.zeros_like(code)
                 c = code
