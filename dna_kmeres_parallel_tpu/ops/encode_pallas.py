@@ -32,54 +32,57 @@ def _make_encode_kernel(k: int, canonical: bool, chunk: int):
     nhi = k - nlo
 
     def kernel(bases_ref, n_own_ref, hi_ref, lo_ref):
+        # Vectorized over the whole [8, chunk] block (per-row processing
+        # wastes 7/8 of the VPU sublanes): each row is a contiguous stream
+        # span with its own halo tail, so window s of every row is just the
+        # column slice [:, s : s+chunk].
         t = pl.program_id(0)
         n_own = n_own_ref[0, 0]
-        for r in range(8):
-            row = bases_ref[r : r + 1, :]  # [1, chunk + k - 1] uint8
-            hi = jnp.zeros((1, chunk), jnp.uint32)
-            lo = jnp.zeros((1, chunk), jnp.uint32)
-            valid = jnp.ones((1, chunk), jnp.bool_)
-            for s in range(k):  # static unroll
-                # int32 compare domain — uint8-derived bool masks crash the
-                # Mosaic compiler downstream (see histogram_pallas note).
-                w = jax.lax.slice_in_dim(row, s, s + chunk, axis=1).astype(
-                    jnp.int32
-                )
-                valid = valid & (w < 4)
-                b = (w & 3).astype(jnp.uint32)
-                if s < nhi:
-                    hi = (hi << 2) | b
-                else:
-                    lo = (lo << 2) | b
-            if canonical:
-                rc_hi = jnp.zeros_like(hi)
-                rc_lo = jnp.zeros_like(lo)
-                sh, sl = hi, lo
-                for i in range(k):
-                    d = sl & 3
-                    sl = (sl >> 2) | ((sh & 3) << (2 * (nlo - 1)))
-                    sh = sh >> 2
-                    comp = d ^ 3
-                    if i < nhi:
-                        rc_hi = (rc_hi << 2) | comp
-                    else:
-                        rc_lo = (rc_lo << 2) | comp
-                take_rc = (rc_hi < hi) | ((rc_hi == hi) & (rc_lo < lo))
-                hi = jnp.where(take_rc, rc_hi, hi)
-                lo = jnp.where(take_rc, rc_lo, lo)
-            pos = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-                + (t * 8 + r) * chunk
+        hi = jnp.zeros((8, chunk), jnp.uint32)
+        lo = jnp.zeros((8, chunk), jnp.uint32)
+        valid = jnp.ones((8, chunk), jnp.bool_)
+        for s in range(k):  # static unroll
+            # int32 compare domain — uint8-derived bool masks crash the
+            # Mosaic compiler downstream (see histogram_pallas note).
+            w = jax.lax.slice_in_dim(bases_ref[:], s, s + chunk, axis=1).astype(
+                jnp.int32
             )
-            valid = valid & (pos < n_own)
-            # int32 select + int32 stores: uint32 kernel OUTPUTS crash the
-            # Mosaic compiler (bisected); bit patterns are preserved and the
-            # wrapper bitcasts back to uint32.
-            sent_i = jnp.int32(-1)  # 0xFFFFFFFF
-            hi_i = jax.lax.bitcast_convert_type(hi, jnp.int32)
-            lo_i = jax.lax.bitcast_convert_type(lo, jnp.int32)
-            hi_ref[r : r + 1, :] = jnp.where(valid, hi_i, sent_i)
-            lo_ref[r : r + 1, :] = jnp.where(valid, lo_i, sent_i)
+            valid = valid & (w < 4)
+            b = (w & 3).astype(jnp.uint32)
+            if s < nhi:
+                hi = (hi << 2) | b
+            else:
+                lo = (lo << 2) | b
+        if canonical:
+            rc_hi = jnp.zeros_like(hi)
+            rc_lo = jnp.zeros_like(lo)
+            sh, sl = hi, lo
+            for i in range(k):
+                d = sl & 3
+                sl = (sl >> 2) | ((sh & 3) << (2 * (nlo - 1)))
+                sh = sh >> 2
+                comp = d ^ 3
+                if i < nhi:
+                    rc_hi = (rc_hi << 2) | comp
+                else:
+                    rc_lo = (rc_lo << 2) | comp
+            take_rc = (rc_hi < hi) | ((rc_hi == hi) & (rc_lo < lo))
+            hi = jnp.where(take_rc, rc_hi, hi)
+            lo = jnp.where(take_rc, rc_lo, lo)
+        # Global window position of element (r, c): (t*8 + r)*chunk + c.
+        pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (8, chunk), 1)
+            + (jax.lax.broadcasted_iota(jnp.int32, (8, chunk), 0) + t * 8) * chunk
+        )
+        valid = valid & (pos < n_own)
+        # int32 select + int32 stores: uint32 kernel OUTPUTS crash the
+        # Mosaic compiler (bisected); bit patterns are preserved and the
+        # wrapper bitcasts back to uint32.
+        sent_i = jnp.int32(-1)  # 0xFFFFFFFF
+        hi_i = jax.lax.bitcast_convert_type(hi, jnp.int32)
+        lo_i = jax.lax.bitcast_convert_type(lo, jnp.int32)
+        hi_ref[:] = jnp.where(valid, hi_i, sent_i)
+        lo_ref[:] = jnp.where(valid, lo_i, sent_i)
 
     return kernel
 

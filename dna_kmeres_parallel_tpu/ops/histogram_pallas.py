@@ -188,44 +188,51 @@ def _make_hist2d_fused_kernel(
         lo_ids = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
         n_own = n_own_ref[0, 0]
 
-        acc = acc_ref[:]
-        for r in range(8):  # static: rows of the block
-            row = bases_ref[r : r + 1, :]  # [1, chunk + k - 1] uint8
-            code = jnp.zeros((1, chunk), jnp.int32)
-            valid = jnp.ones((1, chunk), jnp.bool_)
-            for s in range(k):  # static unroll: rolling code
-                # Cast to int32 BEFORE comparing: bool masks derived from
-                # uint8 lane compares crash the Mosaic compiler when they
-                # later feed an int32 select (empirically bisected).
-                w = jax.lax.slice_in_dim(row, s, s + chunk, axis=1).astype(
-                    jnp.int32
-                )
-                valid = valid & (w < 4)
-                code = (code << 2) | (w & 3)
-            if canonical:
-                rc = jnp.zeros_like(code)
-                c = code
-                for _ in range(k):
-                    rc = (rc << 2) | ((c & 3) ^ 3)
-                    c = c >> 2
-                code = jnp.minimum(code, rc)
-            # Ownership: window global start position < n_own.
-            pos = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-                + (t * 8 + r) * chunk
+        # Encode the whole [8, chunk] block at once (rows are contiguous
+        # stream spans with halo tails, so window s of every row is the
+        # column slice [:, s:s+chunk]); per-row processing would waste 7/8
+        # of the VPU sublanes.
+        code = jnp.zeros((8, chunk), jnp.int32)
+        valid = jnp.ones((8, chunk), jnp.bool_)
+        for s in range(k):  # static unroll: rolling code
+            # Cast to int32 BEFORE comparing: bool masks derived from
+            # uint8 lane compares crash the Mosaic compiler when they
+            # later feed an int32 select (empirically bisected).
+            w = jax.lax.slice_in_dim(bases_ref[:], s, s + chunk, axis=1).astype(
+                jnp.int32
             )
-            valid = valid & (pos < n_own)
-            code = jnp.where(valid, code, sentinel)
+            valid = valid & (w < 4)
+            code = (code << 2) | (w & 3)
+        if canonical:
+            rc = jnp.zeros_like(code)
+            c = code
+            for _ in range(k):
+                rc = (rc << 2) | ((c & 3) ^ 3)
+                c = c >> 2
+            code = jnp.minimum(code, rc)
+        # Ownership: window (r, c) starts at global (t*8 + r)*chunk + c.
+        pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (8, chunk), 1)
+            + (jax.lax.broadcasted_iota(jnp.int32, (8, chunk), 0) + t * 8)
+            * chunk
+        )
+        valid = valid & (pos < n_own)
+        code = jnp.where(valid, code, sentinel)
 
-            if H == 1:
-                col = code.reshape(chunk, 1)
-                oh = (col == lo_ids) & (col < W)
-                acc = acc + jnp.sum(oh.astype(jnp.int32), axis=0)[None, :].astype(
-                    jnp.float32
-                )
-            else:
-                hi = code >> w_bits  # [1, chunk] — lanes
-                lo = (code & (W - 1)).reshape(chunk, 1)  # [chunk, 1]
+        acc = acc_ref[:]
+        if H == 1:
+            # Direct one-hot sum over the whole block on the VPU.
+            oh = (code[:, :, None] == lo_ids[None, :, :]) & (
+                code[:, :, None] < W
+            )
+            acc = acc + jnp.sum(oh.astype(jnp.int32), axis=(0, 1))[None, :].astype(
+                jnp.float32
+            )
+        else:
+            for r in range(8):  # MXU outer product per row
+                row_code = code[r : r + 1, :]
+                hi = row_code >> w_bits  # [1, chunk] — lanes
+                lo = (row_code & (W - 1)).reshape(chunk, 1)  # [chunk, 1]
                 oh_hi = (hi_ids == hi).astype(jnp.bfloat16)
                 oh_lo = (lo_ids == lo).astype(jnp.bfloat16)
                 acc = acc + jnp.dot(
