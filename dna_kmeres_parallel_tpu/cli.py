@@ -100,6 +100,8 @@ def cmd_count(args) -> int:
     records = _load_records(args)
     seqs = [r.seq for r in records]
     total_bases = sum(len(s) for s in seqs)
+    npz = bool(args.output) and str(args.output).endswith(".npz")
+    result = None
     t0 = time.perf_counter()
     if args.engine == "oracle":
         table = oracle.count_table_any_k(seqs, args.k, args.canonical)
@@ -110,7 +112,7 @@ def cmd_count(args) -> int:
 
         result = SparseKmerEngine(_build_config(args)).count_sequences(seqs)
         total_kmers, distinct = result.total_kmers, result.distinct_kmers
-        table = result.table() if args.output else None
+        table = result.table() if (args.output and not npz) else None
     else:
         from dna_kmeres_parallel_tpu.models.engine import KmerEngine
 
@@ -120,12 +122,14 @@ def cmd_count(args) -> int:
         total_kmers, distinct = int(hist.sum()), int(len(nz))
         table = (
             {codec.code_to_kmer(int(c), args.k): int(hist[c]) for c in nz}
-            if args.output
+            if (args.output and not npz)
             else None
         )
     elapsed = time.perf_counter() - t0
 
-    if args.output and table is not None:
+    if args.output and npz and result is not None:
+        io.write_count_npz(args.output, result)
+    elif args.output and table is not None:
         io.write_count_table_csv(args.output, table)
     report = {
         "k": args.k,

@@ -43,6 +43,19 @@ def write_count_table_csv(path, table: Mapping[str, int]) -> None:
             f.write(f"{kmer},{table[kmer]}\n")
 
 
+def write_count_npz(path, result) -> None:
+    """Binary count-table export: dense histograms save as `hist`; sparse
+    results save as sorted (`codes` uint64, `counts` int64). Metadata in
+    `k`/`canonical`. Loadable with np.load."""
+    meta = {"k": result.k, "canonical": result.canonical}
+    if hasattr(result, "hist"):
+        np.savez_compressed(path, hist=result.hist, **meta)
+    else:
+        np.savez_compressed(
+            path, codes=result.codes, counts=result.counts, **meta
+        )
+
+
 def read_distances_csv(path) -> np.ndarray:
     with open(path, "r", encoding="ascii") as f:
         return np.array([float(x) for x in f if x.strip()], dtype=np.float32)

@@ -240,3 +240,22 @@ def test_reference_parity_demo_script(tmp_path, make_dna):
     verdict = json.loads(proc.stdout.strip().splitlines()[-1])
     assert verdict["csvs_byte_identical"] is True
     assert (outdir / "min_distances.csv").exists()
+
+
+def test_cli_count_npz_output(tmp_path, make_dna, capsys):
+    from dna_kmeres_parallel_tpu import cli
+
+    path = tmp_path / "n.fasta"
+    fasta.write_fasta(path, [(">a", make_dna(200))])
+    out = tmp_path / "counts.npz"
+    assert cli.main(["count", "--k", "21", str(path), "-o", str(out)]) == 0
+    capsys.readouterr()
+    z = np.load(out)
+    assert int(z["k"]) == 21
+    assert z["codes"].dtype == np.uint64
+    assert int(z["counts"].sum()) == 200 - 21 + 1
+
+    out2 = tmp_path / "dense.npz"
+    assert cli.main(["count", "--k", "4", str(path), "-o", str(out2)]) == 0
+    z2 = np.load(out2)
+    assert int(z2["hist"].sum()) == 200 - 4 + 1
