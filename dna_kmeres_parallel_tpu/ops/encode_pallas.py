@@ -111,11 +111,9 @@ def rolling_codes_split_pallas(
     Tp = _round_up(max(T, span), span)
     n_tiles = Tp // span
     n_rows = n_tiles * 8
-    padded = jnp.full((Tp + row_w - chunk,), INVALID, jnp.uint8).at[:T].set(bases)
-    starts = jnp.arange(n_rows, dtype=jnp.int32) * chunk
-    rows = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(padded, (s,), (row_w,))
-    )(starts)
+    from dna_kmeres_parallel_tpu.ops.histogram_pallas import _overlapped_rows
+
+    rows = _overlapped_rows(bases, T, Tp, n_rows, chunk, row_w)
 
     kernel = _make_encode_kernel(k, canonical, chunk)
     hi, lo = pl.pallas_call(

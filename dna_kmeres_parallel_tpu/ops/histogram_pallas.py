@@ -45,6 +45,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _overlapped_rows(
+    bases: jax.Array, T: int, Tp: int, n_rows: int, chunk: int, row_w: int
+) -> jax.Array:
+    """Lay a flat stream into [n_rows, row_w] rows of chunk-strided spans
+    whose tails overlap the next row's head (halo). Pure reshape/slice/
+    concat — a vmapped dynamic_slice gather here measured ~28 ms per 16M
+    bases, dwarfing the kernels it feeds."""
+    halo = row_w - chunk
+    padded = jnp.full((Tp + chunk,), INVALID, jnp.uint8).at[:T].set(bases)
+    main = padded[:Tp].reshape(n_rows, chunk)
+    shifted = padded[chunk : chunk + Tp].reshape(n_rows, chunk)
+    return jnp.concatenate([main, shifted[:, :halo]], axis=1)
+
+
 def _rolling_codes_2d(bases, k: int, n: int):
     """[R, T] uint8 -> ([R, n] int32 codes, [R, n] bool valid), n = T-k+1."""
     code = jnp.zeros((bases.shape[0], n), jnp.int32)
@@ -280,11 +294,7 @@ def histogram_pallas(
     Tp = _round_up(max(T, span), span)
     n_tiles = Tp // span
     n_rows = n_tiles * rows_per_tile
-    padded = jnp.full((Tp + row_w - chunk,), INVALID, jnp.uint8).at[:T].set(bases)
-    starts = jnp.arange(n_rows, dtype=jnp.int32) * chunk
-    rows = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(padded, (s,), (row_w,))
-    )(starts)  # [n_rows, row_w], each row haloed into its successor
+    rows = _overlapped_rows(bases, T, Tp, n_rows, chunk, row_w)
 
     max_rows = max((1 << 20) // W, 8)
     n_groups = max(_round_up(H, max_rows) // max_rows, 1)
