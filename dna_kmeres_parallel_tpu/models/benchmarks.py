@@ -47,12 +47,15 @@ def run_count_bench(
         for kk in keys
     ]
     n_own = jnp.int32(batch_bases - k + 1)
+    from dna_kmeres_parallel_tpu.ops import runtime
+
+    pallas = runtime.pallas_mode()  # engine-equivalent kernel selection
 
     # Warmup / compile. NOTE: on the tunneled dev TPU, block_until_ready can
     # return before execution finishes — only a host fetch of a dependent
     # value truly synchronizes. All timings below end with a host fetch, and
     # the fetch-roundtrip baseline is measured and subtracted.
-    h0 = _count_batch(inputs[0], n_own, k, bins, canonical)
+    h0 = _count_batch(inputs[0], n_own, k, bins, canonical, pallas)
     _ = np.asarray(h0)  # materialize fully
     t0 = time.perf_counter()
     _ = np.asarray(h0)  # pure result-transfer roundtrip
@@ -61,7 +64,7 @@ def run_count_bench(
     t0 = time.perf_counter()
     acc = None
     for i in range(n_batches):
-        h = _count_batch(inputs[i % n_distinct], n_own, k, bins, canonical)
+        h = _count_batch(inputs[i % n_distinct], n_own, k, bins, canonical, pallas)
         acc = h if acc is None else acc + h
     acc = np.asarray(acc)  # true synchronization point (host fetch)
     elapsed = time.perf_counter() - t0
