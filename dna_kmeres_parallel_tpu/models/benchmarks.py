@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dna_kmeres_parallel_tpu.models.engine import _count_batch
+from dna_kmeres_parallel_tpu.models.engine import _count_batch, _count_batch_acc
 from dna_kmeres_parallel_tpu.utils import codec
 
 
@@ -64,8 +64,14 @@ def run_count_bench(
     t0 = time.perf_counter()
     acc = None
     for i in range(n_batches):
-        h = _count_batch(inputs[i % n_distinct], n_own, k, bins, canonical, pallas)
-        acc = h if acc is None else acc + h
+        if acc is None:
+            acc = _count_batch(
+                inputs[i % n_distinct], n_own, k, bins, canonical, pallas
+            )
+        else:  # fused accumulate: one dispatch per batch, not two
+            acc = _count_batch_acc(
+                acc, inputs[i % n_distinct], n_own, k, bins, canonical, pallas
+            )
     acc = np.asarray(acc)  # true synchronization point (host fetch)
     elapsed = time.perf_counter() - t0
     # Report compute throughput net of one result-fetch roundtrip (dominant

@@ -126,6 +126,24 @@ def _count_batch(
 @functools.partial(
     jax.jit, static_argnames=("k", "bins", "canonical", "pallas")
 )
+def _count_batch_acc(
+    acc: jax.Array,
+    bases: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    bins: int,
+    canonical: bool,
+    pallas: str | None = None,
+) -> jax.Array:
+    """acc + count(batch) in ONE dispatch: separate tiny add programs cost
+    ~100 ms each over the tunneled dev TPU (no donation: the retry path may
+    reuse acc after a failed dispatch)."""
+    return acc + _count_batch(bases, n_own, k, bins, canonical, pallas)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "bins", "canonical", "pallas")
+)
 def _counts_matrix_batch(
     bases: jax.Array,
     k: int,
@@ -235,15 +253,16 @@ class KmerEngine:
                 seg = flat[start : min(end + overlap, total)]
                 padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
                 padded[: seg.shape[0]] = seg
+                args = (jnp.asarray(padded), jnp.int32(end - start))
                 try:
-                    h = _count_batch(
-                        jnp.asarray(padded),
-                        jnp.int32(end - start),
-                        cfg.k,
-                        cfg.bins,
-                        cfg.canonical,
-                        pallas,
-                    )
+                    if acc is None:
+                        acc = _count_batch(
+                            *args, cfg.k, cfg.bins, cfg.canonical, pallas
+                        )
+                    else:
+                        acc = _count_batch_acc(
+                            acc, *args, cfg.k, cfg.bins, cfg.canonical, pallas
+                        )
                 except Exception as e:
                     # Kernel-compile failures (e.g. a flaky remote Mosaic
                     # helper) degrade to the jnp path instead of failing the
@@ -253,15 +272,14 @@ class KmerEngine:
                     ):
                         raise
                     pallas = None
-                    h = _count_batch(
-                        jnp.asarray(padded),
-                        jnp.int32(end - start),
-                        cfg.k,
-                        cfg.bins,
-                        cfg.canonical,
-                        None,
-                    )
-                acc = h if acc is None else acc + h
+                    if acc is None:
+                        acc = _count_batch(
+                            *args, cfg.k, cfg.bins, cfg.canonical, None
+                        )
+                    else:
+                        acc = _count_batch_acc(
+                            acc, *args, cfg.k, cfg.bins, cfg.canonical, None
+                        )
                 acc_windows += end - start
                 if acc_windows >= flush_limit:
                     hist += np.asarray(acc, dtype=np.int64)

@@ -18,6 +18,7 @@ import numpy as np
 from dna_kmeres_parallel_tpu.models.engine import (
     CountResult,
     _count_batch,
+    _count_batch_acc,
     _pow2_bucket,
     _round_up,
     _LANE,
@@ -188,17 +189,30 @@ class StreamingCounter:
                 seg = flat[start : min(end + overlap, total)]
                 padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
                 padded[: seg.shape[0]] = seg
-                h = self._with_retry(
-                    lambda: _count_batch(
-                        jnp.asarray(padded),
-                        jnp.int32(end - start),
-                        cfg.k,
-                        cfg.bins,
-                        cfg.canonical,
-                        pallas,
+                if acc is None:
+                    acc = self._with_retry(
+                        lambda: _count_batch(
+                            jnp.asarray(padded),
+                            jnp.int32(end - start),
+                            cfg.k,
+                            cfg.bins,
+                            cfg.canonical,
+                            pallas,
+                        )
                     )
-                )
-                acc = h if acc is None else acc + h
+                else:
+                    prev = acc
+                    acc = self._with_retry(
+                        lambda: _count_batch_acc(
+                            prev,
+                            jnp.asarray(padded),
+                            jnp.int32(end - start),
+                            cfg.k,
+                            cfg.bins,
+                            cfg.canonical,
+                            pallas,
+                        )
+                    )
             self.metrics.count("bases", end - start)
             self.metrics.count("batches")
             since_ckpt += end - start
