@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dna_kmeres_parallel_tpu.utils.triangular import packed_size
 
 
 def min_sum_block(block: jax.Array, counts: jax.Array) -> jax.Array:

@@ -9,7 +9,7 @@ dataclass; ``k`` is a runtime parameter up to the sharded-histogram limit.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)
