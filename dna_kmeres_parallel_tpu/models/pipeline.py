@@ -35,6 +35,28 @@ from dna_kmeres_parallel_tpu.utils.config import KmerConfig
 from dna_kmeres_parallel_tpu.utils.metrics import Metrics
 
 
+def _prefetched(items, fn, depth: int = 2):
+    """Run fn over items with a 1-thread prefetcher: batch i+1's host prep
+    (pad + H2D staging) overlaps batch i's device compute — the
+    double-buffered feed of SURVEY.md §7 M3."""
+    import itertools
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    it = iter(items)
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        futs = deque()
+        for item in itertools.islice(it, depth):
+            futs.append((item, ex.submit(fn, item)))
+        for item in it:
+            done_item, fut = futs.popleft()
+            yield done_item, fut.result()
+            futs.append((item, ex.submit(fn, item)))
+        while futs:
+            done_item, fut = futs.popleft()
+            yield done_item, fut.result()
+
+
 class StreamingCounter:
     """Streamed, resumable, metered counting over a FASTA file or stream."""
 
@@ -174,7 +196,17 @@ class StreamingCounter:
         done_batches = 0
         stopped = False
         pallas = runtime.pallas_mode() if cfg.use_pallas else None
-        for start, end, T, overlap in self._batches(total, cursor):
+
+        def prep(bounds):
+            start, end, T, overlap = bounds
+            seg = flat[start : min(end + overlap, total)]
+            padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
+            padded[: seg.shape[0]] = seg
+            return jnp.asarray(padded)  # staged to device off-thread
+
+        for (start, end, T, overlap), staged in _prefetched(
+            self._batches(total, cursor), prep
+        ):
             if self.max_batches is not None and done_batches >= self.max_batches:
                 # Early stop: checkpoint progress at this boundary and DO NOT
                 # write the final full-run checkpoint below.
@@ -186,9 +218,7 @@ class StreamingCounter:
                 break
             done_batches += 1
             with self.metrics.phase("device"):
-                seg = flat[start : min(end + overlap, total)]
-                padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
-                padded[: seg.shape[0]] = seg
+                padded = staged
                 if acc is None:
                     acc = self._with_retry(
                         lambda: _count_batch(
@@ -248,7 +278,17 @@ class StreamingCounter:
         since_ckpt = 0
         done_batches = 0
         stopped = False
-        for start, end, T, overlap in self._batches(total, cursor):
+
+        def prep(bounds):
+            start, end, T, overlap = bounds
+            seg = flat[start : min(end + overlap, total)]
+            padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
+            padded[: seg.shape[0]] = seg
+            return jnp.asarray(padded)
+
+        for (start, end, T, overlap), staged in _prefetched(
+            self._batches(total, cursor), prep
+        ):
             if self.max_batches is not None and done_batches >= self.max_batches:
                 with self.metrics.phase("merge"):
                     tables = [merge_sparse_tables(tables)]
@@ -257,12 +297,9 @@ class StreamingCounter:
                 break
             done_batches += 1
             with self.metrics.phase("device"):
-                seg = flat[start : min(end + overlap, total)]
-                padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
-                padded[: seg.shape[0]] = seg
                 hi, lo, counts, starts = self._with_retry(
                     lambda: sparse_ops.sort_unique_counts(
-                        jnp.asarray(padded),
+                        staged,
                         jnp.int32(end - start),
                         cfg.k,
                         cfg.canonical,
