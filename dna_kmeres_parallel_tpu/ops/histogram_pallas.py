@@ -17,9 +17,8 @@ Kernels:
   planes oh_hi [H, chunk] and oh_lo [chunk, W] (bf16), and accumulate
   hist2d [H, W] += oh_hi @ oh_lo on the MXU. Compare cost is H + W per
   code (vs `bins` for flat one-hot), turning the histogram into matmuls.
-  f32 accumulation is exact below 2^24 per cell; the kernel flushes the
-  f32 tile into its int32 output block periodically so any stream length
-  stays exact.
+  One-hot planes are int8 with int32 MXU accumulation — exact at any
+  stream length.
 
 Larger bins (4^11 = 4M) shard the hi axis across grid groups so the
 accumulator tile stays within VMEM.
@@ -38,7 +37,6 @@ from dna_kmeres_parallel_tpu.ops.encode import INVALID
 
 _MAX_ONEHOT_BINS = 1024
 _SEQ_TILE = 8
-_F32_EXACT_LIMIT = 1 << 24  # per-cell f32 integer exactness bound
 
 
 def _round_up(x: int, m: int) -> int:
@@ -174,7 +172,6 @@ def _make_hist2d_fused_kernel(
     H: int,
     W: int,
     hi_group: int,
-    flush_every: int,
     sentinel: int,
 ):
     """Fully fused: uint8 bases (with per-row halo) -> rolling codes ->
@@ -183,6 +180,10 @@ def _make_hist2d_fused_kernel(
     Encoding in-kernel keeps the bases in VMEM: the stream is read once as
     uint8 instead of XLA materializing int32 code arrays in HBM (measured
     ~10 ms/4M codes for the unfused XLA encode — more than the sort!).
+
+    The one-hot planes are int8 and the dot accumulates int32 on the MXU —
+    exact at any stream length with no periodic flushing (the earlier
+    bf16/f32 variant needed flushes below the 2^24 f32-integer bound).
 
     codes_ref block: [8, chunk + k - 1] uint8 — each row a contiguous span
     of the stream, its tail overlapping the next row's head (halo), with
@@ -199,7 +200,6 @@ def _make_hist2d_fused_kernel(
         @pl.when(t == 0)
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
-            out_ref[:] = jnp.zeros_like(out_ref)
 
         hi_base = g * hi_group
         hi_ids = (
@@ -246,28 +246,22 @@ def _make_hist2d_fused_kernel(
             for r in range(8):
                 col = code[r : r + 1, :].reshape(chunk, 1)
                 oh = (col == lo_ids) & (col < W)
-                acc = acc + jnp.sum(oh.astype(jnp.int32), axis=0)[
-                    None, :
-                ].astype(jnp.float32)
+                acc = acc + jnp.sum(oh.astype(jnp.int32), axis=0)[None, :]
         else:
-            for r in range(8):  # MXU outer product per row
+            for r in range(8):  # MXU outer product per row, int8 -> int32
                 row_code = code[r : r + 1, :]
                 hi = row_code >> w_bits  # [1, chunk] — lanes
                 lo = (row_code & (W - 1)).reshape(chunk, 1)  # [chunk, 1]
-                oh_hi = (hi_ids == hi).astype(jnp.bfloat16)
-                oh_lo = (lo_ids == lo).astype(jnp.bfloat16)
+                oh_hi = (hi_ids == hi).astype(jnp.int8)
+                oh_lo = (lo_ids == lo).astype(jnp.int8)
                 acc = acc + jnp.dot(
-                    oh_hi, oh_lo, preferred_element_type=jnp.float32
+                    oh_hi, oh_lo, preferred_element_type=jnp.int32
                 )
+        acc_ref[:] = acc
 
-        @pl.when((t % flush_every == flush_every - 1) | (t == n_tiles - 1))
+        @pl.when(t == n_tiles - 1)
         def _():
-            out_ref[:] = out_ref[:] + acc.astype(jnp.int32)
-            acc_ref[:] = jnp.zeros_like(acc_ref)
-
-        @pl.when((t % flush_every != flush_every - 1) & (t != n_tiles - 1))
-        def _():
-            acc_ref[:] = acc
+            out_ref[:] = acc
 
     return kernel
 
@@ -306,11 +300,10 @@ def histogram_pallas(
     max_rows = max((1 << 20) // W, 8)
     n_groups = max(_round_up(H, max_rows) // max_rows, 1)
     hi_group = _round_up(H, n_groups) // n_groups
-    flush_every = max((_F32_EXACT_LIMIT // 2) // span, 1)
     sentinel = H * W + W
 
     kernel = _make_hist2d_fused_kernel(
-        k, canonical, chunk, H, W, hi_group, flush_every, sentinel
+        k, canonical, chunk, H, W, hi_group, sentinel
     )
     out = pl.pallas_call(
         kernel,
@@ -327,7 +320,7 @@ def histogram_pallas(
         out_specs=pl.BlockSpec(
             (hi_group, W), lambda g, t: (g, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((hi_group, W), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((hi_group, W), jnp.int32)],
         interpret=interpret,
     )(rows, jnp.asarray(n_own, dtype=jnp.int32).reshape(1, 1))
     return out.reshape(-1)[:bins]
