@@ -224,7 +224,10 @@ def cmd_stream(args) -> int:
     )
     result = sc.run(args.input)
     if args.output:
-        io.write_count_table_csv(args.output, result.table())
+        if str(args.output).endswith(".npz"):
+            io.write_count_npz(args.output, result)
+        else:
+            io.write_count_table_csv(args.output, result.table())
     report = {
         "k": args.k,
         "canonical": args.canonical,
