@@ -54,7 +54,9 @@ def merge_sparse_tables(
         return np.zeros(0, np.uint64), np.zeros(0, np.int64)
     codes = np.concatenate([t[0] for t in tables])
     counts = np.concatenate([t[1] for t in tables])
-    order = np.argsort(codes, kind="stable")
+    # Introsort, not stable mergesort: grouping equal codes is all the
+    # downstream sum needs, and it's ~2x faster at the 100M-entry scale.
+    order = np.argsort(codes)
     codes, counts = codes[order], counts[order]
     uniq_mask = np.empty(codes.shape, bool)
     uniq_mask[0] = True

@@ -59,10 +59,16 @@ def save_checkpoint(path: str, ckpt: CountCheckpoint) -> None:
         )
     d = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(d, exist_ok=True)
+    # Uncompressed beyond 16 MB: sparse code tables are near-incompressible
+    # and gzip dominated checkpoint time (70 s on a 100 MB-input run).
+    total_bytes = sum(
+        a.nbytes for a in arrays.values() if isinstance(a, np.ndarray)
+    )
+    save = np.savez_compressed if total_bytes < (16 << 20) else np.savez
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
     try:
         with os.fdopen(fd, "wb") as f:
-            np.savez_compressed(f, **arrays)
+            save(f, **arrays)
         os.replace(tmp, path)  # atomic publish
     finally:
         if os.path.exists(tmp):

@@ -46,14 +46,19 @@ def write_count_table_csv(path, table: Mapping[str, int]) -> None:
 def write_count_npz(path, result) -> None:
     """Binary count-table export: dense histograms save as `hist`; sparse
     results save as sorted (`codes` uint64, `counts` int64). Metadata in
-    `k`/`canonical`. Loadable with np.load."""
+    `k`/`canonical`. Loadable with np.load.
+
+    Large sparse tables are written uncompressed: k-mer codes are near-
+    incompressible and gzip cost dominated a 100 MB-input run (minutes of
+    CPU for ~0 ratio)."""
     meta = {"k": result.k, "canonical": result.canonical}
     if hasattr(result, "hist"):
-        np.savez_compressed(path, hist=result.hist, **meta)
+        save = np.savez_compressed if result.hist.nbytes < (64 << 20) else np.savez
+        save(path, hist=result.hist, **meta)
     else:
-        np.savez_compressed(
-            path, codes=result.codes, counts=result.counts, **meta
-        )
+        big = result.codes.nbytes + result.counts.nbytes >= (16 << 20)
+        save = np.savez if big else np.savez_compressed
+        save(path, codes=result.codes, counts=result.counts, **meta)
 
 
 def read_distances_csv(path) -> np.ndarray:
