@@ -11,6 +11,7 @@ counting path (ops/sparse.sort_unique_counts).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -103,7 +104,7 @@ def rolling_codes_split_pallas(
     if not (1 <= k <= MAX_SPARSE_K):
         raise ValueError(f"k must be in [1, {MAX_SPARSE_K}]")
     T = bases.shape[0]
-    chunk = 512
+    chunk = int(os.environ.get("KMER_TPU_HIST_CHUNK", "512"))
     halo = k - 1
     # Lane-aligned row width (non-128-multiple block widths crash Mosaic).
     row_w = _round_up(chunk + halo, 128)

@@ -27,6 +27,7 @@ accumulator tile stays within VMEM.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -284,7 +285,7 @@ def histogram_pallas(
     HBM."""
     T = bases.shape[0]
     H, W = _split_hw(bins)
-    chunk = 512
+    chunk = int(os.environ.get("KMER_TPU_HIST_CHUNK", "512"))
     halo = k - 1
     # Lane-align the row width (non-multiple-of-128 block widths crash the
     # Mosaic compiler); the extra overlap columns beyond chunk+halo are
