@@ -337,14 +337,31 @@ class KmerEngine:
         for i, s in enumerate(seqs):
             Lp = _round_up(max(_pow2_bucket(max(len(s), 1)), cfg.k), _LANE)
             buckets.setdefault(Lp, []).append(i)
+        pallas = self._pallas()
         for Lp, idxs in buckets.items():
             grid = np.full((len(idxs), Lp), codec.INVALID_BASE, dtype=np.uint8)
             for row, i in enumerate(idxs):
                 grid[row, : len(seqs[i])] = codec.encode_bases(seqs[i])
-            counts = _counts_matrix_batch(
-                jnp.asarray(grid), cfg.k, cfg.bins, cfg.canonical, self._pallas()
-            )
-            out[np.asarray(idxs)] = np.asarray(counts)
+            try:
+                counts = np.asarray(
+                    _counts_matrix_batch(
+                        jnp.asarray(grid), cfg.k, cfg.bins, cfg.canonical, pallas
+                    )
+                )
+            except Exception as e:
+                # Same degradation as count_stream: a kernel-compile failure
+                # (flaky remote Mosaic helper) falls back to the jnp path.
+                if pallas is None or not any(
+                    s in str(e) for s in ("Mosaic", "remote_compile")
+                ):
+                    raise
+                pallas = None
+                counts = np.asarray(
+                    _counts_matrix_batch(
+                        jnp.asarray(grid), cfg.k, cfg.bins, cfg.canonical, None
+                    )
+                )
+            out[np.asarray(idxs)] = counts
         return out
 
     def distance_sequences(

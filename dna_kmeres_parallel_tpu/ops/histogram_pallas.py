@@ -63,9 +63,11 @@ def _rolling_codes_2d(bases, k: int, n: int):
     code = jnp.zeros((bases.shape[0], n), jnp.int32)
     valid = jnp.ones((bases.shape[0], n), jnp.bool_)
     for t in range(k):
-        w = jax.lax.slice_in_dim(bases, t, t + n, axis=1)
+        # Cast to int32 BEFORE comparing: uint8 lane compares crash the
+        # Mosaic compiler ("Target does not support this comparison").
+        w = jax.lax.slice_in_dim(bases, t, t + n, axis=1).astype(jnp.int32)
         valid = valid & (w < 4)
-        code = (code << 2) | (w & 3).astype(jnp.int32)
+        code = (code << 2) | (w & 3)
     return code, valid
 
 

@@ -20,6 +20,9 @@ import pathlib
 import sys
 import time
 
+# Runnable from anywhere without installing the package.
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 
 def main(argv):
     if len(argv) != 3:
