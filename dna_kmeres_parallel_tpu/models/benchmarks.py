@@ -206,17 +206,30 @@ def run_sparse_bench(
     ]
     n_own = jnp.int32(batch_bases - k + 1)
 
+    from dna_kmeres_parallel_tpu.ops import runtime
+
+    pallas = runtime.pallas_mode()  # engine-equivalent kernel selection
+
     def one(i):
-        hi, lo, counts, starts = sparse_ops.sort_unique_counts(
-            inputs[i % n_distinct], n_own, k, canonical
+        words, starts = sparse_ops.sort_unique_starts(
+            inputs[i % n_distinct], n_own, k, canonical, pallas=pallas
         )
-        # Device-side reduction; summed across batches, fetched once.
-        return jnp.sum(jnp.where(starts, counts, 0))
+        major = words[0]
+        sent = jnp.asarray(jnp.iinfo(major.dtype).max, major.dtype)
+        n = major.shape[0]
+        # [windows_counted, order-signature]: the signature is a
+        # permutation-VARIANT reduction (start positions weighted by index)
+        # — a permutation-invariant one lets XLA elide the sort entirely
+        # (measured: a k=13 "17 Gbase/s" phantom).
+        idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        n_valid = jnp.sum((major != sent).astype(jnp.int32))
+        sig = jnp.sum(jnp.where(starts, idx, 0))
+        return jnp.stack([n_valid, sig])
 
     c0 = one(0)
-    _ = int(c0)  # warmup + materialize (host fetch is the only true sync)
+    _ = np.asarray(c0)  # warmup + materialize (host fetch is the only true sync)
     t0 = time.perf_counter()
-    _ = int(c0 + jnp.int32(0))
+    _ = np.asarray(c0 + jnp.int32(0))
     t_fetch = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -224,7 +237,7 @@ def run_sparse_bench(
     for i in range(n_batches):
         c = one(i)
         acc = c if acc is None else acc + c
-    total_counted = int(acc)
+    total_counted = int(np.asarray(acc)[0])
     elapsed = max(time.perf_counter() - t0 - t_fetch, 1e-9)
 
     measured = n_batches * batch_bases

@@ -286,10 +286,34 @@ class StreamingCounter:
             padded[: seg.shape[0]] = seg
             return jnp.asarray(padded)
 
+        from dna_kmeres_parallel_tpu.models.sparse_engine import compact_starts
+
+        # Software pipelining: batch t's host compaction (D2H fetch + native
+        # compactor) runs only after batch t+1 has been dispatched, so the
+        # device sorts t+1 while the host drains t.
+        pending = None  # (words, starts, batch_start, batch_end)
+
+        def drain(p):
+            nonlocal since_ckpt
+            words, starts, p_start, p_end = p
+            with self.metrics.phase("compact"):
+                tables.append(compact_starts(words, starts))
+            self.metrics.count("bases", p_end - p_start)
+            self.metrics.count("batches")
+            since_ckpt += p_end - p_start
+            if since_ckpt >= self.checkpoint_every_bases:
+                with self.metrics.phase("merge"):
+                    tables[:] = [merge_sparse_tables(tables)]
+                self._save(p_end, total_bases, sparse=tables[0])
+                since_ckpt = 0
+
         for (start, end, T, overlap), staged in _prefetched(
             self._batches(total, cursor), prep
         ):
             if self.max_batches is not None and done_batches >= self.max_batches:
+                if pending is not None:
+                    drain(pending)
+                    pending = None
                 with self.metrics.phase("merge"):
                     tables = [merge_sparse_tables(tables)]
                 self._save(start, total_bases, sparse=tables[0])
@@ -297,8 +321,8 @@ class StreamingCounter:
                 break
             done_batches += 1
             with self.metrics.phase("device"):
-                hi, lo, counts, starts = self._with_retry(
-                    lambda: sparse_ops.sort_unique_counts(
+                words, starts = self._with_retry(
+                    lambda: sparse_ops.sort_unique_starts(
                         staged,
                         jnp.int32(end - start),
                         cfg.k,
@@ -308,18 +332,11 @@ class StreamingCounter:
                         ),
                     )
                 )
-            with self.metrics.phase("compact"):
-                from dna_kmeres_parallel_tpu.models.sparse_engine import compact_rle
-
-                tables.append(compact_rle(hi, lo, counts, starts))
-            self.metrics.count("bases", end - start)
-            self.metrics.count("batches")
-            since_ckpt += end - start
-            if since_ckpt >= self.checkpoint_every_bases:
-                with self.metrics.phase("merge"):
-                    tables = [merge_sparse_tables(tables)]
-                self._save(end, total_bases, sparse=tables[0])
-                since_ckpt = 0
+            if pending is not None:
+                drain(pending)
+            pending = (words, starts, start, end)
+        if pending is not None:
+            drain(pending)
         with self.metrics.phase("merge"):
             codes, counts = merge_sparse_tables(tables)
         if not stopped:

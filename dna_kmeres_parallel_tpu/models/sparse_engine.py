@@ -26,10 +26,36 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def compact_starts(words, starts) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted device code words + run-start flags -> (codes_u64, counts_i64).
+
+    Run lengths are derived from consecutive start indices (ops/sparse
+    no longer computes them on device — they cost a device scan and a
+    4-bytes-per-window transfer for information the indices already carry).
+    Native C++ two-pass multithreaded compactor when available; the Python
+    fallback is flatnonzero + diff.
+    """
+    from dna_kmeres_parallel_tpu import native
+
+    words = tuple(np.asarray(w) for w in words)
+    starts = np.asarray(starts)
+    if native.available():
+        return native.compact_starts_native(words, starts)
+    major = words[0]
+    sent = major.dtype.type(np.iinfo(major.dtype).max)  # all-ones sentinel
+    end = int(np.searchsorted(major, sent))  # sorted: sentinel tail begins
+    idx = np.flatnonzero(starts[:end])
+    counts = np.diff(np.append(idx, end)).astype(np.int64)
+    if len(words) == 1:
+        codes = words[0][idx].astype(np.uint64)
+    else:
+        codes = sparse_ops.merged_code64(words[0][idx], words[1][idx])
+    return codes, counts
+
+
 def compact_rle(hi, lo, counts, starts) -> tuple[np.ndarray, np.ndarray]:
-    """Masked device RLE output -> (codes_u64, counts_i64), via the native
-    C++ single-pass compactor when available (the Python fallback is
-    flatnonzero + fancy indexing)."""
+    """Back-compat: masked device RLE output (with device-computed counts)
+    -> (codes_u64, counts_i64)."""
     from dna_kmeres_parallel_tpu import native
 
     hi = np.asarray(hi)
@@ -48,10 +74,22 @@ def compact_rle(hi, lo, counts, starts) -> tuple[np.ndarray, np.ndarray]:
 def merge_sparse_tables(
     tables: list[tuple[np.ndarray, np.ndarray]]
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Merge [(codes_u64 sorted-unique, counts int64), ...] into one."""
+    """Merge [(codes_u64 sorted-unique, counts int64), ...] into one.
+
+    Native path: multithreaded k-way heap merge partitioned by sampled
+    code-range pivots — O(n log m) with no giant argsort. (The np fallback
+    argsort over the concatenation costs minutes at the 1-GB/k=21 scale
+    where the merged inputs approach 1e9 entries.)
+    """
     tables = [t for t in tables if t[0].size]
     if not tables:
         return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    if len(tables) == 1:
+        return tables[0]
+    from dna_kmeres_parallel_tpu import native
+
+    if native.available():
+        return native.merge_tables_native(tables)
     codes = np.concatenate([t[0] for t in tables])
     counts = np.concatenate([t[1] for t in tables])
     # Introsort, not stable mergesort: grouping equal codes is all the
@@ -66,6 +104,34 @@ def merge_sparse_tables(
     out_counts = np.zeros(out_codes.shape[0], np.int64)
     np.add.at(out_counts, group, counts)
     return out_codes, out_counts
+
+
+class MergeLadder:
+    """Bounded-memory incremental merging of per-batch tables.
+
+    Keeps a stack of sorted tables with geometrically decreasing sizes
+    (LSM-style): pushing a table merges while the top two are within 2x,
+    so total merge work is O(n log n_batches) and peak memory stays ~2x
+    the final table instead of #batches x batch-table.
+    """
+
+    def __init__(self):
+        self._stack: list[tuple[np.ndarray, np.ndarray]] = []
+
+    def push(self, table: tuple[np.ndarray, np.ndarray]) -> None:
+        if not table[0].size:
+            return
+        self._stack.append(table)
+        while (
+            len(self._stack) >= 2
+            and self._stack[-2][0].size <= 2 * self._stack[-1][0].size
+        ):
+            b = self._stack.pop()
+            a = self._stack.pop()
+            self._stack.append(merge_sparse_tables([a, b]))
+
+    def result(self) -> tuple[np.ndarray, np.ndarray]:
+        return merge_sparse_tables(self._stack)
 
 
 @dataclass
@@ -130,21 +196,23 @@ class SparseKmerEngine:
             pow2 = 1 << (max(total, _LANE) - 1).bit_length()
             batch = max(min(cfg.batch_bases, pow2), cfg.k)
             T = _round_up(batch + overlap, _LANE)
+            ladder = MergeLadder()
             start = 0
             while start < total:
                 end = min(start + batch, total)
                 seg = flat[start : min(end + overlap, total)]
                 padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
                 padded[: seg.shape[0]] = seg
-                hi, lo, counts, starts = sparse_ops.sort_unique_counts(
+                words, starts = sparse_ops.sort_unique_starts(
                     jnp.asarray(padded),
                     jnp.int32(end - start),
                     cfg.k,
                     cfg.canonical,
                     pallas=self._pallas(),
                 )
-                tables.append(compact_rle(hi, lo, counts, starts))
+                ladder.push(compact_starts(words, starts))
                 start = end
+            tables = [ladder.result()]
         codes, counts = merge_sparse_tables(tables)
         return SparseCountResult(
             k=cfg.k,

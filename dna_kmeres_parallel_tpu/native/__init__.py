@@ -83,6 +83,19 @@ def _load():
     lib.kp_compact_rle.argtypes = [
         u32p, u32p, i32p, u8p, ctypes.c_int64, u64p, i64p
     ]
+    lib.kp_compact_starts.restype = ctypes.c_int64
+    lib.kp_compact_starts.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, u32p, u8p, ctypes.c_int64, u64p, i64p
+    ]
+    lib.kp_merge_tables.restype = ctypes.c_int64
+    lib.kp_merge_tables.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_void_p),
+        i64p,
+        u64p,
+        i64p,
+    ]
     _lib = lib
     return _lib
 
@@ -217,6 +230,84 @@ def compact_rle_native(
     )
     assert w == m
     return out_code, out_cnt
+
+
+def compact_starts_native(
+    words: tuple[np.ndarray, ...], starts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted code words + run-start flags -> (codes_u64, counts_i64).
+
+    Run lengths come from consecutive start indices (the device never
+    computes them). words is (lo_u32,) for k <= 15 or (hi_u16|u32, lo_u32).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native compactor unavailable: {_build_error}")
+    lo = np.ascontiguousarray(words[-1], dtype=np.uint32)
+    if len(words) == 1:
+        hi_ptr, hi_width = None, 0
+        hi = None
+    else:
+        hi = np.ascontiguousarray(words[0])
+        if hi.dtype == np.uint16:
+            hi_width = 2
+        elif hi.dtype == np.uint32:
+            hi_width = 4
+        else:
+            raise ValueError(f"hi word dtype {hi.dtype} unsupported")
+        hi_ptr = hi.ctypes.data_as(ctypes.c_void_p)
+    starts_u8 = np.ascontiguousarray(starts, dtype=np.uint8)
+    n = lo.shape[0]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    m = lib.kp_count_starts(starts_u8.ctypes.data_as(u8p), n)
+    out_code = np.zeros(m, dtype=np.uint64)
+    out_cnt = np.zeros(m, dtype=np.int64)
+    w = lib.kp_compact_starts(
+        hi_ptr,
+        hi_width,
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        starts_u8.ctypes.data_as(u8p),
+        n,
+        out_code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out_cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    assert w == m, (w, m)
+    return out_code, out_cnt
+
+
+def merge_tables_native(
+    tables: list[tuple[np.ndarray, np.ndarray]]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Multithreaded k-way merge of sorted-unique (codes_u64, counts_i64)
+    tables, summing counts of equal codes."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native merge unavailable: {_build_error}")
+    tables = [t for t in tables if t[0].size]
+    if not tables:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    m = len(tables)
+    codes = [np.ascontiguousarray(t[0], dtype=np.uint64) for t in tables]
+    cnts = [np.ascontiguousarray(t[1], dtype=np.int64) for t in tables]
+    lens = np.array([c.shape[0] for c in codes], dtype=np.int64)
+    total = int(lens.sum())
+    out_code = np.zeros(total, dtype=np.uint64)
+    out_cnt = np.zeros(total, dtype=np.int64)
+    code_ptrs = (ctypes.c_void_p * m)(
+        *[c.ctypes.data_as(ctypes.c_void_p).value for c in codes]
+    )
+    cnt_ptrs = (ctypes.c_void_p * m)(
+        *[c.ctypes.data_as(ctypes.c_void_p).value for c in cnts]
+    )
+    w = lib.kp_merge_tables(
+        m,
+        code_ptrs,
+        cnt_ptrs,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out_cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out_code[:w], out_cnt[:w]
 
 
 def unpack_2bit_native(data: np.ndarray, mask: np.ndarray, n: int) -> np.ndarray:

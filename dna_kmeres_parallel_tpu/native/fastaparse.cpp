@@ -304,3 +304,216 @@ int64_t kp_compact_rle(const uint32_t* hi, const uint32_t* lo,
 }
 
 }  // extern "C"
+
+#include <algorithm>
+#include <thread>
+#include <vector>
+
+namespace {
+
+int num_threads(int64_t work, int64_t grain) {
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  if (hw <= 0) hw = 1;
+  int64_t by_work = work / grain;
+  return static_cast<int>(
+      std::max<int64_t>(1, std::min<int64_t>(std::min<int64_t>(hw, 16), by_work)));
+}
+
+// Combined code at index i for the (hi?, lo) sorted word layout.
+inline uint64_t word_code(const void* hi, int hi_width, const uint32_t* lo,
+                          int64_t i) {
+  if (hi_width == 0) return lo[i];
+  if (hi_width == 2)
+    return (static_cast<uint64_t>(static_cast<const uint16_t*>(hi)[i]) << 32) |
+           lo[i];
+  return (static_cast<uint64_t>(static_cast<const uint32_t*>(hi)[i]) << 32) |
+         lo[i];
+}
+
+// First index whose MAJOR sort word equals the all-ones sentinel (the
+// invalid-window tail); the words are sorted ascending so binary search.
+int64_t sentinel_begin(const void* hi, int hi_width, const uint32_t* lo,
+                       int64_t n) {
+  int64_t a = 0, b = n;
+  auto is_sent = [&](int64_t i) {
+    if (hi_width == 0) return lo[i] == 0xFFFFFFFFu;
+    if (hi_width == 2) return static_cast<const uint16_t*>(hi)[i] == 0xFFFFu;
+    return static_cast<const uint32_t*>(hi)[i] == 0xFFFFFFFFu;
+  };
+  while (a < b) {
+    int64_t m = a + (b - a) / 2;
+    if (is_sent(m))
+      b = m;
+    else
+      a = m + 1;
+  }
+  return a;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Compact sorted window codes + run-start flags into a (code, count) table.
+// Run lengths are implied by consecutive start indices (the device never
+// computes them): count(j) = idx(j+1) - idx(j), last run closed by the
+// sentinel tail. hi may be NULL (hi_width 0: code = lo; k <= 15), uint16
+// (hi_width 2) or uint32 (hi_width 4). Multithreaded two-pass
+// (count-prefix-fill). Returns entries written.
+int64_t kp_compact_starts(const void* hi, int hi_width, const uint32_t* lo,
+                          const uint8_t* starts, int64_t n,
+                          uint64_t* out_code, int64_t* out_cnt) {
+  const int64_t end = sentinel_begin(hi, hi_width, lo, n);
+  if (end == 0) return 0;
+  const int nt = num_threads(end, 1 << 20);
+  std::vector<int64_t> range_begin(nt + 1);
+  for (int t = 0; t <= nt; t++) range_begin[t] = end * t / nt;
+  std::vector<int64_t> nstarts(nt, 0);
+
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; t++)
+      ths.emplace_back([&, t] {
+        int64_t c = 0;
+        for (int64_t i = range_begin[t]; i < range_begin[t + 1]; i++)
+          c += (starts[i] != 0);
+        nstarts[t] = c;
+      });
+    for (auto& th : ths) th.join();
+  }
+  std::vector<int64_t> out_off(nt + 1, 0);
+  for (int t = 0; t < nt; t++) out_off[t + 1] = out_off[t] + nstarts[t];
+
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; t++)
+      ths.emplace_back([&, t] {
+        int64_t w = out_off[t];
+        int64_t prev = -1;  // index of the last start seen in this range
+        for (int64_t i = range_begin[t]; i < range_begin[t + 1]; i++) {
+          if (!starts[i]) continue;
+          if (prev >= 0) out_cnt[w - 1] = i - prev;
+          out_code[w] = word_code(hi, hi_width, lo, i);
+          prev = i;
+          w++;
+        }
+        if (prev >= 0) {
+          // Close the range's last run: next start at/after the range end
+          // (runs can span range boundaries), else the sentinel tail.
+          int64_t nxt = range_begin[t + 1];
+          while (nxt < end && !starts[nxt]) nxt++;
+          out_cnt[w - 1] = nxt - prev;
+        }
+      });
+    for (auto& th : ths) th.join();
+  }
+  return out_off[nt];
+}
+
+// Merge m sorted (codes u64 ascending-unique, counts i64) tables into one,
+// summing counts of equal codes. out arrays must hold sum(lens) entries.
+// Multithreaded by code-range partition (pivots sampled from the inputs so
+// skewed distributions still balance); each partition is an independent
+// linear-time heap merge, then partitions are compacted contiguously.
+// Returns the merged length.
+int64_t kp_merge_tables(int64_t m, const uint64_t* const* codes,
+                        const int64_t* const* cnts, const int64_t* lens,
+                        uint64_t* out_code, int64_t* out_cnt) {
+  int64_t total = 0;
+  for (int64_t i = 0; i < m; i++) total += lens[i];
+  if (total == 0) return 0;
+  const int nt = num_threads(total, 1 << 20);
+
+  // Sample pivots across all tables (tables are sorted, so striding each
+  // one samples its distribution).
+  std::vector<uint64_t> samples;
+  samples.reserve(1024);
+  for (int64_t i = 0; i < m; i++) {
+    int64_t step = std::max<int64_t>(1, lens[i] / 64);
+    for (int64_t j = 0; j < lens[i]; j += step) samples.push_back(codes[i][j]);
+  }
+  std::sort(samples.begin(), samples.end());
+  std::vector<uint64_t> pivot(nt + 1);
+  pivot[0] = 0;
+  pivot[nt] = UINT64_MAX;
+  for (int t = 1; t < nt; t++)
+    pivot[t] = samples[samples.size() * t / nt];
+
+  // Per (partition, table) input ranges; partition p takes codes in
+  // [pivot[p], pivot[p+1]) — last partition inclusive of UINT64_MAX.
+  std::vector<std::vector<int64_t>> lo_idx(nt + 1, std::vector<int64_t>(m));
+  for (int64_t i = 0; i < m; i++) {
+    lo_idx[0][i] = 0;
+    lo_idx[nt][i] = lens[i];
+    for (int t = 1; t < nt; t++)
+      lo_idx[t][i] = std::lower_bound(codes[i], codes[i] + lens[i], pivot[t]) -
+                     codes[i];
+  }
+  std::vector<int64_t> part_cap(nt + 1, 0);  // input sizes = output caps
+  for (int t = 0; t < nt; t++) {
+    int64_t c = 0;
+    for (int64_t i = 0; i < m; i++) c += lo_idx[t + 1][i] - lo_idx[t][i];
+    part_cap[t + 1] = part_cap[t] + c;
+  }
+
+  std::vector<int64_t> part_len(nt, 0);
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; t++)
+      ths.emplace_back([&, t] {
+        // Small m: a flat "pick min head" loop beats heap bookkeeping for
+        // m <~ 8; above that use a binary heap of table heads.
+        struct Head {
+          uint64_t code;
+          int64_t tab;
+        };
+        std::vector<int64_t> pos(m), stop(m);
+        std::vector<Head> heap;
+        heap.reserve(m);
+        for (int64_t i = 0; i < m; i++) {
+          pos[i] = lo_idx[t][i];
+          stop[i] = lo_idx[t + 1][i];
+          if (pos[i] < stop[i]) heap.push_back({codes[i][pos[i]], i});
+        }
+        auto cmp = [](const Head& a, const Head& b) { return a.code > b.code; };
+        std::make_heap(heap.begin(), heap.end(), cmp);
+        uint64_t* oc = out_code + part_cap[t];
+        int64_t* on = out_cnt + part_cap[t];
+        int64_t w = -1;
+        while (!heap.empty()) {
+          std::pop_heap(heap.begin(), heap.end(), cmp);
+          Head h = heap.back();
+          heap.pop_back();
+          if (w >= 0 && oc[w] == h.code) {
+            on[w] += cnts[h.tab][pos[h.tab]];
+          } else {
+            w++;
+            oc[w] = h.code;
+            on[w] = cnts[h.tab][pos[h.tab]];
+          }
+          if (++pos[h.tab] < stop[h.tab]) {
+            heap.push_back({codes[h.tab][pos[h.tab]], h.tab});
+            std::push_heap(heap.begin(), heap.end(), cmp);
+          }
+        }
+        part_len[t] = w + 1;
+      });
+    for (auto& th : ths) th.join();
+  }
+
+  // Compact partitions to be contiguous (they were written at conservative
+  // input-size offsets; merged lengths can only be smaller).
+  int64_t w = part_len.empty() ? 0 : part_len[0];
+  for (int t = 1; t < nt; t++) {
+    if (part_cap[t] != w) {
+      memmove(out_code + w, out_code + part_cap[t],
+              part_len[t] * sizeof(uint64_t));
+      memmove(out_cnt + w, out_cnt + part_cap[t],
+              part_len[t] * sizeof(int64_t));
+    }
+    w += part_len[t];
+  }
+  return w;
+}
+
+}  // extern "C"

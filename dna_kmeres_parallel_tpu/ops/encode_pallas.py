@@ -19,7 +19,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dna_kmeres_parallel_tpu.ops.encode import INVALID
-from dna_kmeres_parallel_tpu.ops.sparse import MAX_SPARSE_K, _lo_bases
+from dna_kmeres_parallel_tpu.ops.sparse import (
+    MAX_SINGLE_WORD_K,
+    MAX_SPARSE_K,
+    _lo_bases,
+)
 
 _SENTINEL = 0xFFFFFFFF
 
@@ -28,11 +32,13 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _make_encode_kernel(k: int, canonical: bool, chunk: int):
+def _make_encode_kernel(k: int, canonical: bool, chunk: int, single: bool):
     nlo = _lo_bases(k)
     nhi = k - nlo
 
-    def kernel(bases_ref, n_own_ref, hi_ref, lo_ref):
+    def kernel(bases_ref, n_own_ref, *out_refs):
+        lo_ref = out_refs[-1]
+        hi_ref = None if single else out_refs[0]
         # Vectorized over the whole [8, chunk] block (per-row processing
         # wastes 7/8 of the VPU sublanes): each row is a contiguous stream
         # span with its own halo tail, so window s of every row is just the
@@ -80,10 +86,11 @@ def _make_encode_kernel(k: int, canonical: bool, chunk: int):
         # Mosaic compiler (bisected); bit patterns are preserved and the
         # wrapper bitcasts back to uint32.
         sent_i = jnp.int32(-1)  # 0xFFFFFFFF
-        hi_i = jax.lax.bitcast_convert_type(hi, jnp.int32)
         lo_i = jax.lax.bitcast_convert_type(lo, jnp.int32)
-        hi_ref[:] = jnp.where(valid, hi_i, sent_i)
         lo_ref[:] = jnp.where(valid, lo_i, sent_i)
+        if hi_ref is not None:
+            hi_i = jax.lax.bitcast_convert_type(hi, jnp.int32)
+            hi_ref[:] = jnp.where(valid, hi_i, sent_i)
 
     return kernel
 
@@ -100,9 +107,13 @@ def rolling_codes_split_pallas(
 ):
     """[T] uint8 stream -> (hi, lo) uint32 [Tp] window codes (sentinel
     0xFFFFFFFF where invalid / beyond n_own; Tp = T rounded up to the tile
-    span — the sentinel tail sorts to the end and is ignored downstream)."""
+    span — the sentinel tail sorts to the end and is ignored downstream).
+
+    For k <= 15 the full code fits lo, so hi is None and the kernel writes
+    a single output plane (half the HBM store traffic)."""
     if not (1 <= k <= MAX_SPARSE_K):
         raise ValueError(f"k must be in [1, {MAX_SPARSE_K}]")
+    single = k <= MAX_SINGLE_WORD_K
     T = bases.shape[0]
     chunk = int(os.environ.get("KMER_TPU_HIST_CHUNK", "512"))
     halo = k - 1
@@ -116,12 +127,13 @@ def rolling_codes_split_pallas(
 
     rows = _overlapped_rows(bases, T, Tp, n_rows, chunk, row_w)
 
-    kernel = _make_encode_kernel(k, canonical, chunk)
-    hi, lo = pl.pallas_call(
+    kernel = _make_encode_kernel(k, canonical, chunk, single)
+    n_out = 1 if single else 2
+    out = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((n_rows, chunk), jnp.int32),
-            jax.ShapeDtypeStruct((n_rows, chunk), jnp.int32),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_rows, chunk), jnp.int32)
+            for _ in range(n_out)
         ),
         grid=(n_tiles,),
         in_specs=[
@@ -130,12 +142,14 @@ def rolling_codes_split_pallas(
             ),
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((8, chunk), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, chunk), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_specs=tuple(
+            pl.BlockSpec((8, chunk), lambda t: (t, 0), memory_space=pltpu.VMEM)
+            for _ in range(n_out)
         ),
         interpret=interpret,
     )(rows, jnp.asarray(n_own, dtype=jnp.int32).reshape(1, 1))
-    hi = jax.lax.bitcast_convert_type(hi.reshape(-1), jnp.uint32)
-    lo = jax.lax.bitcast_convert_type(lo.reshape(-1), jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(out[-1].reshape(-1), jnp.uint32)
+    if single:
+        return None, lo
+    hi = jax.lax.bitcast_convert_type(out[0].reshape(-1), jnp.uint32)
     return hi, lo

@@ -1,24 +1,31 @@
-"""Sparse (sorted) k-mer counting for large k (16 <= k <= 31).
+"""Sparse (sorted) k-mer counting for large k (13 <= k <= 31).
 
 4^k dwarfs HBM for k >= 16 (4^21 ~ 4.4e12 bins), so the dense-histogram
 representation gives way to the sorted sparse table — the TPU-native
 formulation of what CPU/GPU counters (KMC, Gerbil) do with disk buckets:
 
-  bases -> rolling SPLIT-WORD codes (hi, lo) uint32     (k <= 31: 2k bits)
+  bases -> rolling SPLIT-WORD codes (hi, lo)             (k <= 31: 2k bits)
         -> optional RC canonicalization (lexicographic min of split words)
-        -> two-key XLA sort (lexicographic on (hi, lo))
-        -> run-length encoding with static shapes (no scatter):
-           run starts by neighbor-compare, run lengths by a reverse
-           minimum-scan over flagged positions.
+        -> multi-key XLA sort (lexicographic)
+        -> run-START flags by neighbor-compare (no scatter)
 
-Every step is O(T) or O(T log T) vectorized work with static shapes — no
-data-dependent control flow, no scatter. The compaction of the masked RLE
-output to a dense (codes, counts) table is host-side (np.flatnonzero), and
-cross-batch merging is an integer sorted-merge (models/sparse_engine.py).
+Run *lengths* are NOT computed on device: consecutive start indices encode
+them for free, so the host compactor (native/fastaparse.cpp kp_compact_*)
+derives counts while compacting — this removes both a device scan
+(lax.cummin) and a 4-bytes-per-window device->host transfer.
 
-Codes use two uint32 words: lo = last 16 bases (32 bits), hi = first k-16
-bases (2k-32 bits, < 31 bits for k <= 31). For k <= 16 hi is 0-padded; the
-dense engine remains the right tool below k=16.
+The sort is the dominant cost (measured ~88% of the path at k=21 on v5e),
+and every additional 32-bit operand costs ~28% more sort time, so the key
+layout adapts to k:
+
+  k <= 15:       one u32 key (code < 2^30; sentinel 0xFFFFFFFF is safe)
+  16 <= k <= 23: (u16 hi, u32 lo) — hi holds the first 2k-32 <= 14 bits
+                 (k=16's all-T code IS 0xFFFFFFFF, hence the hi word even
+                 though it is zero: the u16 sentinel 0xFFFF disambiguates)
+  24 <= k <= 31: (u32 hi, u32 lo)
+
+lo always holds the last min(k,16) bases; (hi, lo) compares
+lexicographically identically to the 2k-bit code.
 """
 
 from __future__ import annotations
@@ -33,9 +40,26 @@ MAX_SPARSE_K = 31
 
 _LO_BASES = 16  # bases held in the lo word
 
+#: largest k whose codes fit a single u32 strictly below the sentinel
+MAX_SINGLE_WORD_K = 15
+#: largest k whose hi word fits strictly below the u16 sentinel
+MAX_U16_HI_K = 23
+
 
 def _lo_bases(k: int) -> int:
     return min(k, _LO_BASES)
+
+
+def key_words(k: int) -> int:
+    """Number of sort-key words for this k (1 or 2)."""
+    return 1 if k <= MAX_SINGLE_WORD_K else 2
+
+
+def hi_dtype(k: int):
+    """Dtype of the hi sort word (None if single-word)."""
+    if k <= MAX_SINGLE_WORD_K:
+        return None
+    return jnp.uint16 if k <= MAX_U16_HI_K else jnp.uint32
 
 
 def rolling_codes_split(bases: jax.Array, k: int):
@@ -101,32 +125,31 @@ def canonicalize_split(hi: jax.Array, lo: jax.Array, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "canonical", "pallas"))
-def sort_unique_counts(
+def sort_unique_starts(
     bases: jax.Array,
     n_own: jax.Array,
     k: int,
     canonical: bool = False,
     pallas: str | None = None,
 ):
-    """Flat [T] base stream -> sorted sparse count table (static shapes).
+    """Flat [T] base stream -> sorted window codes + run-start flags.
 
-    Returns (hi, lo, counts, starts):
-      hi, lo:  uint32 [N] sorted window codes (invalid windows sort to the
-               sentinel tail hi=0xFFFFFFFF; N = T-k+1 on the jnp path, T
-               rounded up to the encoder tile on the Pallas path)
-      counts:  int32 [N] — at run-start positions, the run length (count of
-               that k-mer); elsewhere garbage
+    Returns (words, starts):
+      words:   tuple of sorted code words, lexicographic-major first —
+               (lo_u32,) for k <= 15, (hi_u16, lo_u32) for k <= 23, else
+               (hi_u32, lo_u32). Invalid windows sort to an all-ones
+               sentinel tail. N = T-k+1 on the jnp path, T rounded up to
+               the encoder tile on the Pallas path.
       starts:  bool [N] — True at the first element of each distinct run
-               (False for the invalid-sentinel tail)
+               (False throughout the invalid-sentinel tail).
 
-    pallas='compiled'/'interpret' routes the encode through the fused
-    Pallas kernel (ops/encode_pallas.py) — one VMEM pass instead of XLA's
-    HBM-round-tripping unrolled shifts.
-
-    Host-side compaction: idx = flatnonzero(starts);
-    table = (hi[idx], lo[idx], counts[idx]).
+    Run lengths are implied: count(run j) = idx(start j+1) - idx(start j),
+    with the sentinel tail (or N) closing the last run — the host
+    compactor (native.compact_starts_native) derives them in its single
+    pass. pallas='compiled'/'interpret' routes the encode through the
+    fused Pallas kernel (ops/encode_pallas.py).
     """
-    sentinel = jnp.uint32(0xFFFFFFFF)
+    sentinel32 = jnp.uint32(0xFFFFFFFF)
     if pallas is not None:
         from dna_kmeres_parallel_tpu.ops.encode_pallas import (
             rolling_codes_split_pallas,
@@ -142,29 +165,77 @@ def sort_unique_counts(
         valid = valid & own
         if canonical:
             hi, lo = canonicalize_split(hi, lo, k)
-        hi = jnp.where(valid, hi, sentinel)
-        lo = jnp.where(valid, lo, sentinel)
+        hi = jnp.where(valid, hi, sentinel32)
+        lo = jnp.where(valid, lo, sentinel32)
 
-    hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2)
-    n = hi_s.shape[0]
+    if k <= MAX_SINGLE_WORD_K:
+        # hi is all zeros for valid windows; the sentinel lives in lo and
+        # cannot collide (codes < 2^30 < 0xFFFFFFFF).
+        (lo_s,) = jax.lax.sort((lo,), num_keys=1)
+        words = (lo_s,)
+    elif k <= MAX_U16_HI_K:
+        # hi fits 14 bits; the u16 sentinel 0xFFFF disambiguates even when
+        # lo is all-ones (the k=16 all-T k-mer). Narrower key word -> fewer
+        # bytes through every sort pass.
+        hi16 = jnp.where(
+            hi == sentinel32, jnp.uint16(0xFFFF), hi.astype(jnp.uint16)
+        )
+        hi_s, lo_s = jax.lax.sort((hi16, lo), num_keys=2)
+        words = (hi_s, lo_s)
+    else:
+        hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2)
+        words = (hi_s, lo_s)
 
-    prev_hi = jnp.concatenate([jnp.full((1,), sentinel, jnp.uint32), hi_s[:-1]])
-    prev_lo = jnp.concatenate([jnp.full((1,), sentinel, jnp.uint32), lo_s[:-1]])
-    is_valid = hi_s != sentinel  # valid windows can't reach hi sentinel
-    starts = ((hi_s != prev_hi) | (lo_s != prev_lo)) & is_valid
+    n = words[-1].shape[0]
+    major = words[0]
+    major_sent = jnp.asarray(
+        0xFFFF if major.dtype == jnp.uint16 else 0xFFFFFFFF, major.dtype
+    )
+    is_valid = major != major_sent
+    neq = jnp.zeros((n - 1,), jnp.bool_)
+    for w in words:
+        neq = neq | (w[1:] != w[:-1])
+    starts = jnp.concatenate([is_valid[:1], neq & is_valid[1:]])
+    return words, starts
 
-    # Run length at a start = (index of next start) - (own index), where the
-    # sentinel tail acts as a final start. Reverse cummin over flagged
-    # positions gives "index of next start at or after me".
+
+def sort_unique_counts(
+    bases: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    canonical: bool = False,
+    pallas: str | None = None,
+):
+    """Back-compat wrapper: (hi, lo, counts, starts) with device-computed
+    run lengths. Prefer sort_unique_starts + host-side counts (the counts
+    array costs a device scan and 4 bytes/window of D2H for information the
+    start indices already encode)."""
+    words, starts = sort_unique_starts(bases, n_own, k, canonical, pallas)
+    return _with_counts(words, starts, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _with_counts(words, starts, k: int):
+    lo_s = words[-1]
+    n = lo_s.shape[0]
+    if len(words) == 1:
+        is_valid = lo_s != jnp.uint32(0xFFFFFFFF)
+        hi_s = jnp.where(is_valid, jnp.uint32(0), jnp.uint32(0xFFFFFFFF))
+    else:
+        hi_s = words[0].astype(jnp.uint32)
+        sent = jnp.asarray(
+            0xFFFF if words[0].dtype == jnp.uint16 else 0xFFFFFFFF,
+            words[0].dtype,
+        )
+        is_valid = words[0] != sent
+        hi_s = jnp.where(is_valid, hi_s, jnp.uint32(0xFFFFFFFF))
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    next_flag = starts | ~is_valid
-    flagged = jnp.where(next_flag, idx, n)
+    flagged = jnp.where(starts | ~is_valid, idx, n)
     # next_start_at_or_after[i] = min(flagged[i:]) — reverse cumulative min.
     # lax.cummin (native scan primitive) — NOT associative_scan, whose
     # generic slice/concat tree takes >15 min to compile at 4M elements on
     # the TPU toolchain (cummin: ~30 s).
     next_start = jax.lax.cummin(flagged, reverse=True)
-    # For a start at i, its run ends at the next flagged position AFTER i.
     after = jnp.concatenate([next_start[1:], jnp.full((1,), n, jnp.int32)])
     counts = after - idx
     return hi_s, lo_s, counts, starts

@@ -139,3 +139,79 @@ def test_compact_rle_native_matches_python():
     codes, cnts = native.compact_rle_native(hi, lo, counts, starts)
     assert codes.tolist() == [(1 << 32) | 9, (2 << 32) | 0, (7 << 32) | 3]
     assert cnts.tolist() == [5, 2, 1]
+
+
+def _python_compact_starts(words, starts):
+    from dna_kmeres_parallel_tpu.models import sparse_engine
+    from dna_kmeres_parallel_tpu.ops import sparse as sparse_ops
+
+    major = words[0]
+    sent = major.dtype.type(np.iinfo(major.dtype).max)
+    end = int(np.searchsorted(major, sent))
+    idx = np.flatnonzero(starts[:end])
+    counts = np.diff(np.append(idx, end)).astype(np.int64)
+    if len(words) == 1:
+        codes = words[0][idx].astype(np.uint64)
+    else:
+        codes = sparse_ops.merged_code64(words[0][idx], words[1][idx])
+    return codes, counts
+
+
+@pytest.mark.parametrize("layout", ["single", "u16", "u32"])
+def test_compact_starts_native_matches_python(layout):
+    # Large enough to exercise the multithreaded two-pass path, with runs
+    # spanning thread-range boundaries.
+    rng = np.random.default_rng(3)
+    n = 1 << 16
+    n_valid = n - 500
+    lo = np.sort(rng.integers(0, 1 << 20, n_valid).astype(np.uint32))
+    lo = np.concatenate([lo, np.full(500, 0xFFFFFFFF, np.uint32)])
+    if layout == "single":
+        words = (lo,)
+    elif layout == "u16":
+        hi = np.zeros(n, np.uint16)
+        hi[n_valid:] = 0xFFFF
+        words = (hi, lo)
+    else:
+        hi = np.zeros(n, np.uint32)
+        hi[n_valid:] = 0xFFFFFFFF
+        words = (hi, lo)
+    starts = np.zeros(n, bool)
+    starts[0] = True
+    starts[1:n_valid] = lo[1:n_valid] != lo[:n_valid - 1]
+    got_c, got_n = native.compact_starts_native(words, starts)
+    want_c, want_n = _python_compact_starts(words, starts)
+    assert np.array_equal(got_c, want_c)
+    assert np.array_equal(got_n, want_n)
+    assert int(got_n.sum()) == n_valid
+
+
+def test_merge_tables_native_matches_python():
+    rng = np.random.default_rng(11)
+    tables = []
+    for _ in range(13):
+        m = int(rng.integers(1, 5000))
+        codes = np.unique(rng.integers(0, 1 << 40, m).astype(np.uint64))
+        cnts = rng.integers(1, 100, codes.shape[0]).astype(np.int64)
+        tables.append((codes, cnts))
+    got_c, got_n = native.merge_tables_native(tables)
+    # numpy reference
+    allc = np.concatenate([t[0] for t in tables])
+    alln = np.concatenate([t[1] for t in tables])
+    order = np.argsort(allc, kind="stable")
+    allc, alln = allc[order], alln[order]
+    uniq = np.concatenate([[True], allc[1:] != allc[:-1]])
+    want_c = allc[uniq]
+    want_n = np.zeros(want_c.shape[0], np.int64)
+    np.add.at(want_n, np.cumsum(uniq) - 1, alln)
+    assert np.array_equal(got_c, want_c)
+    assert np.array_equal(got_n, want_n)
+
+
+def test_merge_tables_native_extreme_codes():
+    # Codes at the extremes (0 and UINT64_MAX) survive pivot partitioning.
+    t1 = (np.array([0, 2**64 - 1], np.uint64), np.array([1, 2], np.int64))
+    t2 = (np.array([0, 5], np.uint64), np.array([7, 1], np.int64))
+    codes, cnts = native.merge_tables_native([t1, t2])
+    assert codes.tolist() == [0, 5, 2**64 - 1]
+    assert cnts.tolist() == [8, 1, 2]

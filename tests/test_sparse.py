@@ -111,6 +111,79 @@ def test_sparse_file(tmp_path, make_dna):
     assert result.n_seqs == 4
 
 
+@pytest.mark.parametrize("canonical", [False, True])
+@pytest.mark.parametrize("k", [13, 15, 16, 17, 21, 23, 24, 31])
+def test_sort_unique_starts_matches_oracle(make_dna, k, canonical):
+    # The new (words, starts) contract across every sort-key-width band:
+    # k<=15 single u32 key, 16..23 (u16, u32), 24..31 (u32, u32).
+    from dna_kmeres_parallel_tpu.models.sparse_engine import compact_starts
+
+    s = make_dna(400, invalid_frac=0.03)
+    bases = jnp.asarray(codec.encode_bases(s))
+    n_own = jnp.int32(len(s) - k + 1)
+    words, starts = sparse_ops.sort_unique_starts(bases, n_own, k, canonical)
+    assert len(words) == sparse_ops.key_words(k)
+    if k <= sparse_ops.MAX_SINGLE_WORD_K:
+        assert words[0].dtype == jnp.uint32
+    else:
+        assert words[0].dtype == (
+            jnp.uint16 if k <= sparse_ops.MAX_U16_HI_K else jnp.uint32
+        )
+    codes, counts = compact_starts(words, starts)
+    want = oracle.count_table_any_k([s], k, canonical)
+    got = {codec.code_to_kmer(int(c), k): int(n) for c, n in zip(codes, counts)}
+    assert got == want
+
+
+def test_sort_unique_starts_all_T_k16():
+    # k=16 all-T code is 0xFFFFFFFF — must NOT be eaten by the sentinel
+    # (the u16 hi word exists exactly to disambiguate this).
+    from dna_kmeres_parallel_tpu.models.sparse_engine import compact_starts
+
+    s = "T" * 40
+    k = 16
+    bases = jnp.asarray(codec.encode_bases(s))
+    words, starts = sparse_ops.sort_unique_starts(
+        bases, jnp.int32(len(s) - k + 1), k
+    )
+    codes, counts = compact_starts(words, starts)
+    assert codes.tolist() == [0xFFFFFFFF]
+    assert counts.tolist() == [40 - 16 + 1]
+
+
+def test_sort_unique_starts_all_T_k15():
+    from dna_kmeres_parallel_tpu.models.sparse_engine import compact_starts
+
+    s = "T" * 40
+    k = 15
+    bases = jnp.asarray(codec.encode_bases(s))
+    words, starts = sparse_ops.sort_unique_starts(
+        bases, jnp.int32(len(s) - k + 1), k
+    )
+    codes, counts = compact_starts(words, starts)
+    assert codes.tolist() == [(1 << 30) - 1]
+    assert counts.tolist() == [40 - 15 + 1]
+
+
+def test_merge_ladder_matches_flat_merge(make_dna):
+    from dna_kmeres_parallel_tpu.models.sparse_engine import MergeLadder
+
+    rng = np.random.default_rng(7)
+    tables = []
+    for _ in range(9):
+        n = int(rng.integers(1, 50))
+        codes = np.unique(rng.integers(0, 200, n).astype(np.uint64))
+        cnts = rng.integers(1, 10, codes.shape[0]).astype(np.int64)
+        tables.append((codes, cnts))
+    ladder = MergeLadder()
+    for t in tables:
+        ladder.push(t)
+    lc, ln = ladder.result()
+    fc, fn = merge_sparse_tables(tables)
+    assert np.array_equal(lc, fc)
+    assert np.array_equal(ln, fn)
+
+
 @pytest.mark.parametrize("k,canonical", [(13, False), (21, False), (21, True), (31, True)])
 def test_pallas_encoder_matches_jnp(make_dna, k, canonical):
     # The fused Pallas split-word encoder (interpret mode) produces the
