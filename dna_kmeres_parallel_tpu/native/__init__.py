@@ -278,14 +278,34 @@ def compact_starts_native(
 def merge_tables_native(
     tables: list[tuple[np.ndarray, np.ndarray]]
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Multithreaded k-way merge of sorted-unique (codes_u64, counts_i64)
-    tables, summing counts of equal codes."""
-    lib = _load()
-    if lib is None:
-        raise RuntimeError(f"native merge unavailable: {_build_error}")
+    """Merge sorted-unique (codes_u64, counts_i64) tables, summing counts
+    of equal codes.
+
+    m > 2 reduces as a binary tree of pair merges: the two-pointer pair
+    merge sustains ~107M entries/s/2 cores vs ~10M for the m-way heap, so
+    log2(m) fast passes beat one slow pass for any realistic m."""
     tables = [t for t in tables if t[0].size]
     if not tables:
         return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    while len(tables) > 2:
+        nxt = [
+            _merge_tables_native_kway(tables[i : i + 2])
+            for i in range(0, len(tables) - 1, 2)
+        ]
+        if len(tables) % 2:
+            nxt.append(tables[-1])
+        tables = nxt
+    return _merge_tables_native_kway(tables)
+
+
+def _merge_tables_native_kway(
+    tables: list[tuple[np.ndarray, np.ndarray]]
+) -> tuple[np.ndarray, np.ndarray]:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native merge unavailable: {_build_error}")
+    if len(tables) == 1:
+        return tables[0]
     m = len(tables)
     codes = [np.ascontiguousarray(t[0], dtype=np.uint64) for t in tables]
     cnts = [np.ascontiguousarray(t[1], dtype=np.int64) for t in tables]

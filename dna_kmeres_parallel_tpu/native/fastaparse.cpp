@@ -461,24 +461,78 @@ int64_t kp_merge_tables(int64_t m, const uint64_t* const* codes,
     std::vector<std::thread> ths;
     for (int t = 0; t < nt; t++)
       ths.emplace_back([&, t] {
-        // Small m: a flat "pick min head" loop beats heap bookkeeping for
-        // m <~ 8; above that use a binary heap of table heads.
+        uint64_t* oc = out_code + part_cap[t];
+        int64_t* on = out_cnt + part_cap[t];
+        // Tables with a non-empty slice of this partition.
+        std::vector<int64_t> act;
+        for (int64_t i = 0; i < m; i++)
+          if (lo_idx[t][i] < lo_idx[t + 1][i]) act.push_back(i);
+
+        if (act.empty()) {
+          part_len[t] = 0;
+          return;
+        }
+        if (act.size() == 1) {
+          // Inputs are sorted-unique already: straight copy.
+          int64_t i = act[0], a = lo_idx[t][i], n = lo_idx[t + 1][i] - a;
+          memcpy(oc, codes[i] + a, n * sizeof(uint64_t));
+          memcpy(on, cnts[i] + a, n * sizeof(int64_t));
+          part_len[t] = n;
+          return;
+        }
+        if (act.size() == 2) {
+          // The dominant shape (the MergeLadder merges pairs): a tight
+          // two-pointer merge, ~10x the heap loop's throughput.
+          int64_t i0 = act[0], i1 = act[1];
+          const uint64_t* c0 = codes[i0];
+          const uint64_t* c1 = codes[i1];
+          const int64_t* n0 = cnts[i0];
+          const int64_t* n1 = cnts[i1];
+          int64_t a = lo_idx[t][i0], ae = lo_idx[t + 1][i0];
+          int64_t b = lo_idx[t][i1], be = lo_idx[t + 1][i1];
+          int64_t w = 0;
+          while (a < ae && b < be) {
+            uint64_t ca = c0[a], cb = c1[b];
+            if (ca < cb) {
+              oc[w] = ca;
+              on[w++] = n0[a++];
+            } else if (cb < ca) {
+              oc[w] = cb;
+              on[w++] = n1[b++];
+            } else {
+              oc[w] = ca;
+              on[w++] = n0[a++] + n1[b++];
+            }
+          }
+          if (a < ae) {
+            memcpy(oc + w, c0 + a, (ae - a) * sizeof(uint64_t));
+            memcpy(on + w, n0 + a, (ae - a) * sizeof(int64_t));
+            w += ae - a;
+          }
+          if (b < be) {
+            memcpy(oc + w, c1 + b, (be - b) * sizeof(uint64_t));
+            memcpy(on + w, n1 + b, (be - b) * sizeof(int64_t));
+            w += be - b;
+          }
+          part_len[t] = w;
+          return;
+        }
+
+        // General shape: binary heap of table heads.
         struct Head {
           uint64_t code;
           int64_t tab;
         };
         std::vector<int64_t> pos(m), stop(m);
         std::vector<Head> heap;
-        heap.reserve(m);
-        for (int64_t i = 0; i < m; i++) {
+        heap.reserve(act.size());
+        for (int64_t i : act) {
           pos[i] = lo_idx[t][i];
           stop[i] = lo_idx[t + 1][i];
-          if (pos[i] < stop[i]) heap.push_back({codes[i][pos[i]], i});
+          heap.push_back({codes[i][pos[i]], i});
         }
         auto cmp = [](const Head& a, const Head& b) { return a.code > b.code; };
         std::make_heap(heap.begin(), heap.end(), cmp);
-        uint64_t* oc = out_code + part_cap[t];
-        int64_t* on = out_cnt + part_cap[t];
         int64_t w = -1;
         while (!heap.empty()) {
           std::pop_heap(heap.begin(), heap.end(), cmp);
