@@ -107,6 +107,29 @@ class StreamingCounter:
         from dna_kmeres_parallel_tpu.utils import fasta
 
         cfg = self.config
+        if isinstance(source, (list, tuple)):
+            # Multi-file input: concatenate per-file streams with one
+            # sentinel between (counts add; no cross-file window exists).
+            streams, total_bases, n_seqs = [], 0, 0
+            saved_max = cfg.max_seqs
+            for s in source:
+                if saved_max is not None and n_seqs >= saved_max:
+                    break
+                if saved_max is not None:
+                    self.config = cfg.replace(max_seqs=saved_max - n_seqs)
+                try:
+                    flat, tb, ns = self._load_stream(s)
+                finally:
+                    self.config = cfg
+                if streams and flat.size:
+                    streams.append(np.array([codec.INVALID_BASE], np.uint8))
+                streams.append(flat)
+                total_bases += tb
+                n_seqs += ns
+            flat = (
+                np.concatenate(streams) if streams else np.zeros(0, np.uint8)
+            )
+            return flat, total_bases, n_seqs
         with self.metrics.phase("parse"):
             if (
                 cfg.parser_variant == "modern"
@@ -286,18 +309,18 @@ class StreamingCounter:
             padded[: seg.shape[0]] = seg
             return jnp.asarray(padded)
 
-        from dna_kmeres_parallel_tpu.models.sparse_engine import compact_starts
+        from dna_kmeres_parallel_tpu.models.sparse_engine import compact_table
 
         # Software pipelining: batch t's host compaction (D2H fetch + native
         # compactor) runs only after batch t+1 has been dispatched, so the
         # device sorts t+1 while the host drains t.
-        pending = None  # (words, starts, batch_start, batch_end)
+        pending = None  # (words, batch_start, batch_end)
 
         def drain(p):
             nonlocal since_ckpt
-            words, starts, p_start, p_end = p
+            words, p_start, p_end = p
             with self.metrics.phase("compact"):
-                tables.append(compact_starts(words, starts))
+                tables.append(compact_table(words))
             self.metrics.count("bases", p_end - p_start)
             self.metrics.count("batches")
             since_ckpt += p_end - p_start
@@ -321,8 +344,8 @@ class StreamingCounter:
                 break
             done_batches += 1
             with self.metrics.phase("device"):
-                words, starts = self._with_retry(
-                    lambda: sparse_ops.sort_unique_starts(
+                words = self._with_retry(
+                    lambda: sparse_ops.sort_words(
                         staged,
                         jnp.int32(end - start),
                         cfg.k,
@@ -334,7 +357,7 @@ class StreamingCounter:
                 )
             if pending is not None:
                 drain(pending)
-            pending = (words, starts, start, end)
+            pending = (words, start, end)
         if pending is not None:
             drain(pending)
         with self.metrics.phase("merge"):

@@ -26,6 +26,35 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def compact_table(words) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted device code words -> (codes_u64, counts_i64).
+
+    Run boundaries and lengths both come from neighbor compares during the
+    host pass (no device-side flags; see ops/sparse.sort_words). Native
+    multithreaded compactor when available.
+    """
+    from dna_kmeres_parallel_tpu import native
+
+    words = tuple(np.asarray(w) for w in words)
+    if native.available():
+        return native.compact_sorted_native(words)
+    major = words[0]
+    sent = major.dtype.type(np.iinfo(major.dtype).max)
+    end = int(np.searchsorted(major, sent))
+    if end == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    if len(words) == 1:
+        codes_all = words[0][:end].astype(np.uint64)
+    else:
+        codes_all = sparse_ops.merged_code64(words[0][:end], words[1][:end])
+    starts = np.empty(end, bool)
+    starts[0] = True
+    np.not_equal(codes_all[1:], codes_all[:-1], out=starts[1:])
+    idx = np.flatnonzero(starts)
+    counts = np.diff(np.append(idx, end)).astype(np.int64)
+    return codes_all[idx], counts
+
+
 def compact_starts(words, starts) -> tuple[np.ndarray, np.ndarray]:
     """Sorted device code words + run-start flags -> (codes_u64, counts_i64).
 
@@ -203,14 +232,14 @@ class SparseKmerEngine:
                 seg = flat[start : min(end + overlap, total)]
                 padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
                 padded[: seg.shape[0]] = seg
-                words, starts = sparse_ops.sort_unique_starts(
+                words = sparse_ops.sort_words(
                     jnp.asarray(padded),
                     jnp.int32(end - start),
                     cfg.k,
                     cfg.canonical,
                     pallas=self._pallas(),
                 )
-                ladder.push(compact_starts(words, starts))
+                ladder.push(compact_table(words))
                 start = end
             tables = [ladder.result()]
         codes, counts = merge_sparse_tables(tables)

@@ -87,6 +87,14 @@ def _load():
     lib.kp_compact_starts.argtypes = [
         ctypes.c_void_p, ctypes.c_int, u32p, u8p, ctypes.c_int64, u64p, i64p
     ]
+    lib.kp_count_distinct.restype = ctypes.c_int64
+    lib.kp_count_distinct.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, u32p, ctypes.c_int64
+    ]
+    lib.kp_compact_sorted.restype = ctypes.c_int64
+    lib.kp_compact_sorted.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, u32p, ctypes.c_int64, u64p, i64p
+    ]
     lib.kp_merge_tables.restype = ctypes.c_int64
     lib.kp_merge_tables.argtypes = [
         ctypes.c_int64,
@@ -267,6 +275,49 @@ def compact_starts_native(
         hi_width,
         lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         starts_u8.ctypes.data_as(u8p),
+        n,
+        out_code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out_cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    assert w == m, (w, m)
+    return out_code, out_cnt
+
+
+def _hi_layout(words: tuple[np.ndarray, ...]):
+    """(hi_ptr, hi_width, lo) for the sorted-word layouts."""
+    lo = np.ascontiguousarray(words[-1], dtype=np.uint32)
+    if len(words) == 1:
+        return None, 0, lo
+    hi = np.ascontiguousarray(words[0])
+    if hi.dtype == np.uint16:
+        width = 2
+    elif hi.dtype == np.uint32:
+        width = 4
+    else:
+        raise ValueError(f"hi word dtype {hi.dtype} unsupported")
+    # Keep a reference alive via the returned array.
+    return hi, width, lo
+
+
+def compact_sorted_native(
+    words: tuple[np.ndarray, ...]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted code words -> (codes_u64, counts_i64); run boundaries AND
+    lengths derive from neighbor compares — no device-side flags at all."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native compactor unavailable: {_build_error}")
+    hi, hi_width, lo = _hi_layout(words)
+    hi_ptr = hi.ctypes.data_as(ctypes.c_void_p) if hi is not None else None
+    n = lo.shape[0]
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    m = lib.kp_count_distinct(hi_ptr, hi_width, lo.ctypes.data_as(u32p), n)
+    out_code = np.zeros(m, dtype=np.uint64)
+    out_cnt = np.zeros(m, dtype=np.int64)
+    w = lib.kp_compact_sorted(
+        hi_ptr,
+        hi_width,
+        lo.ctypes.data_as(u32p),
         n,
         out_code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         out_cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

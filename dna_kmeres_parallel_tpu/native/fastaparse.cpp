@@ -410,6 +410,86 @@ int64_t kp_compact_starts(const void* hi, int hi_width, const uint32_t* lo,
   return out_off[nt];
 }
 
+// Number of distinct codes before the sentinel tail (sizes the output of
+// kp_compact_sorted).
+int64_t kp_count_distinct(const void* hi, int hi_width, const uint32_t* lo,
+                          int64_t n) {
+  const int64_t end = sentinel_begin(hi, hi_width, lo, n);
+  if (end == 0) return 0;
+  const int nt = num_threads(end, 1 << 20);
+  std::vector<int64_t> counts(nt, 0);
+  std::vector<std::thread> ths;
+  for (int t = 0; t < nt; t++)
+    ths.emplace_back([&, t] {
+      int64_t a = end * t / nt, b = end * (t + 1) / nt;
+      int64_t c = 0;
+      for (int64_t i = a; i < b; i++)
+        c += (i == 0 || word_code(hi, hi_width, lo, i) !=
+                            word_code(hi, hi_width, lo, i - 1));
+      counts[t] = c;
+    });
+  for (auto& th : ths) th.join();
+  int64_t total = 0;
+  for (int64_t c : counts) total += c;
+  return total;
+}
+
+// Compact sorted window codes into a (code, count) table with NO
+// device-side run-start flags: run boundaries are neighbor compares of the
+// codes this pass walks anyway (saves a device pass and 1 B/window of
+// D2H). Same word layout as kp_compact_starts. Multithreaded two-pass.
+int64_t kp_compact_sorted(const void* hi, int hi_width, const uint32_t* lo,
+                          int64_t n, uint64_t* out_code, int64_t* out_cnt) {
+  const int64_t end = sentinel_begin(hi, hi_width, lo, n);
+  if (end == 0) return 0;
+  const int nt = num_threads(end, 1 << 20);
+  std::vector<int64_t> range_begin(nt + 1);
+  for (int t = 0; t <= nt; t++) range_begin[t] = end * t / nt;
+  std::vector<int64_t> nstarts(nt, 0);
+
+  auto is_start = [&](int64_t i) {
+    return i == 0 || word_code(hi, hi_width, lo, i) !=
+                         word_code(hi, hi_width, lo, i - 1);
+  };
+
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; t++)
+      ths.emplace_back([&, t] {
+        int64_t c = 0;
+        for (int64_t i = range_begin[t]; i < range_begin[t + 1]; i++)
+          c += is_start(i);
+        nstarts[t] = c;
+      });
+    for (auto& th : ths) th.join();
+  }
+  std::vector<int64_t> out_off(nt + 1, 0);
+  for (int t = 0; t < nt; t++) out_off[t + 1] = out_off[t] + nstarts[t];
+
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; t++)
+      ths.emplace_back([&, t] {
+        int64_t w = out_off[t];
+        int64_t prev = -1;
+        for (int64_t i = range_begin[t]; i < range_begin[t + 1]; i++) {
+          if (!is_start(i)) continue;
+          if (prev >= 0) out_cnt[w - 1] = i - prev;
+          out_code[w] = word_code(hi, hi_width, lo, i);
+          prev = i;
+          w++;
+        }
+        if (prev >= 0) {
+          int64_t nxt = range_begin[t + 1];
+          while (nxt < end && !is_start(nxt)) nxt++;
+          out_cnt[w - 1] = nxt - prev;
+        }
+      });
+    for (auto& th : ths) th.join();
+  }
+  return out_off[nt];
+}
+
 // Merge m sorted (codes u64 ascending-unique, counts i64) tables into one,
 // summing counts of equal codes. out arrays must hold sum(lens) entries.
 // Multithreaded by code-range partition (pivots sampled from the inputs so

@@ -124,31 +124,13 @@ def canonicalize_split(hi: jax.Array, lo: jax.Array, k: int):
     return jnp.where(take_rc, rc_hi, hi), jnp.where(take_rc, rc_lo, lo)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "canonical", "pallas"))
-def sort_unique_starts(
+def _encode_and_sort(
     bases: jax.Array,
     n_own: jax.Array,
     k: int,
-    canonical: bool = False,
-    pallas: str | None = None,
+    canonical: bool,
+    pallas: str | None,
 ):
-    """Flat [T] base stream -> sorted window codes + run-start flags.
-
-    Returns (words, starts):
-      words:   tuple of sorted code words, lexicographic-major first —
-               (lo_u32,) for k <= 15, (hi_u16, lo_u32) for k <= 23, else
-               (hi_u32, lo_u32). Invalid windows sort to an all-ones
-               sentinel tail. N = T-k+1 on the jnp path, T rounded up to
-               the encoder tile on the Pallas path.
-      starts:  bool [N] — True at the first element of each distinct run
-               (False throughout the invalid-sentinel tail).
-
-    Run lengths are implied: count(run j) = idx(start j+1) - idx(start j),
-    with the sentinel tail (or N) closing the last run — the host
-    compactor (native.compact_starts_native) derives them in its single
-    pass. pallas='compiled'/'interpret' routes the encode through the
-    fused Pallas kernel (ops/encode_pallas.py).
-    """
     sentinel32 = jnp.uint32(0xFFFFFFFF)
     if pallas is not None:
         from dna_kmeres_parallel_tpu.ops.encode_pallas import (
@@ -172,20 +154,61 @@ def sort_unique_starts(
         # hi is all zeros for valid windows; the sentinel lives in lo and
         # cannot collide (codes < 2^30 < 0xFFFFFFFF).
         (lo_s,) = jax.lax.sort((lo,), num_keys=1)
-        words = (lo_s,)
-    elif k <= MAX_U16_HI_K:
+        return (lo_s,)
+    if k <= MAX_U16_HI_K:
         # hi fits 14 bits; the u16 sentinel 0xFFFF disambiguates even when
         # lo is all-ones (the k=16 all-T k-mer). Narrower key word -> fewer
         # bytes through every sort pass.
         hi16 = jnp.where(
             hi == sentinel32, jnp.uint16(0xFFFF), hi.astype(jnp.uint16)
         )
-        hi_s, lo_s = jax.lax.sort((hi16, lo), num_keys=2)
-        words = (hi_s, lo_s)
-    else:
-        hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2)
-        words = (hi_s, lo_s)
+        return tuple(jax.lax.sort((hi16, lo), num_keys=2))
+    return tuple(jax.lax.sort((hi, lo), num_keys=2))
 
+
+@functools.partial(jax.jit, static_argnames=("k", "canonical", "pallas"))
+def sort_words(
+    bases: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    canonical: bool = False,
+    pallas: str | None = None,
+):
+    """Flat [T] base stream -> tuple of SORTED code words (the production
+    device program for k >= 13: encode -> [canonicalize] -> sort, nothing
+    else).
+
+    Words are lexicographic-major first — (lo_u32,) for k <= 15,
+    (hi_u16, lo_u32) for k <= 23, else (hi_u32, lo_u32). Invalid windows
+    sort to an all-ones sentinel tail. N = T-k+1 on the jnp path, T
+    rounded up to the encoder tile on the Pallas path.
+
+    Run boundaries and lengths are NOT computed on device: the host
+    compactor (native.compact_sorted_native) derives both from neighbor
+    compares in the single pass it makes anyway — a device neighbor-compare
+    pass plus 1 B/window of D2H for information the sorted codes already
+    carry. pallas='compiled'/'interpret' routes the encode through the
+    fused Pallas kernel (ops/encode_pallas.py).
+    """
+    return _encode_and_sort(bases, n_own, k, canonical, pallas)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "canonical", "pallas"))
+def sort_unique_starts(
+    bases: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    canonical: bool = False,
+    pallas: str | None = None,
+):
+    """sort_words plus device-computed run-start flags.
+
+    Returns (words, starts); starts[i] is True at the first element of
+    each distinct run (False throughout the sentinel tail). Prefer
+    sort_words + host compaction in pipelines; this variant serves
+    device-resident consumers of the flags (and benches).
+    """
+    words = _encode_and_sort(bases, n_own, k, canonical, pallas)
     n = words[-1].shape[0]
     major = words[0]
     major_sent = jnp.asarray(

@@ -186,6 +186,44 @@ def test_compact_starts_native_matches_python(layout):
     assert int(got_n.sum()) == n_valid
 
 
+@pytest.mark.parametrize("layout", ["single", "u16", "u32"])
+def test_compact_sorted_native_matches_python(layout):
+    rng = np.random.default_rng(5)
+    n = 1 << 16
+    n_valid = n - 300
+    lo = np.sort(rng.integers(0, 1 << 18, n_valid).astype(np.uint32))
+    lo = np.concatenate([lo, np.full(300, 0xFFFFFFFF, np.uint32)])
+    if layout == "single":
+        words = (lo,)
+    else:
+        dt = np.uint16 if layout == "u16" else np.uint32
+        hi = np.zeros(n, dt)
+        hi[n_valid:] = np.iinfo(dt).max
+        # give some valid entries a nonzero hi, keeping (hi, lo) sorted
+        hi[n_valid // 2 : n_valid] = 1
+        lo[n_valid // 2 : n_valid] = np.sort(
+            rng.integers(0, 1 << 18, n_valid - n_valid // 2).astype(np.uint32)
+        )
+        words = (hi, lo)
+    got_c, got_n = native.compact_sorted_native(words)
+    # direct python reference
+    major = words[0]
+    sent = major.dtype.type(np.iinfo(major.dtype).max)
+    end = int(np.searchsorted(major, sent))
+    if len(words) == 1:
+        codes_all = words[0][:end].astype(np.uint64)
+    else:
+        codes_all = (words[0][:end].astype(np.uint64) << np.uint64(32)) | words[1][
+            :end
+        ].astype(np.uint64)
+    starts = np.concatenate([[True], codes_all[1:] != codes_all[:-1]])
+    idx = np.flatnonzero(starts)
+    want_n = np.diff(np.append(idx, end)).astype(np.int64)
+    assert np.array_equal(got_c, codes_all[idx])
+    assert np.array_equal(got_n, want_n)
+    assert int(got_n.sum()) == n_valid
+
+
 def test_merge_tables_native_matches_python():
     rng = np.random.default_rng(11)
     tables = []

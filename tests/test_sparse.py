@@ -135,6 +135,34 @@ def test_sort_unique_starts_matches_oracle(make_dna, k, canonical):
     assert got == want
 
 
+@pytest.mark.parametrize("canonical", [False, True])
+@pytest.mark.parametrize("k", [13, 15, 16, 17, 21, 24, 31])
+def test_sort_words_compact_table_matches_oracle(make_dna, k, canonical):
+    # The production contract: device outputs ONLY sorted words; the host
+    # compactor derives boundaries and counts from neighbor compares.
+    from dna_kmeres_parallel_tpu.models.sparse_engine import compact_table
+
+    s = make_dna(400, invalid_frac=0.03)
+    bases = jnp.asarray(codec.encode_bases(s))
+    words = sparse_ops.sort_words(bases, jnp.int32(len(s) - k + 1), k, canonical)
+    codes, counts = compact_table(words)
+    want = oracle.count_table_any_k([s], k, canonical)
+    got = {codec.code_to_kmer(int(c), k): int(n) for c, n in zip(codes, counts)}
+    assert got == want
+
+
+def test_compact_table_all_T_k16():
+    from dna_kmeres_parallel_tpu.models.sparse_engine import compact_table
+
+    s = "T" * 40
+    words = sparse_ops.sort_words(
+        jnp.asarray(codec.encode_bases(s)), jnp.int32(40 - 16 + 1), 16
+    )
+    codes, counts = compact_table(words)
+    assert codes.tolist() == [0xFFFFFFFF]
+    assert counts.tolist() == [40 - 16 + 1]
+
+
 def test_sort_unique_starts_all_T_k16():
     # k=16 all-T code is 0xFFFFFFFF — must NOT be eaten by the sentinel
     # (the u16 hi word exists exactly to disambiguate this).
