@@ -82,14 +82,43 @@ def _build_config(args):
     )
 
 
+def _expand_inputs(inputs) -> list[str]:
+    """Expand globs / accept multiple paths (the reference hard-codes ONE
+    absolute path, main.cu:47-50; SURVEY §5 mandates input globs)."""
+    import glob as globmod
+
+    if isinstance(inputs, (str, os.PathLike)):
+        inputs = [inputs]
+    paths: list[str] = []
+    for item in inputs:
+        s = str(item)
+        if any(ch in s for ch in "*?["):
+            matches = sorted(globmod.glob(s))
+            if not matches:
+                raise FileNotFoundError(s)
+            paths.extend(matches)
+        else:
+            paths.append(s)
+    return paths
+
+
 def _load_records(args):
     from dna_kmeres_parallel_tpu.utils import fasta
 
-    if args.parser == "modern":
-        return fasta.parse_fasta(args.input, max_seqs=args.max_seqs)
-    return fasta.parse_fasta_reference(
-        args.input, variant=args.parser, max_seqs=args.max_seqs
-    )
+    records = []
+    for path in _expand_inputs(args.input):
+        remaining = None if args.max_seqs is None else args.max_seqs - len(records)
+        if remaining is not None and remaining <= 0:
+            break
+        if args.parser == "modern":
+            records.extend(fasta.parse_fasta(path, max_seqs=remaining))
+        else:
+            records.extend(
+                fasta.parse_fasta_reference(
+                    path, variant=args.parser, max_seqs=remaining
+                )
+            )
+    return records
 
 
 def cmd_count(args) -> int:
@@ -222,7 +251,8 @@ def cmd_stream(args) -> int:
         checkpoint_path=args.checkpoint,
         checkpoint_every_bases=_parse_size(args.checkpoint_every),
     )
-    result = sc.run(args.input)
+    inputs = _expand_inputs(args.input)
+    result = sc.run(inputs if len(inputs) > 1 else inputs[0])
     if args.output:
         if str(args.output).endswith(".npz"):
             io.write_count_npz(args.output, result)
@@ -284,13 +314,13 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("count", help="k-mer frequency table for a FASTA file")
     _add_common(p)
-    p.add_argument("input")
+    p.add_argument("input", nargs="+", help="FASTA path(s) or glob(s)")
     p.add_argument("-o", "--output", default=None, help="count table CSV path")
     p.set_defaults(fn=cmd_count)
 
     p = sub.add_parser("distance", help="pairwise k-mer distance matrix")
     _add_common(p)
-    p.add_argument("input")
+    p.add_argument("input", nargs="+", help="FASTA path(s) or glob(s)")
     p.add_argument(
         "-o", "--output", default=None, help="packed distances CSV (%%f per line)"
     )
@@ -309,12 +339,12 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("selftest", help="oracle-vs-engine differential check")
     _add_common(p)
-    p.add_argument("input")
+    p.add_argument("input", nargs="+", help="FASTA path(s) or glob(s)")
     p.set_defaults(fn=cmd_selftest)
 
     p = sub.add_parser("info", help="per-sequence stats for a FASTA file")
     _add_common(p)
-    p.add_argument("input")
+    p.add_argument("input", nargs="+", help="FASTA path(s) or glob(s)")
     p.add_argument("-v", "--verbose", action="store_true")
     p.set_defaults(fn=cmd_info)
 
@@ -322,7 +352,7 @@ def main(argv=None) -> int:
         "stream", help="resumable streaming count (checkpoint/resume, metrics)"
     )
     _add_common(p)
-    p.add_argument("input")
+    p.add_argument("input", nargs="+", help="FASTA path(s) or glob(s)")
     p.add_argument("-o", "--output", default=None, help="count table CSV path")
     p.add_argument(
         "--checkpoint", default=None, help="checkpoint .npz path (resume if present)"

@@ -130,6 +130,57 @@ def test_cli_count_and_distance(tmp_path, make_dna, capsys):
     assert np.allclose(got, want, atol=1e-6)
 
 
+def test_cli_multi_file_and_glob(tmp_path, make_dna, capsys):
+    # Multiple inputs / globs (the reference hard-codes ONE path): counts
+    # aggregate across files; max-seqs caps across the whole set.
+    from dna_kmeres_parallel_tpu import cli
+
+    seqs_a = [make_dna(90) for _ in range(3)]
+    seqs_b = [make_dna(70) for _ in range(2)]
+    fasta.write_fasta(tmp_path / "a.fasta", [(f">a{i}", s) for i, s in enumerate(seqs_a)])
+    fasta.write_fasta(tmp_path / "b.fasta", [(f">b{i}", s) for i, s in enumerate(seqs_b)])
+
+    rc = cli.main(
+        ["count", "--k", "4", "--engine", "oracle", str(tmp_path / "*.fasta")]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["n_seqs"] == 5
+    assert report["total_kmers"] == sum(len(s) - 3 for s in seqs_a + seqs_b)
+
+    rc = cli.main(
+        [
+            "count", "--k", "4", "--engine", "oracle", "--max-seqs", "4",
+            str(tmp_path / "a.fasta"), str(tmp_path / "b.fasta"),
+        ]
+    )
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["n_seqs"] == 4
+
+    rc = cli.main(
+        ["count", "--k", "4", "--engine", "oracle", str(tmp_path / "*.fa")]
+    )
+    assert rc == 2  # unmatched glob -> clean error
+
+
+def test_cli_stream_multi_file(tmp_path, make_dna, capsys):
+    from dna_kmeres_parallel_tpu import cli
+
+    seqs_a = [make_dna(150) for _ in range(2)]
+    seqs_b = [make_dna(110)]
+    fasta.write_fasta(tmp_path / "s1.fasta", [(f">a{i}", s) for i, s in enumerate(seqs_a)])
+    fasta.write_fasta(tmp_path / "s2.fasta", [(f">b{i}", s) for i, s in enumerate(seqs_b)])
+    rc = cli.main(
+        ["stream", "--k", "5", str(tmp_path / "s1.fasta"), str(tmp_path / "s2.fasta")]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["n_seqs"] == 3
+    want = oracle.count_table_any_k(seqs_a + seqs_b, 5)
+    assert report["total_kmers"] == sum(want.values())
+    assert report["distinct_kmers"] == len(want)
+
+
 def test_cli_selftest(tmp_path, make_dna, capsys):
     from dna_kmeres_parallel_tpu import cli
 
