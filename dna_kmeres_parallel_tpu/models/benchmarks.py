@@ -183,11 +183,13 @@ def run_sparse_bench(
     total_bases: int = 64 << 20,
     batch_bases: int = 16 << 20,
     seed: int = 0,
+    row_len: int = 0,
 ) -> dict:
     """Throughput of the sparse (sort + RLE) count path at large k —
     the k=21 north-star configuration. Device work only (compaction and
     cross-batch merge excluded here; see StreamingCounter metrics for the
-    full pipeline split)."""
+    full pipeline split). row_len > 0 measures the row-sorted variant
+    (ops/sparse.sort_words_rows) instead of the flat sort."""
     import numpy as np
 
     from dna_kmeres_parallel_tpu.ops import sparse as sparse_ops
@@ -211,16 +213,37 @@ def run_sparse_bench(
     pallas = runtime.pallas_mode()  # engine-equivalent kernel selection
 
     def one(i):
+        # [windows_counted, order-signature]: the signature is a
+        # permutation-VARIANT reduction (run-start positions weighted by
+        # index) — a permutation-invariant one lets XLA elide the sort
+        # entirely (measured: a k=13 "17 Gbase/s" phantom).
+        if row_len:
+            words = sparse_ops.sort_words_rows(
+                inputs[i % n_distinct],
+                n_own,
+                k,
+                canonical,
+                pallas=pallas,
+                row_len=row_len,
+            )
+            major = words[0]
+            sent = jnp.asarray(jnp.iinfo(major.dtype).max, major.dtype)
+            neq = jnp.zeros(major.shape[:-1] + (major.shape[-1] - 1,), jnp.bool_)
+            for w in words:
+                neq = neq | (w[..., 1:] != w[..., :-1])
+            starts = jnp.concatenate(
+                [(major[..., :1] != sent), neq & (major[..., 1:] != sent)], axis=-1
+            )
+            idx = jax.lax.broadcasted_iota(jnp.int32, major.shape, 1)
+            n_valid = jnp.sum((major != sent).astype(jnp.int32))
+            sig = jnp.sum(jnp.where(starts, idx, 0))
+            return jnp.stack([n_valid, sig])
         words, starts = sparse_ops.sort_unique_starts(
             inputs[i % n_distinct], n_own, k, canonical, pallas=pallas
         )
         major = words[0]
         sent = jnp.asarray(jnp.iinfo(major.dtype).max, major.dtype)
         n = major.shape[0]
-        # [windows_counted, order-signature]: the signature is a
-        # permutation-VARIANT reduction (start positions weighted by index)
-        # — a permutation-invariant one lets XLA elide the sort entirely
-        # (measured: a k=13 "17 Gbase/s" phantom).
         idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
         n_valid = jnp.sum((major != sent).astype(jnp.int32))
         sig = jnp.sum(jnp.where(starts, idx, 0))

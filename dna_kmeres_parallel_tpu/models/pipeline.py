@@ -344,17 +344,28 @@ class StreamingCounter:
                 break
             done_batches += 1
             with self.metrics.phase("device"):
-                words = self._with_retry(
-                    lambda: sparse_ops.sort_words(
-                        staged,
-                        jnp.int32(end - start),
-                        cfg.k,
-                        cfg.canonical,
-                        pallas=(
-                            runtime.pallas_mode() if cfg.use_pallas else None
-                        ),
+                pallas = runtime.pallas_mode() if cfg.use_pallas else None
+                if cfg.sort_row_len:
+                    words = self._with_retry(
+                        lambda: sparse_ops.sort_words_rows(
+                            staged,
+                            jnp.int32(end - start),
+                            cfg.k,
+                            cfg.canonical,
+                            pallas=pallas,
+                            row_len=cfg.sort_row_len,
+                        )
                     )
-                )
+                else:
+                    words = self._with_retry(
+                        lambda: sparse_ops.sort_words(
+                            staged,
+                            jnp.int32(end - start),
+                            cfg.k,
+                            cfg.canonical,
+                            pallas=pallas,
+                        )
+                    )
             if pending is not None:
                 drain(pending)
             pending = (words, start, end)

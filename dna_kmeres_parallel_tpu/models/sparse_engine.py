@@ -29,13 +29,36 @@ def _round_up(x: int, m: int) -> int:
 def compact_table(words) -> tuple[np.ndarray, np.ndarray]:
     """Sorted device code words -> (codes_u64, counts_i64).
 
+    Accepts both layouts: flat 1-D words (ops/sparse.sort_words) and
+    row-sorted 2-D [rows, m] words (ops/sparse.sort_words_rows — each row
+    independently sorted; the multiway merge happens here on the host).
     Run boundaries and lengths both come from neighbor compares during the
-    host pass (no device-side flags; see ops/sparse.sort_words). Native
-    multithreaded compactor when available.
+    host pass (no device-side flags). Native multithreaded compactor when
+    available.
     """
     from dna_kmeres_parallel_tpu import native
 
     words = tuple(np.asarray(w) for w in words)
+    if words[0].ndim == 2:
+        if native.available():
+            return native.compact_rows_native(words)
+        # Fallback: drop sentinels, merge rows with one flat np sort + RLE.
+        major = words[0]
+        sent = major.dtype.type(np.iinfo(major.dtype).max)
+        valid = major != sent
+        if len(words) == 1:
+            codes_all = words[0][valid].astype(np.uint64)
+        else:
+            codes_all = sparse_ops.merged_code64(words[0][valid], words[1][valid])
+        if codes_all.size == 0:
+            return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+        codes_all = np.sort(codes_all)
+        starts = np.empty(codes_all.shape[0], bool)
+        starts[0] = True
+        np.not_equal(codes_all[1:], codes_all[:-1], out=starts[1:])
+        idx = np.flatnonzero(starts)
+        counts = np.diff(np.append(idx, codes_all.shape[0])).astype(np.int64)
+        return codes_all[idx], counts
     if native.available():
         return native.compact_sorted_native(words)
     major = words[0]
@@ -232,13 +255,23 @@ class SparseKmerEngine:
                 seg = flat[start : min(end + overlap, total)]
                 padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
                 padded[: seg.shape[0]] = seg
-                words = sparse_ops.sort_words(
-                    jnp.asarray(padded),
-                    jnp.int32(end - start),
-                    cfg.k,
-                    cfg.canonical,
-                    pallas=self._pallas(),
-                )
+                if cfg.sort_row_len:
+                    words = sparse_ops.sort_words_rows(
+                        jnp.asarray(padded),
+                        jnp.int32(end - start),
+                        cfg.k,
+                        cfg.canonical,
+                        pallas=self._pallas(),
+                        row_len=cfg.sort_row_len,
+                    )
+                else:
+                    words = sparse_ops.sort_words(
+                        jnp.asarray(padded),
+                        jnp.int32(end - start),
+                        cfg.k,
+                        cfg.canonical,
+                        pallas=self._pallas(),
+                    )
                 ladder.push(compact_table(words))
                 start = end
             tables = [ladder.result()]

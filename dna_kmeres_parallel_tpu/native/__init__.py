@@ -95,6 +95,15 @@ def _load():
     lib.kp_compact_sorted.argtypes = [
         ctypes.c_void_p, ctypes.c_int, u32p, ctypes.c_int64, u64p, i64p
     ]
+    lib.kp_rows_valid.restype = ctypes.c_int64
+    lib.kp_rows_valid.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, u32p, ctypes.c_int64, ctypes.c_int64
+    ]
+    lib.kp_compact_rows.restype = ctypes.c_int64
+    lib.kp_compact_rows.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, u32p, ctypes.c_int64, ctypes.c_int64,
+        u64p, i64p,
+    ]
     lib.kp_merge_tables.restype = ctypes.c_int64
     lib.kp_merge_tables.argtypes = [
         ctypes.c_int64,
@@ -324,6 +333,48 @@ def compact_sorted_native(
     )
     assert w == m, (w, m)
     return out_code, out_cnt
+
+
+def compact_rows_native(
+    words: tuple[np.ndarray, ...]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Row-sorted code words [R, m] -> merged (codes_u64, counts_i64).
+
+    The host half of ops/sparse.sort_words_rows: each row is sorted with an
+    all-ones sentinel tail; a code-range-partitioned multiway heap merge
+    produces the single sorted-unique table in one pass.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native compactor unavailable: {_build_error}")
+    lo = np.ascontiguousarray(words[-1], dtype=np.uint32)
+    assert lo.ndim == 2, "compact_rows_native expects [rows, m] words"
+    rows, m = lo.shape
+    if len(words) == 1:
+        hi, hi_ptr, hi_width = None, None, 0
+    else:
+        hi = np.ascontiguousarray(words[0])
+        if hi.dtype == np.uint16:
+            hi_width = 2
+        elif hi.dtype == np.uint32:
+            hi_width = 4
+        else:
+            raise ValueError(f"hi word dtype {hi.dtype} unsupported")
+        hi_ptr = hi.ctypes.data_as(ctypes.c_void_p)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    cap = lib.kp_rows_valid(hi_ptr, hi_width, lo.ctypes.data_as(u32p), rows, m)
+    out_code = np.zeros(cap, dtype=np.uint64)
+    out_cnt = np.zeros(cap, dtype=np.int64)
+    w = lib.kp_compact_rows(
+        hi_ptr,
+        hi_width,
+        lo.ctypes.data_as(u32p),
+        rows,
+        m,
+        out_code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out_cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out_code[:w].copy(), out_cnt[:w].copy()
 
 
 def merge_tables_native(

@@ -490,6 +490,161 @@ int64_t kp_compact_sorted(const void* hi, int hi_width, const uint32_t* lo,
   return out_off[nt];
 }
 
+// Sum of per-row valid prefixes for the [rows, m] row-sorted word layout
+// (each row ascending with an all-ones-sentinel tail). Sizes the output of
+// kp_compact_rows: distinct codes <= valid windows.
+int64_t kp_rows_valid(const void* hi, int hi_width, const uint32_t* lo,
+                      int64_t rows, int64_t m) {
+  int64_t total = 0;
+  for (int64_t r = 0; r < rows; r++) {
+    const void* h =
+        hi == nullptr
+            ? nullptr
+            : static_cast<const void*>(static_cast<const uint8_t*>(hi) +
+                                       r * m * hi_width);
+    total += sentinel_begin(h, hi_width, lo + r * m, m);
+  }
+  return total;
+}
+
+// Merge-compact R independently sorted rows of window codes into ONE
+// sorted-unique (code, count) table in a single pass.
+//
+// This is the host half of the row-sorted sparse path: the device sorts
+// [R, m] rows independently (XLA sort cost scales ~log^2(row length), so R
+// rows are ~3x cheaper than one flat sort at R=4096/N=16M — see
+// scripts/rowsort_probe.py), and this function does the R-way merge the
+// device skipped. Multithreaded by sampled code-range partition; each
+// partition runs a binary-heap multiway merge over its row slices,
+// accumulating duplicate codes at the output cursor (rows carry raw
+// windows, so each element contributes count 1).
+//
+// Layout matches the device output: row r = lo[r*m .. r*m+m), optional hi
+// words parallel (hi_width 0 / 2 / 4), each row ascending with the
+// all-ones sentinel marking its invalid tail. out arrays must hold
+// kp_rows_valid(...) entries. Returns entries written.
+int64_t kp_compact_rows(const void* hi, int hi_width, const uint32_t* lo,
+                        int64_t rows, int64_t m, uint64_t* out_code,
+                        int64_t* out_cnt) {
+  // Per-row valid ends (absolute indices into the flat arrays).
+  std::vector<int64_t> row_beg(rows), row_end(rows);
+  int64_t total = 0;
+  for (int64_t r = 0; r < rows; r++) {
+    const void* h =
+        hi == nullptr
+            ? nullptr
+            : static_cast<const void*>(static_cast<const uint8_t*>(hi) +
+                                       r * m * hi_width);
+    row_beg[r] = r * m;
+    row_end[r] = r * m + sentinel_begin(h, hi_width, lo + r * m, m);
+    total += row_end[r] - row_beg[r];
+  }
+  if (total == 0) return 0;
+  const int nt = num_threads(total, 1 << 20);
+
+  auto code_at = [&](int64_t i) { return word_code(hi, hi_width, lo, i); };
+
+  // Sampled pivots across rows (rows are sorted, striding samples the
+  // distribution; robust to skew).
+  std::vector<uint64_t> samples;
+  samples.reserve(static_cast<size_t>(rows) * 8 + 8);
+  for (int64_t r = 0; r < rows; r++) {
+    int64_t n = row_end[r] - row_beg[r];
+    int64_t step = std::max<int64_t>(1, n / 8);
+    for (int64_t j = 0; j < n; j += step) samples.push_back(code_at(row_beg[r] + j));
+  }
+  std::sort(samples.begin(), samples.end());
+  std::vector<uint64_t> pivot(nt + 1);
+  pivot[0] = 0;
+  pivot[nt] = UINT64_MAX;
+  for (int t = 1; t < nt; t++) pivot[t] = samples[samples.size() * t / nt];
+
+  // Per (partition, row) slice starts via binary search on the code.
+  std::vector<std::vector<int64_t>> cut(nt + 1, std::vector<int64_t>(rows));
+  for (int64_t r = 0; r < rows; r++) {
+    cut[0][r] = row_beg[r];
+    cut[nt][r] = row_end[r];
+    for (int t = 1; t < nt; t++) {
+      int64_t a = row_beg[r], b = row_end[r];
+      while (a < b) {
+        int64_t mid = a + (b - a) / 2;
+        if (code_at(mid) < pivot[t])
+          a = mid + 1;
+        else
+          b = mid;
+      }
+      cut[t][r] = a;
+    }
+  }
+  std::vector<int64_t> part_cap(nt + 1, 0);
+  for (int t = 0; t < nt; t++) {
+    int64_t c = 0;
+    for (int64_t r = 0; r < rows; r++) c += cut[t + 1][r] - cut[t][r];
+    part_cap[t + 1] = part_cap[t] + c;
+  }
+
+  std::vector<int64_t> part_len(nt, 0);
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; t++)
+      ths.emplace_back([&, t] {
+        uint64_t* oc = out_code + part_cap[t];
+        int64_t* on = out_cnt + part_cap[t];
+        struct Head {
+          uint64_t code;
+          int64_t pos;   // current absolute index
+          int64_t stop;  // absolute end of this row's slice
+        };
+        std::vector<Head> heap;
+        for (int64_t r = 0; r < rows; r++)
+          if (cut[t][r] < cut[t + 1][r])
+            heap.push_back({code_at(cut[t][r]), cut[t][r], cut[t + 1][r]});
+        auto cmp = [](const Head& a, const Head& b) { return a.code > b.code; };
+        std::make_heap(heap.begin(), heap.end(), cmp);
+        int64_t w = -1;
+        while (!heap.empty()) {
+          std::pop_heap(heap.begin(), heap.end(), cmp);
+          Head& h = heap.back();
+          // Drain this row's run of equal codes in one go (duplicates are
+          // adjacent within a row) — cheaper than heap ops per element.
+          uint64_t c = h.code;
+          int64_t cnt = 0;
+          do {
+            cnt++;
+            h.pos++;
+          } while (h.pos < h.stop && code_at(h.pos) == c);
+          if (w >= 0 && oc[w] == c) {
+            on[w] += cnt;
+          } else {
+            w++;
+            oc[w] = c;
+            on[w] = cnt;
+          }
+          if (h.pos < h.stop) {
+            h.code = code_at(h.pos);
+            std::push_heap(heap.begin(), heap.end(), cmp);
+          } else {
+            heap.pop_back();
+          }
+        }
+        part_len[t] = w + 1;
+      });
+    for (auto& th : ths) th.join();
+  }
+
+  int64_t w = part_len.empty() ? 0 : part_len[0];
+  for (int t = 1; t < nt; t++) {
+    if (part_cap[t] != w) {
+      memmove(out_code + w, out_code + part_cap[t],
+              part_len[t] * sizeof(uint64_t));
+      memmove(out_cnt + w, out_cnt + part_cap[t],
+              part_len[t] * sizeof(int64_t));
+    }
+    w += part_len[t];
+  }
+  return w;
+}
+
 // Merge m sorted (codes u64 ascending-unique, counts i64) tables into one,
 // summing counts of equal codes. out arrays must hold sum(lens) entries.
 // Multithreaded by code-range partition (pivots sampled from the inputs so

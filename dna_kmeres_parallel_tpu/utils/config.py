@@ -30,6 +30,12 @@ class KmerConfig:
       mesh_shape: (data,) or (hosts, chips) device mesh for sharded counting.
       use_pallas: route hot ops through Pallas kernels (else pure jnp/XLA).
       parser_variant: "modern" | "blank_line" | "no_blank_line" (see fasta.py).
+      sort_row_len: sparse path (k >= 13): sort the window stream as
+         independent rows of this length instead of one flat array — XLA's
+         comparison-network sort cost scales ~log^2(segment), so rows are
+         3-5x cheaper on device (measured, scripts/rowsort_probe2.py); the
+         host compactor multiway-merges the rows in its single pass.
+         0 = flat full-array sort.
     """
 
     k: int = 3
@@ -42,6 +48,7 @@ class KmerConfig:
     mesh_shape: tuple[int, ...] = ()
     use_pallas: bool = True
     parser_variant: str = "modern"
+    sort_row_len: int = 2048
 
     def __post_init__(self):
         if not (1 <= self.k <= 32):

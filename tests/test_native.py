@@ -253,3 +253,60 @@ def test_merge_tables_native_extreme_codes():
     codes, cnts = native.merge_tables_native([t1, t2])
     assert codes.tolist() == [0, 5, 2**64 - 1]
     assert cnts.tolist() == [8, 1, 2]
+
+
+@pytest.mark.parametrize("layout", ["single", "u16", "u32"])
+def test_compact_rows_native_matches_python(layout):
+    # Row-sorted [R, m] words with per-row sentinel tails: the native
+    # multiway merge must equal a flat sort + RLE of the valid entries.
+    rng = np.random.default_rng(17)
+    R, m = 37, 512
+    lo = np.empty((R, m), np.uint32)
+    hi = None
+    if layout != "single":
+        dt = np.uint16 if layout == "u16" else np.uint32
+        hi = np.empty((R, m), dt)
+    for r in range(R):
+        nv = int(rng.integers(0, m + 1))
+        # duplicate-heavy codes so runs span rows
+        lo_r = np.sort(rng.integers(0, 1 << 10, nv).astype(np.uint32))
+        lo[r, :nv] = lo_r
+        lo[r, nv:] = 0xFFFFFFFF
+        if hi is not None:
+            hv = rng.integers(0, 3, nv).astype(hi.dtype)
+            hv.sort()
+            # keep (hi, lo) lexicographically sorted within the row
+            order = np.lexsort((lo_r, hv))
+            hi[r, :nv] = hv[order]
+            lo[r, :nv] = lo_r[order]
+            hi[r, nv:] = np.iinfo(hi.dtype).max
+    words = (lo,) if hi is None else (hi, lo)
+    got_c, got_n = native.compact_rows_native(words)
+    # python reference: flatten valid, sort, RLE
+    if hi is None:
+        valid = lo != 0xFFFFFFFF
+        codes = lo[valid].astype(np.uint64)
+    else:
+        valid = hi != np.iinfo(hi.dtype).max
+        codes = (hi[valid].astype(np.uint64) << np.uint64(32)) | lo[valid].astype(
+            np.uint64
+        )
+    codes = np.sort(codes)
+    if codes.size == 0:
+        assert got_c.size == 0
+        return
+    starts = np.concatenate([[True], codes[1:] != codes[:-1]])
+    idx = np.flatnonzero(starts)
+    want_n = np.diff(np.append(idx, codes.size)).astype(np.int64)
+    assert np.array_equal(got_c, codes[idx])
+    assert np.array_equal(got_n, want_n)
+
+
+def test_compact_rows_native_empty_and_full():
+    lo = np.full((4, 128), 0xFFFFFFFF, np.uint32)
+    c, n = native.compact_rows_native((lo,))
+    assert c.size == 0 and n.size == 0
+    lo = np.tile(np.arange(128, dtype=np.uint32), (4, 1))  # no sentinels
+    c, n = native.compact_rows_native((lo,))
+    assert np.array_equal(c, np.arange(128, dtype=np.uint64))
+    assert np.array_equal(n, np.full(128, 4, np.int64))

@@ -234,3 +234,64 @@ def test_pallas_encoder_matches_jnp(make_dna, k, canonical):
     pc, pn = compact(pal)
     assert np.array_equal(rc, pc)
     assert np.array_equal(rn, pn)
+
+
+@pytest.mark.parametrize(
+    "k,canonical",
+    [(13, False), (15, True), (16, False), (17, False), (21, True), (31, False)],
+)
+def test_sort_words_rows_matches_oracle(make_dna, k, canonical):
+    # Row-sorted device output (tiny row_len -> many rows, runs spanning
+    # rows) merged by the host compactor must equal the oracle table.
+    from dna_kmeres_parallel_tpu.models.sparse_engine import compact_table
+
+    s = make_dna(90, invalid_frac=0.03) * 6  # repeats => cross-row duplicate runs
+    bases = jnp.asarray(codec.encode_bases(s))
+    n_own = jnp.int32(len(s) - k + 1)
+    words = sparse_ops.sort_words_rows(bases, n_own, k, canonical, row_len=64)
+    assert words[-1].ndim == 2 and words[-1].shape[1] == 64
+    codes, counts = compact_table(words)
+    want = oracle.count_table_any_k([s], k, canonical)
+    got = {codec.code_to_kmer(int(c), k): int(n) for c, n in zip(codes, counts)}
+    assert got == want
+
+
+@pytest.mark.parametrize("k", [13, 21])
+def test_sort_words_rows_equals_flat(make_dna, k):
+    from dna_kmeres_parallel_tpu.models.sparse_engine import compact_table
+
+    s = make_dna(500, invalid_frac=0.02)
+    bases = jnp.asarray(codec.encode_bases(s))
+    n_own = jnp.int32(len(s) - k + 1)
+    flat = compact_table(sparse_ops.sort_words(bases, n_own, k, False))
+    rows = compact_table(
+        sparse_ops.sort_words_rows(bases, n_own, k, False, row_len=128)
+    )
+    assert np.array_equal(flat[0], rows[0])
+    assert np.array_equal(flat[1], rows[1])
+
+
+def test_sort_words_rows_all_invalid():
+    from dna_kmeres_parallel_tpu.models.sparse_engine import compact_table
+
+    bases = jnp.full((256,), 0xFF, jnp.uint8)
+    words = sparse_ops.sort_words_rows(bases, jnp.int32(256 - 21 + 1), 21, row_len=64)
+    codes, counts = compact_table(words)
+    assert codes.size == 0 and counts.size == 0
+
+
+@pytest.mark.parametrize("row_len", [64, 2048])
+def test_sparse_engine_row_sort_config(make_dna, row_len):
+    # Engine-level: row-sorted config produces the same result as flat.
+    seqs = [make_dna(150 + 13 * i, invalid_frac=0.02) for i in range(4)]
+    k = 21
+    flat = SparseKmerEngine(
+        KmerConfig(k=k, batch_bases=512, sort_row_len=0)
+    ).count_sequences(seqs)
+    rows = SparseKmerEngine(
+        KmerConfig(k=k, batch_bases=512, sort_row_len=row_len)
+    ).count_sequences(seqs)
+    assert np.array_equal(flat.codes, rows.codes)
+    assert np.array_equal(flat.counts, rows.counts)
+    want = oracle.count_table_any_k(seqs, k)
+    assert rows.table() == want
