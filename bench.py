@@ -4,15 +4,18 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline metric: giga-bases/second/chip through the device count path
-(rolling-code encode + dense histogram) at k=11 (4M bins, the BASELINE.json
-config-2 shape). The reference publishes no throughput numbers
-(BASELINE.md: "published": {}); the baseline denominator is 1.0 Gbase/s,
-a generous estimate of an A100-class CUDA k-mer counter (Gerbil-era GPU
-counters sustain ~0.5-1.5 Gbase/s), so vs_baseline == achieved Gbase/s.
-BASELINE.json's stated target is >=10x that.
+Headline metric: giga-bases/second/chip through the device count path at
+k=21 — BASELINE.json's north-star configuration ("Giga-bases/sec/chip at
+k=21"), served by the sparse row-sorted path (fused Pallas encode ->
+[rows, 2048] segment sort; ops/sparse.sort_words_rows). The reference
+publishes no throughput numbers (BASELINE.md: "published": {}); the
+baseline denominator is 1.0 Gbase/s, a generous estimate of an A100-class
+CUDA k-mer counter (Gerbil-era GPU counters sustain ~0.5-1.5 Gbase/s), so
+vs_baseline == achieved Gbase/s. BASELINE.json's stated target is >=10x.
 
-Details (per-phase timings, device, exactness check) go to stderr.
+BENCH_K <= 12 instead measures the dense-histogram path (config-1/2
+shapes, fused Pallas two-level MXU kernel). Details (per-phase timings,
+device, exactness check) go to stderr.
 """
 
 import json
@@ -29,18 +32,31 @@ def main() -> int:
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from dna_kmeres_parallel_tpu.models.benchmarks import run_count_bench
+    from dna_kmeres_parallel_tpu.models.benchmarks import (
+        run_count_bench,
+        run_sparse_bench,
+    )
 
-    # Default k=4 is BASELINE.json config 1 (exact dense 256-bin histogram),
-    # served by the fused Pallas two-level MXU kernel (~1.5 Gbase/s/chip
-    # measured). The program for this exact shape is pre-warmed into the
-    # persistent compile cache so the bench runs even when the remote
-    # compile service is flaky (see CLAUDE.md).
-    k = int(os.environ.get("BENCH_K", "4"))
+    # Programs for the default shapes are pre-warmed into the persistent
+    # compile cache so the bench runs even when the remote compile service
+    # is flaky (see CLAUDE.md).
+    k = int(os.environ.get("BENCH_K", "21"))
     total = int(os.environ.get("BENCH_BASES", str(64 << 20)))
     batch = int(os.environ.get("BENCH_BATCH", str(16 << 20)))
+    row_len = int(os.environ.get("BENCH_ROW_LEN", "2048"))
 
-    report = run_count_bench(k=k, canonical=False, total_bases=total, batch_bases=batch)
+    if k <= 12:
+        report = run_count_bench(
+            k=k, canonical=False, total_bases=total, batch_bases=batch
+        )
+    else:
+        report = run_sparse_bench(
+            k=k,
+            canonical=False,
+            total_bases=total,
+            batch_bases=batch,
+            row_len=row_len,
+        )
     print(json.dumps(report), file=sys.stderr)
 
     exact = report["windows_counted"] == report["windows_expected"]

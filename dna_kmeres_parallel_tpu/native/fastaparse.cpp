@@ -350,6 +350,112 @@ int64_t sentinel_begin(const void* hi, int hi_width, const uint32_t* lo,
   return a;
 }
 
+// ---------------------------------------------------------------------------
+// Loser-tree multiway merge over sorted streams of window codes.
+//
+// The R-way merge behind kp_compact_rows. A binary std::heap costs
+// 2*log2(R) branchy swaps through a 100+ KB array per element (measured
+// ~3.5 Melem/s/thread at R=8192); the loser tree costs log2(R) compares on
+// an L2-resident array, every stream read is sequential, and runs of equal
+// codes inside one stream drain in bulk without touching the tree.
+// Templated on the hi-word width so code assembly is branch-free.
+
+struct MergeStream {
+  int64_t pos;   // current absolute index into the word arrays
+  int64_t stop;  // absolute end of this stream's slice
+};
+
+template <int HW>
+inline uint64_t code_hw(const void* hi, const uint32_t* lo, int64_t i) {
+  if (HW == 0) return lo[i];
+  if (HW == 2)
+    return (static_cast<uint64_t>(static_cast<const uint16_t*>(hi)[i]) << 32) |
+           lo[i];
+  return (static_cast<uint64_t>(static_cast<const uint32_t*>(hi)[i]) << 32) |
+         lo[i];
+}
+
+// Merge ss (each a sorted slice, all non-empty) writing sorted-unique
+// (code, count) to oc/on; returns entries written. Valid codes are at most
+// 2*31 bits above the lo word (< 2^62), so UINT64_MAX marks exhaustion.
+template <int HW>
+int64_t loser_tree_merge(std::vector<MergeStream>& ss, const void* hi,
+                         const uint32_t* lo, uint64_t* oc, int64_t* on) {
+  const int S = static_cast<int>(ss.size());
+  if (S == 0) return 0;
+  if (S == 1) {
+    // Single stream: plain RLE walk.
+    int64_t w = -1;
+    for (int64_t i = ss[0].pos; i < ss[0].stop; i++) {
+      uint64_t c = code_hw<HW>(hi, lo, i);
+      if (w >= 0 && oc[w] == c)
+        on[w]++;
+      else {
+        w++;
+        oc[w] = c;
+        on[w] = 1;
+      }
+    }
+    return w + 1;
+  }
+  int S2 = 1;
+  while (S2 < S) S2 <<= 1;
+  std::vector<uint64_t> key(S2, UINT64_MAX);
+  for (int s = 0; s < S; s++) key[s] = code_hw<HW>(hi, lo, ss[s].pos);
+  std::vector<int> ls(S2, 0);  // ls[1..S2-1] = losers; ls[0] = winner
+  // Bottom-up tournament build (iterative): winners[] holds the winner of
+  // each subtree level by level.
+  {
+    std::vector<int> win(2 * S2);
+    for (int i = 0; i < S2; i++) win[S2 + i] = i;
+    for (int node = S2 - 1; node >= 1; node--) {
+      int a = win[2 * node], b = win[2 * node + 1];
+      int w = (key[a] <= key[b]) ? a : b;
+      ls[node] = (w == a) ? b : a;
+      win[node] = w;
+    }
+    ls[0] = win[1];
+  }
+
+  int64_t w = -1;
+  int wtr = ls[0];
+  while (key[wtr] != UINT64_MAX) {
+    const uint64_t c = key[wtr];
+    // Drain this stream's run of equal codes without tree replays.
+    MergeStream& st = ss[wtr];
+    int64_t cnt = 0;
+    do {
+      cnt++;
+      st.pos++;
+    } while (st.pos < st.stop && code_hw<HW>(hi, lo, st.pos) == c);
+    key[wtr] = (st.pos < st.stop) ? code_hw<HW>(hi, lo, st.pos) : UINT64_MAX;
+    if (w >= 0 && oc[w] == c) {
+      on[w] += cnt;
+    } else {
+      w++;
+      oc[w] = c;
+      on[w] = cnt;
+    }
+    // Replay from this leaf to the root. Branchless mask blends: the
+    // compare at each level is a ~50/50 coin flip on real data, and the
+    // mispredict penalty (~17 cycles/level measured) dominates a branchy
+    // replay — masks run 2.5-5x faster (see git history / lt3 microbench).
+    int winner = wtr;
+    uint64_t kwin = key[wtr];
+    for (int node = (S2 + wtr) >> 1; node >= 1; node >>= 1) {
+      const int l = ls[node];
+      const uint64_t kl = key[l];
+      const uint64_t msk = (uint64_t)0 - (uint64_t)(kl < kwin);
+      ls[node] = (int)(((uint64_t)winner & msk) | ((uint64_t)l & ~msk));
+      winner = (int)(((uint64_t)l & msk) | ((uint64_t)winner & ~msk));
+      kwin = (kl & msk) | (kwin & ~msk);
+    }
+    ls[0] = winner;
+    wtr = winner;
+  }
+  return w + 1;
+}
+
 }  // namespace
 
 extern "C" {
@@ -590,44 +696,17 @@ int64_t kp_compact_rows(const void* hi, int hi_width, const uint32_t* lo,
       ths.emplace_back([&, t] {
         uint64_t* oc = out_code + part_cap[t];
         int64_t* on = out_cnt + part_cap[t];
-        struct Head {
-          uint64_t code;
-          int64_t pos;   // current absolute index
-          int64_t stop;  // absolute end of this row's slice
-        };
-        std::vector<Head> heap;
+        std::vector<MergeStream> ss;
+        ss.reserve(rows);
         for (int64_t r = 0; r < rows; r++)
           if (cut[t][r] < cut[t + 1][r])
-            heap.push_back({code_at(cut[t][r]), cut[t][r], cut[t + 1][r]});
-        auto cmp = [](const Head& a, const Head& b) { return a.code > b.code; };
-        std::make_heap(heap.begin(), heap.end(), cmp);
-        int64_t w = -1;
-        while (!heap.empty()) {
-          std::pop_heap(heap.begin(), heap.end(), cmp);
-          Head& h = heap.back();
-          // Drain this row's run of equal codes in one go (duplicates are
-          // adjacent within a row) — cheaper than heap ops per element.
-          uint64_t c = h.code;
-          int64_t cnt = 0;
-          do {
-            cnt++;
-            h.pos++;
-          } while (h.pos < h.stop && code_at(h.pos) == c);
-          if (w >= 0 && oc[w] == c) {
-            on[w] += cnt;
-          } else {
-            w++;
-            oc[w] = c;
-            on[w] = cnt;
-          }
-          if (h.pos < h.stop) {
-            h.code = code_at(h.pos);
-            std::push_heap(heap.begin(), heap.end(), cmp);
-          } else {
-            heap.pop_back();
-          }
-        }
-        part_len[t] = w + 1;
+            ss.push_back({cut[t][r], cut[t + 1][r]});
+        if (hi_width == 0)
+          part_len[t] = loser_tree_merge<0>(ss, hi, lo, oc, on);
+        else if (hi_width == 2)
+          part_len[t] = loser_tree_merge<2>(ss, hi, lo, oc, on);
+        else
+          part_len[t] = loser_tree_merge<4>(ss, hi, lo, oc, on);
       });
     for (auto& th : ths) th.join();
   }
