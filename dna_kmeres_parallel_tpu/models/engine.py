@@ -144,6 +144,62 @@ def _count_batch_acc(
 @functools.partial(
     jax.jit, static_argnames=("k", "bins", "canonical", "pallas")
 )
+def _count_batch_packed(
+    data: jax.Array,
+    mask: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    bins: int,
+    canonical: bool,
+    pallas: str | None = None,
+) -> jax.Array:
+    """_count_batch over the 2-bit packed transfer format: the host ships
+    (data [T/4], mask [T/8]) — 4x less H2D — and the unpack fuses into the
+    count program (ops/encode.unpack_stream)."""
+    bases = encode_ops.unpack_stream(data, mask)
+    return _count_batch(bases, n_own, k, bins, canonical, pallas)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "bins", "canonical", "pallas")
+)
+def _count_batch_acc_packed(
+    acc: jax.Array,
+    data: jax.Array,
+    mask: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    bins: int,
+    canonical: bool,
+    pallas: str | None = None,
+) -> jax.Array:
+    bases = encode_ops.unpack_stream(data, mask)
+    return acc + _count_batch(bases, n_own, k, bins, canonical, pallas)
+
+
+def stage_batch(padded, pack: bool):
+    """Host->device staging of one padded batch [T] uint8.
+
+    pack=True ships the 2-bit packed planes (4 bases/byte + validity
+    bitmask; native kp_pack_2bit or the numpy codec) — 4.5 bytes per 16
+    bases of H2D instead of 16 — for the *_packed program variants.
+    Returns a device array (pack=False) or a (data, mask) tuple.
+    """
+    if not pack:
+        return jnp.asarray(padded)
+    from dna_kmeres_parallel_tpu import native
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    if native.available():
+        data, mask, _ = native.pack_2bit_native(padded)
+    else:
+        data, mask, _ = codec.pack_bases(padded)
+    return jnp.asarray(data), jnp.asarray(mask)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "bins", "canonical", "pallas")
+)
 def _counts_matrix_batch(
     bases: jax.Array,
     k: int,
@@ -253,14 +309,20 @@ class KmerEngine:
                 seg = flat[start : min(end + overlap, total)]
                 padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
                 padded[: seg.shape[0]] = seg
-                args = (jnp.asarray(padded), jnp.int32(end - start))
+                staged = stage_batch(padded, cfg.pack_input)
+                if cfg.pack_input:
+                    args = (*staged, jnp.int32(end - start))
+                    batch_fn, acc_fn = _count_batch_packed, _count_batch_acc_packed
+                else:
+                    args = (staged, jnp.int32(end - start))
+                    batch_fn, acc_fn = _count_batch, _count_batch_acc
                 try:
                     if acc is None:
-                        acc = _count_batch(
+                        acc = batch_fn(
                             *args, cfg.k, cfg.bins, cfg.canonical, pallas
                         )
                     else:
-                        acc = _count_batch_acc(
+                        acc = acc_fn(
                             acc, *args, cfg.k, cfg.bins, cfg.canonical, pallas
                         )
                 except Exception as e:
@@ -273,11 +335,11 @@ class KmerEngine:
                         raise
                     pallas = None
                     if acc is None:
-                        acc = _count_batch(
+                        acc = batch_fn(
                             *args, cfg.k, cfg.bins, cfg.canonical, None
                         )
                     else:
-                        acc = _count_batch_acc(
+                        acc = acc_fn(
                             acc, *args, cfg.k, cfg.bins, cfg.canonical, None
                         )
                 acc_windows += end - start

@@ -19,9 +19,12 @@ from dna_kmeres_parallel_tpu.models.engine import (
     CountResult,
     _count_batch,
     _count_batch_acc,
+    _count_batch_acc_packed,
+    _count_batch_packed,
     _pow2_bucket,
     _round_up,
     _LANE,
+    stage_batch,
 )
 from dna_kmeres_parallel_tpu.models.sparse_engine import (
     SparseCountResult,
@@ -225,7 +228,8 @@ class StreamingCounter:
             seg = flat[start : min(end + overlap, total)]
             padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
             padded[: seg.shape[0]] = seg
-            return jnp.asarray(padded)  # staged to device off-thread
+            # staged to device off-thread; 2-bit packed planes if configured
+            return stage_batch(padded, cfg.pack_input)
 
         for (start, end, T, overlap), staged in _prefetched(
             self._batches(total, cursor), prep
@@ -241,29 +245,37 @@ class StreamingCounter:
                 break
             done_batches += 1
             with self.metrics.phase("device"):
-                padded = staged
-                if acc is None:
+                n_own = jnp.int32(end - start)
+                if cfg.pack_input:
+                    data, mask = staged
+                    if acc is None:
+                        acc = self._with_retry(
+                            lambda: _count_batch_packed(
+                                data, mask, n_own,
+                                cfg.k, cfg.bins, cfg.canonical, pallas,
+                            )
+                        )
+                    else:
+                        prev = acc
+                        acc = self._with_retry(
+                            lambda: _count_batch_acc_packed(
+                                prev, data, mask, n_own,
+                                cfg.k, cfg.bins, cfg.canonical, pallas,
+                            )
+                        )
+                elif acc is None:
                     acc = self._with_retry(
                         lambda: _count_batch(
-                            jnp.asarray(padded),
-                            jnp.int32(end - start),
-                            cfg.k,
-                            cfg.bins,
-                            cfg.canonical,
-                            pallas,
+                            staged, n_own,
+                            cfg.k, cfg.bins, cfg.canonical, pallas,
                         )
                     )
                 else:
                     prev = acc
                     acc = self._with_retry(
                         lambda: _count_batch_acc(
-                            prev,
-                            jnp.asarray(padded),
-                            jnp.int32(end - start),
-                            cfg.k,
-                            cfg.bins,
-                            cfg.canonical,
-                            pallas,
+                            prev, staged, n_own,
+                            cfg.k, cfg.bins, cfg.canonical, pallas,
                         )
                     )
             self.metrics.count("bases", end - start)
@@ -307,7 +319,7 @@ class StreamingCounter:
             seg = flat[start : min(end + overlap, total)]
             padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
             padded[: seg.shape[0]] = seg
-            return jnp.asarray(padded)
+            return stage_batch(padded, cfg.pack_input)
 
         from dna_kmeres_parallel_tpu.models.sparse_engine import compact_table
 
@@ -345,25 +357,31 @@ class StreamingCounter:
             done_batches += 1
             with self.metrics.phase("device"):
                 pallas = runtime.pallas_mode() if cfg.use_pallas else None
-                if cfg.sort_row_len:
+                n_own = jnp.int32(end - start)
+                if cfg.pack_input and cfg.sort_row_len:
+                    words = self._with_retry(
+                        lambda: sparse_ops.sort_words_rows_packed(
+                            *staged, n_own, cfg.k, cfg.canonical,
+                            pallas=pallas, row_len=cfg.sort_row_len,
+                        )
+                    )
+                elif cfg.pack_input:
+                    words = self._with_retry(
+                        lambda: sparse_ops.sort_words_packed(
+                            *staged, n_own, cfg.k, cfg.canonical, pallas=pallas
+                        )
+                    )
+                elif cfg.sort_row_len:
                     words = self._with_retry(
                         lambda: sparse_ops.sort_words_rows(
-                            staged,
-                            jnp.int32(end - start),
-                            cfg.k,
-                            cfg.canonical,
-                            pallas=pallas,
-                            row_len=cfg.sort_row_len,
+                            staged, n_own, cfg.k, cfg.canonical,
+                            pallas=pallas, row_len=cfg.sort_row_len,
                         )
                     )
                 else:
                     words = self._with_retry(
                         lambda: sparse_ops.sort_words(
-                            staged,
-                            jnp.int32(end - start),
-                            cfg.k,
-                            cfg.canonical,
-                            pallas=pallas,
+                            staged, n_own, cfg.k, cfg.canonical, pallas=pallas
                         )
                     )
             if pending is not None:

@@ -250,26 +250,33 @@ class SparseKmerEngine:
             T = _round_up(batch + overlap, _LANE)
             ladder = MergeLadder()
             start = 0
+            from dna_kmeres_parallel_tpu.models.engine import stage_batch
+
             while start < total:
                 end = min(start + batch, total)
                 seg = flat[start : min(end + overlap, total)]
                 padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
                 padded[: seg.shape[0]] = seg
-                if cfg.sort_row_len:
-                    words = sparse_ops.sort_words_rows(
-                        jnp.asarray(padded),
-                        jnp.int32(end - start),
-                        cfg.k,
-                        cfg.canonical,
+                staged = stage_batch(padded, cfg.pack_input)
+                n_own = jnp.int32(end - start)
+                if cfg.pack_input and cfg.sort_row_len:
+                    words = sparse_ops.sort_words_rows_packed(
+                        *staged, n_own, cfg.k, cfg.canonical,
+                        pallas=self._pallas(), row_len=cfg.sort_row_len,
+                    )
+                elif cfg.pack_input:
+                    words = sparse_ops.sort_words_packed(
+                        *staged, n_own, cfg.k, cfg.canonical,
                         pallas=self._pallas(),
-                        row_len=cfg.sort_row_len,
+                    )
+                elif cfg.sort_row_len:
+                    words = sparse_ops.sort_words_rows(
+                        staged, n_own, cfg.k, cfg.canonical,
+                        pallas=self._pallas(), row_len=cfg.sort_row_len,
                     )
                 else:
                     words = sparse_ops.sort_words(
-                        jnp.asarray(padded),
-                        jnp.int32(end - start),
-                        cfg.k,
-                        cfg.canonical,
+                        staged, n_own, cfg.k, cfg.canonical,
                         pallas=self._pallas(),
                     )
                 ladder.push(compact_table(words))

@@ -56,6 +56,22 @@ def unpack_mask(mask_u8: jax.Array) -> jax.Array:
     return bits.reshape(*mask_u8.shape[:-1], -1).astype(jnp.bool_)
 
 
+def unpack_stream(data_u8: jax.Array, mask_u8: jax.Array) -> jax.Array:
+    """Packed (data [T/4], mask [T/8]) planes -> uint8 base codes [T].
+
+    The device half of the 2-bit packed transfer format (the encoding the
+    reference only sketched, /root/reference/utils.h:65-92): the host ships
+    4 bases/byte + a validity bitmask (utils.codec.pack_bases / native
+    kp_pack_2bit) — 4.5 bytes per 16 bases instead of 16 — and this unpack
+    is the first (fully fused) step of the jitted count program. Invalid
+    bases come back as the INVALID sentinel. T must be a multiple of 8
+    (batches are padded to lane multiples anyway).
+    """
+    bases = unpack_2bit(data_u8)
+    valid = unpack_mask(mask_u8)
+    return jnp.where(valid, bases, jnp.uint8(INVALID))
+
+
 def rolling_codes(bases: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     """Window codes over the trailing axis.
 

@@ -263,6 +263,43 @@ def sort_words_rows(
 
 
 @functools.partial(jax.jit, static_argnames=("k", "canonical", "pallas"))
+def sort_words_packed(
+    data: jax.Array,
+    mask: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    canonical: bool = False,
+    pallas: str | None = None,
+):
+    """sort_words over the 2-bit packed transfer format (data [T/4] +
+    validity mask [T/8]; see models/engine.stage_batch): 4x less H2D, the
+    unpack fuses into the device program."""
+    from dna_kmeres_parallel_tpu.ops import encode as encode_ops
+
+    bases = encode_ops.unpack_stream(data, mask)
+    return _encode_and_sort(bases, n_own, k, canonical, pallas)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "canonical", "pallas", "row_len")
+)
+def sort_words_rows_packed(
+    data: jax.Array,
+    mask: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    canonical: bool = False,
+    pallas: str | None = None,
+    row_len: int = 2048,
+):
+    """sort_words_rows over the 2-bit packed transfer format."""
+    from dna_kmeres_parallel_tpu.ops import encode as encode_ops
+
+    bases = encode_ops.unpack_stream(data, mask)
+    return _encode_and_sort_rows(bases, n_own, k, canonical, pallas, row_len)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "canonical", "pallas"))
 def sort_unique_starts(
     bases: jax.Array,
     n_own: jax.Array,

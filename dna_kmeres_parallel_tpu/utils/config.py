@@ -30,6 +30,10 @@ class KmerConfig:
       mesh_shape: (data,) or (hosts, chips) device mesh for sharded counting.
       use_pallas: route hot ops through Pallas kernels (else pure jnp/XLA).
       parser_variant: "modern" | "blank_line" | "no_blank_line" (see fasta.py).
+      pack_input: ship device batches 2-bit packed (4 bases/byte + validity
+         bitmask, the format the reference sketched at utils.h:65-92 but
+         never built) — 4x less host->device transfer; the unpack fuses
+         into the device program.
       sort_row_len: sparse path (k >= 13): sort the window stream as
          independent rows of this length instead of one flat array — XLA's
          comparison-network sort cost scales ~log^2(segment), so rows are
@@ -48,6 +52,7 @@ class KmerConfig:
     mesh_shape: tuple[int, ...] = ()
     use_pallas: bool = True
     parser_variant: str = "modern"
+    pack_input: bool = True
     sort_row_len: int = 2048
 
     def __post_init__(self):

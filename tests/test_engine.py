@@ -310,3 +310,29 @@ def test_cli_count_npz_output(tmp_path, make_dna, capsys):
     assert cli.main(["count", "--k", "4", str(path), "-o", str(out2)]) == 0
     z2 = np.load(out2)
     assert int(z2["hist"].sum()) == 200 - 4 + 1
+
+
+def test_pack_input_equals_unpacked(make_dna):
+    # 2-bit packed device feed (pack_input) must be bit-identical to the
+    # uint8 feed across dense and sparse routes, invalid chars included.
+    from dna_kmeres_parallel_tpu.models.engine import KmerEngine
+
+    seqs = [make_dna(300 + 17 * i, invalid_frac=0.05) for i in range(4)]
+    for k in (5, 11):
+        a = KmerEngine(KmerConfig(k=k, pack_input=True, batch_bases=256)).count_sequences(seqs)
+        b = KmerEngine(KmerConfig(k=k, pack_input=False, batch_bases=256)).count_sequences(seqs)
+        assert np.array_equal(a.hist, b.hist), k
+
+
+def test_unpack_stream_roundtrip(make_dna):
+    import jax.numpy as jnp
+
+    from dna_kmeres_parallel_tpu.ops import encode as encode_ops
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    s = make_dna(512, invalid_frac=0.1)
+    bases = codec.encode_bases(s)
+    data, mask, n = codec.pack_bases(bases)
+    got = np.asarray(encode_ops.unpack_stream(jnp.asarray(data), jnp.asarray(mask)))
+    want = np.where(bases < 4, bases, 0xFF)
+    assert np.array_equal(got[:n], want)

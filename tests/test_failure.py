@@ -25,7 +25,7 @@ def test_transient_failures_retried(fasta_file, monkeypatch):
     path, seqs = fasta_file
     import dna_kmeres_parallel_tpu.models.pipeline as pipeline_mod
 
-    real = pipeline_mod._count_batch
+    real = pipeline_mod._count_batch_packed
     fails = {"n": 2}  # within max_retries=2 for the first batch
 
     def flaky(*a, **kw):
@@ -34,7 +34,7 @@ def test_transient_failures_retried(fasta_file, monkeypatch):
             raise FakeInternalError("Internal: transient DMA failure (injected)")
         return real(*a, **kw)
 
-    monkeypatch.setattr(pipeline_mod, "_count_batch", flaky)
+    monkeypatch.setattr(pipeline_mod, "_count_batch_packed", flaky)
     sc = StreamingCounter(KmerConfig(k=4, batch_bases=256), max_retries=2)
     result = sc.run(path)
     want = sum(
@@ -51,7 +51,7 @@ def test_fatal_failures_surface(fasta_file, monkeypatch):
     def broken(*a, **kw):
         raise ValueError("deterministic bug — must not be retried")
 
-    monkeypatch.setattr(pipeline_mod, "_count_batch", broken)
+    monkeypatch.setattr(pipeline_mod, "_count_batch_packed", broken)
     sc = StreamingCounter(KmerConfig(k=4), max_retries=5)
     with pytest.raises(ValueError):
         sc.run(path)
@@ -65,7 +65,7 @@ def test_retries_exhausted(fasta_file, monkeypatch):
     def always_transient(*a, **kw):
         raise FakeInternalError("Internal: persistent failure")
 
-    monkeypatch.setattr(pipeline_mod, "_count_batch", always_transient)
+    monkeypatch.setattr(pipeline_mod, "_count_batch_packed", always_transient)
     sc = StreamingCounter(KmerConfig(k=4), max_retries=2)
     with pytest.raises(FakeInternalError):
         sc.run(path)

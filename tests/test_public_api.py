@@ -40,16 +40,16 @@ def test_engine_pallas_compile_fallback(make_dna, monkeypatch):
     from dna_kmeres_parallel_tpu.models.engine import KmerEngine
     from dna_kmeres_parallel_tpu.utils.config import KmerConfig
 
-    real = engine_mod._count_batch
+    real = engine_mod._count_batch_packed
     calls = {"n": 0}
 
-    def flaky(bases, n_own, k, bins, canonical, pallas=None):
+    def flaky(data, mask, n_own, k, bins, canonical, pallas=None):
         calls["n"] += 1
         if pallas is not None:
             raise RuntimeError("INTERNAL: remote_compile: HTTP 500 (Mosaic)")
-        return real(bases, n_own, k, bins, canonical, None)
+        return real(data, mask, n_own, k, bins, canonical, None)
 
-    monkeypatch.setattr(engine_mod, "_count_batch", flaky)
+    monkeypatch.setattr(engine_mod, "_count_batch_packed", flaky)
     monkeypatch.setenv("KMER_TPU_PALLAS_INTERPRET", "1")  # force pallas mode
     seqs = [make_dna(300) for _ in range(2)]
     result = KmerEngine(KmerConfig(k=4, batch_bases=256)).count_sequences(seqs)

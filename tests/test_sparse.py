@@ -295,3 +295,17 @@ def test_sparse_engine_row_sort_config(make_dna, row_len):
     assert np.array_equal(flat.counts, rows.counts)
     want = oracle.count_table_any_k(seqs, k)
     assert rows.table() == want
+
+
+def test_sparse_engine_packed_feed(make_dna):
+    seqs = [make_dna(150 + 13 * i, invalid_frac=0.05) for i in range(4)]
+    k = 21
+    a = SparseKmerEngine(
+        KmerConfig(k=k, batch_bases=512, pack_input=True)
+    ).count_sequences(seqs)
+    b = SparseKmerEngine(
+        KmerConfig(k=k, batch_bases=512, pack_input=False)
+    ).count_sequences(seqs)
+    assert np.array_equal(a.codes, b.codes)
+    assert np.array_equal(a.counts, b.counts)
+    assert a.table() == oracle.count_table_any_k(seqs, k)
