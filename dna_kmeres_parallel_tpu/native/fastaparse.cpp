@@ -480,6 +480,7 @@ int64_t loser_tree_merge(std::vector<MergeStream>& ss, const void* hi,
       st.pos++;
     } while (st.pos < st.stop && code_hw<HW>(hi, lo, st.pos) == c);
     key[wtr] = (st.pos < st.stop) ? code_hw<HW>(hi, lo, st.pos) : UINT64_MAX;
+    if (st.pos + 16 < st.stop) __builtin_prefetch(lo + st.pos + 16);
     if (w >= 0 && oc[w] == c) {
       on[w] += cnt;
     } else {
