@@ -192,6 +192,24 @@ class StreamingCounter:
         flat, total_bases, n_seqs = self._load_stream(source)
         with trace(self.trace_dir):
             if cfg.bins <= cfg.dense_bins_limit:
+                # Medium-dense bins (k=9..12): count through the sparse
+                # (row-sorted) path — measured ~10x the one-hot/scatter dense
+                # path on TPU — and materialize the dense histogram once at
+                # the end (same routing as KmerEngine.count_stream; codes are
+                # unique so it's an indexed store, not a scatter-add).
+                # Checkpoints along the way are sparse tables.
+                if cfg.bins > (1 << 16) and flat.shape[0] >= cfg.k:
+                    sp = self._run_sparse(flat, total_bases, n_seqs, t0)
+                    hist = np.zeros(cfg.bins, dtype=np.int64)
+                    hist[sp.codes.astype(np.int64)] = sp.counts
+                    return CountResult(
+                        k=cfg.k,
+                        canonical=cfg.canonical,
+                        hist=hist,
+                        n_seqs=n_seqs,
+                        total_bases=total_bases,
+                        elapsed_s=time.perf_counter() - t0,
+                    )
                 return self._run_dense(flat, total_bases, n_seqs, t0)
             return self._run_sparse(flat, total_bases, n_seqs, t0)
 

@@ -121,3 +121,26 @@ def test_mismatched_checkpoint_ignored(fasta_file, tmp_path):
     )
     assert np.array_equal(result.hist, want)
     assert "resumed_from_base" not in sc.metrics.counters
+
+
+def test_stream_medium_dense_k9_routes_sparse(tmp_path, make_dna):
+    # k=9..12 (bins > 2^16) in the streaming counter goes through the
+    # sparse row-sorted path and materializes dense at the end — result
+    # must equal the oracle dense histogram exactly.
+    from dna_kmeres_parallel_tpu.models.pipeline import StreamingCounter
+    from dna_kmeres_parallel_tpu.models import oracle
+    from dna_kmeres_parallel_tpu.utils import fasta
+
+    records = [(f">r{i}", make_dna(400, invalid_frac=0.02)) for i in range(4)]
+    path = tmp_path / "m.fasta"
+    fasta.write_fasta(path, records)
+    sc = StreamingCounter(KmerConfig(k=9, batch_bases=512))
+    result = sc.run(str(path))
+    assert result.hist.shape == (1 << 18,)
+    want = sum(
+        (oracle.count_vector(s, 9) for _, s in records),
+        np.zeros(1 << 18, np.int64),
+    )
+    assert np.array_equal(result.hist, want)
+    # sparse-path phases ran (device sort + host compact), not the dense path
+    assert "compact" in sc.metrics.phase_seconds
