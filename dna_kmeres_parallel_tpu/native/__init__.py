@@ -66,6 +66,14 @@ def _load():
         ctypes.c_int64,
         ctypes.POINTER(ctypes.POINTER(_KpFasta)),
     ]
+    lib.kp_parse_fasta_range.restype = ctypes.c_int
+    lib.kp_parse_fasta_range.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(_KpFasta)),
+    ]
     lib.kp_free_fasta.argtypes = [ctypes.POINTER(_KpFasta)]
     u8p = ctypes.POINTER(ctypes.c_uint8)
     u32p = ctypes.POINTER(ctypes.c_uint32)
@@ -142,14 +150,28 @@ class ParsedFasta:
         return self.stream[self.offsets[i] : self.offsets[i] + self.lengths[i]]
 
 
-def parse_fasta_native(path: str, max_seqs: int | None = None) -> ParsedFasta:
-    """Parse a FASTA file with the C++ parser into a flat encoded stream."""
+def parse_fasta_native(
+    path: str,
+    max_seqs: int | None = None,
+    byte_range: tuple[int, int] | None = None,
+) -> ParsedFasta:
+    """Parse a FASTA file with the C++ parser into a flat encoded stream.
+
+    byte_range=(start, end) parses only records starting in that range —
+    the multi-host input-sharding path (ranges must be record-aligned; see
+    parallel/multihost.split_fasta_byte_ranges).
+    """
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native parser unavailable: {_build_error}")
     out = ctypes.POINTER(_KpFasta)()
-    rc = lib.kp_parse_fasta(
-        os.fspath(path).encode(), ctypes.c_int64(max_seqs or 0), ctypes.byref(out)
+    start, end = byte_range if byte_range is not None else (0, -1)
+    rc = lib.kp_parse_fasta_range(
+        os.fspath(path).encode(),
+        ctypes.c_int64(start),
+        ctypes.c_int64(end),
+        ctypes.c_int64(max_seqs or 0),
+        ctypes.byref(out),
     )
     if rc == 1:
         raise FileNotFoundError(path)

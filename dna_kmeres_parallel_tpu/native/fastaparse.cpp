@@ -86,6 +86,10 @@ struct I64Buf {
 
 extern "C" {
 
+struct KpFasta;
+int kp_parse_fasta_range(const char* path, int64_t start, int64_t end,
+                         int64_t max_seqs, KpFasta** out);
+
 // Result of a parse; all arrays are malloc'd and freed by kp_free_fasta.
 struct KpFasta {
   int64_t n_seqs;
@@ -106,8 +110,21 @@ struct KpFasta {
 // blank lines ignored, trailing CR stripped.
 // Returns 0 on success, 1 on open failure, 2 on read failure.
 int kp_parse_fasta(const char* path, int64_t max_seqs, KpFasta** out) {
+  return kp_parse_fasta_range(path, 0, -1, max_seqs, out);
+}
+
+// Byte-range variant for multi-host input sharding: parses only records in
+// [start, end) of the file (the caller aligns boundaries to record starts
+// via parallel/multihost.split_fasta_byte_ranges; end < 0 means EOF).
+int kp_parse_fasta_range(const char* path, int64_t start, int64_t end,
+                         int64_t max_seqs, KpFasta** out) {
   FILE* f = fopen(path, "rb");
   if (!f) return 1;
+  if (start > 0 && fseek(f, (long)start, SEEK_SET) != 0) {
+    fclose(f);
+    return 2;
+  }
+  int64_t remaining = (end < 0) ? INT64_MAX : end - start;
 
   Buf stream;
   I64Buf offsets;
@@ -161,8 +178,10 @@ int kp_parse_fasta(const char* path, int64_t max_seqs, KpFasta** out) {
     }
   };
 
-  while (!done) {
-    int64_t got = static_cast<int64_t>(fread(buf, 1, CHUNK, f));
+  while (!done && remaining > 0) {
+    int64_t want = CHUNK < remaining ? CHUNK : remaining;
+    int64_t got = static_cast<int64_t>(fread(buf, 1, want, f));
+    remaining -= got;
     if (got < 0) {
       fclose(f);
       free(buf);

@@ -75,8 +75,15 @@ def read_range_records(path: str, start: int, end: int):
 
 
 def encode_range_stream(path: str, start: int, end: int) -> tuple[np.ndarray, int, int]:
-    """Byte range -> flat encoded stream (0xFF sentinels), like the native
-    parser but restricted to one host's range."""
+    """Byte range -> flat encoded stream (0xFF sentinels): one host's share
+    of the input. Native single-pass range parser when available (the
+    per-host ingest is GB-scale); Python fallback otherwise."""
+    from dna_kmeres_parallel_tpu import native
+
+    if native.available():
+        parsed = native.parse_fasta_native(path, byte_range=(start, end))
+        return parsed.stream, parsed.total_bases, parsed.n_seqs
+
     from dna_kmeres_parallel_tpu.utils import codec
 
     records = read_range_records(path, start, end)

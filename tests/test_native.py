@@ -310,3 +310,42 @@ def test_compact_rows_native_empty_and_full():
     c, n = native.compact_rows_native((lo,))
     assert np.array_equal(c, np.arange(128, dtype=np.uint64))
     assert np.array_equal(n, np.full(128, 4, np.int64))
+
+
+def test_parse_range_native_matches_python(tmp_path, make_dna):
+    # Record-aligned byte ranges: native range parse == python range parse,
+    # and the concatenation of all ranges covers every record exactly once.
+    from dna_kmeres_parallel_tpu.parallel import multihost
+
+    records = [(f">r{i} extra", make_dna(50 + 37 * i, invalid_frac=0.05)) for i in range(13)]
+    path = _write(tmp_path, records, width=23)
+    for parts in (1, 2, 3, 5):
+        ranges = multihost.split_fasta_byte_ranges(path, parts)
+        tot_seqs = 0
+        tot_bases = 0
+        for start, end in ranges:
+            parsed = native.parse_fasta_native(path, byte_range=(start, end))
+            py = multihost.read_range_records(path, start, end)
+            assert parsed.n_seqs == len(py)
+            assert [i.split()[0] for i in parsed.ids] == [
+                r.id.split()[0] for r in py
+            ]
+            for j, r in enumerate(py):
+                got = parsed.sequence_codes(j)
+                want = codec.encode_bases(r.seq)
+                assert np.array_equal(got, want)
+            tot_seqs += parsed.n_seqs
+            tot_bases += parsed.total_bases
+        assert tot_seqs == len(records)
+        assert tot_bases == sum(len(s) for _, s in records)
+
+
+def test_parse_range_mid_record_ignores_partial(tmp_path, make_dna):
+    # A range starting mid-record must not count the partial record (bases
+    # before the first '>' in range are skipped).
+    records = [(">a", "ACGT" * 30), (">b", "TTTT" * 25)]
+    path = _write(tmp_path, records, width=16)
+    size = __import__("os").path.getsize(path)
+    parsed = native.parse_fasta_native(path, byte_range=(5, size))
+    assert parsed.n_seqs == 1
+    assert parsed.ids[0].startswith(">b")
