@@ -1,0 +1,117 @@
+"""Data-parallel SPARSE counting: per-chip row-sorted shards, host merge.
+
+The k=21 multi-chip configuration (BASELINE config 4) when the distinct
+table fits host memory: each device encodes + row-sorts its own stream
+shard (halo-carrying, like the dense DP path), the host compacts each
+device's rows with the native loser-tree merge and tree-merges the
+per-device tables — pure integer merges, so the result is bit-identical
+to a single-device count at any device count (SURVEY.md §4 determinism).
+
+This is the collective-free DP alternative to parallel/bucketed.py (which
+routes codes to owner chips over all_to_all so no single host ever holds
+the whole table): DP-sparse moves D2H volume ~ windows, bucketed moves
+ICI volume ~ distinct codes. For a single host with 4 chips, DP-sparse is
+the simpler and faster plan; for k=31 pod-scale tables, bucketed.
+
+Reference contrast: the CUDA program is single-GPU (SURVEY.md §2.5); this
+subsumes its step-1 counting across chips.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from dna_kmeres_parallel_tpu.ops import sparse as sparse_ops
+from dna_kmeres_parallel_tpu.parallel.mesh import DATA_AXIS
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "canonical", "mesh", "axis", "row_len"),
+)
+def sort_words_rows_sharded(
+    bases: jax.Array,
+    n_own_per_shard: jax.Array,
+    k: int,
+    canonical: bool,
+    mesh: jax.sharding.Mesh,
+    axis: str = DATA_AXIS,
+    row_len: int = 2048,
+):
+    """[D, T + k - 1] halo-carrying stream shards -> per-device row-sorted
+    word planes [D, rows, row_len] (see ops/sparse.sort_words_rows).
+
+    Each device sorts only its own shard — no collectives; the exact merge
+    happens on host (count_sparse_sharded). Shards carry their k-1 halo and
+    n_own_per_shard[d] owned windows, so every window is counted exactly
+    once (halo rule, SURVEY.md §5).
+    """
+
+    def shard_fn(b, n_own):
+        b = b.reshape(-1)
+        n_own = n_own.reshape(())
+        words = sparse_ops._encode_words(b, n_own, k, canonical, None)
+        n = words[-1].shape[0]
+        rows = max(1, -(-n // row_len))
+        npad = rows * row_len
+        shaped = []
+        for w in words:
+            if npad != n:
+                w = jnp.pad(
+                    w,
+                    (0, npad - n),
+                    constant_values=sparse_ops.word_sentinel(w.dtype),
+                )
+            shaped.append(w.reshape(rows, row_len))
+        out = jax.lax.sort(shaped, num_keys=len(shaped), dimension=-1)
+        return tuple(o[None] for o in out)
+
+    n_words = 1 if k <= sparse_ops.MAX_SINGLE_WORD_K else 2
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=tuple(P(axis, None, None) for _ in range(n_words)),
+        check_vma=False,
+    )
+    return fn(bases, n_own_per_shard)
+
+
+def count_sparse_sharded(
+    flat: np.ndarray,
+    k: int,
+    canonical: bool,
+    mesh: jax.sharding.Mesh,
+    axis: str = DATA_AXIS,
+    row_len: int = 2048,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Flat encoded stream -> exact sorted (codes_u64, counts_i64) table,
+    counted data-parallel across the mesh (one shard per device)."""
+    from dna_kmeres_parallel_tpu.models.sparse_engine import (
+        compact_table,
+        merge_sparse_tables,
+    )
+    from dna_kmeres_parallel_tpu.parallel.bucketed import shard_stream_with_halo
+
+    shards, n_own = shard_stream_with_halo(flat, k, mesh, axis)
+    words = sort_words_rows_sharded(
+        jnp.asarray(shards),
+        jnp.asarray(n_own),
+        k,
+        canonical,
+        mesh,
+        axis,
+        row_len,
+    )
+    words = tuple(np.asarray(w) for w in words)
+    D = words[-1].shape[0]
+    tables = [
+        compact_table(tuple(w[d] for w in words)) for d in range(D)
+    ]
+    return merge_sparse_tables(tables)

@@ -25,11 +25,19 @@ def main():
 
     for r in B.run_impl_matrix_bench(ks=(4, 8, 11), total_bases=total):
         print(json.dumps(r), flush=True)
-    for k in (21, 31):
-        print(
-            json.dumps(B.run_sparse_bench(k=k, total_bases=total, batch_bases=4 << 20)),
-            flush=True,
-        )
+    # Sparse: >= 4 dispatches per measurement (single-dispatch timings are
+    # tunnel-latency-dominated), 16M-base batches when the budget allows.
+    sparse_total = max(total, 64 << 20)
+    for k in (13, 21, 31):
+        for row_len in (0, 2048):
+            r = B.run_sparse_bench(
+                k=k,
+                total_bases=sparse_total,
+                batch_bases=sparse_total // 4,
+                row_len=row_len,
+            )
+            r["row_len"] = row_len
+            print(json.dumps(r), flush=True)
     print(
         json.dumps(B.run_distance_bench(n_seqs=2048, seq_len=1024, k=3)),
         flush=True,

@@ -107,3 +107,43 @@ def test_stream_not_divisible_is_padded(make_dna, mesh8):
     assert stream.shape[0] % 8 == 0
     hist = np.asarray(sc.count_sharded(stream, k, 64, False, mesh8))
     assert hist.sum() == 101 - k + 1
+
+
+@pytest.mark.parametrize("k,canonical", [(13, False), (21, False), (21, True), (31, False)])
+def test_count_sparse_sharded_matches_oracle(make_dna, k, canonical):
+    # DP-sparse (config 4 shape): per-chip row-sorted shards, host merge.
+    from dna_kmeres_parallel_tpu.models.oracle import count_table_any_k
+    from dna_kmeres_parallel_tpu.parallel import sharded_sparse
+    from dna_kmeres_parallel_tpu.parallel.mesh import make_mesh
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    seqs = [make_dna(130 + 31 * i, invalid_frac=0.02) for i in range(5)]
+    parts = []
+    for i, s in enumerate(seqs):
+        if i:
+            parts.append(np.array([codec.INVALID_BASE], dtype=np.uint8))
+        parts.append(codec.encode_bases(s))
+    flat = np.concatenate(parts)
+    mesh = make_mesh(8)
+    codes, counts = sharded_sparse.count_sparse_sharded(
+        flat, k, canonical, mesh, row_len=64
+    )
+    want = count_table_any_k(seqs, k, canonical)
+    got = {codec.code_to_kmer(int(c), k): int(n) for c, n in zip(codes, counts)}
+    assert got == want
+
+
+def test_count_sparse_sharded_device_count_invariant(make_dna):
+    # Bit-identical table at 1, 2, 8 devices (integer merges only).
+    from dna_kmeres_parallel_tpu.parallel import sharded_sparse
+    from dna_kmeres_parallel_tpu.parallel.mesh import make_mesh
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    flat = codec.encode_bases(make_dna(700, invalid_frac=0.01))
+    results = [
+        sharded_sparse.count_sparse_sharded(flat, 21, False, make_mesh(d), row_len=128)
+        for d in (1, 2, 8)
+    ]
+    for c, n in results[1:]:
+        assert np.array_equal(c, results[0][0])
+        assert np.array_equal(n, results[0][1])
