@@ -124,3 +124,42 @@ def test_min_sum_pallas_distances_exact(make_dna):
     rows, cols = np.triu_indices(len(seqs), k=1)
     want = oracle.distance_matrix_packed(seqs, k)
     assert np.array_equal(sq[rows, cols], want)
+
+
+@pytest.mark.parametrize("R,m", [(8, 128), (16, 512), (8, 2048)])
+def test_row_sort_pallas_matches_np(R, m):
+    from dna_kmeres_parallel_tpu.ops.sort_pallas import row_sort_pallas_u32
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 1 << 32, (R, m), dtype=np.uint64).astype(np.uint32)
+    x[0, :4] = [0, 0xFFFFFFFF, 0x7FFFFFFF, 0x80000000]  # bias-order extremes
+    got = np.asarray(row_sort_pallas_u32(jnp.asarray(x), interpret=True))
+    assert np.array_equal(got, np.sort(x, axis=1))
+
+
+def test_sort_words_rows_pallas_sort_env(make_dna, monkeypatch):
+    # KMER_TPU_PALLAS_SORT=1 routes the single-word row sort through the
+    # bitonic kernel; the table must be unchanged.
+    from dna_kmeres_parallel_tpu.models.sparse_engine import compact_table
+    from dna_kmeres_parallel_tpu.ops import sparse as sparse_ops
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    s = make_dna(600, invalid_frac=0.02)
+    bases = jnp.asarray(codec.encode_bases(s))
+    n_own = jnp.int32(len(s) - 13 + 1)
+    base = compact_table(
+        sparse_ops.sort_words_rows(bases, n_own, 13, False, pallas="interpret", row_len=128)
+    )
+    monkeypatch.setenv("KMER_TPU_PALLAS_SORT", "1")
+    sparse_ops.sort_words_rows.clear_cache()
+    try:
+        alt = compact_table(
+            sparse_ops.sort_words_rows(
+                bases, n_own, 13, False, pallas="interpret", row_len=128
+            )
+        )
+    finally:
+        monkeypatch.delenv("KMER_TPU_PALLAS_SORT")
+        sparse_ops.sort_words_rows.clear_cache()
+    assert np.array_equal(base[0], alt[0])
+    assert np.array_equal(base[1], alt[1])
