@@ -32,6 +32,19 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _rev16_digits(x):
+    """Reverse the 16 2-bit digits of a uint32 (butterfly swaps, ~8 ops) —
+    the vector analogue of the scalar digit-reverse loop in
+    ops/sparse.revcomp_split, at O(log) instead of O(k) cost."""
+    m2 = jnp.uint32(0x33333333)
+    m4 = jnp.uint32(0x0F0F0F0F)
+    m8 = jnp.uint32(0x00FF00FF)
+    x = ((x & m2) << 2) | ((x >> 2) & m2)
+    x = ((x & m4) << 4) | ((x >> 4) & m4)
+    x = ((x & m8) << 8) | ((x >> 8) & m8)
+    return (x << 16) | (x >> 16)
+
+
 def _make_encode_kernel(k: int, canonical: bool, chunk: int, single: bool):
     nlo = _lo_bases(k)
     nhi = k - nlo
@@ -39,40 +52,76 @@ def _make_encode_kernel(k: int, canonical: bool, chunk: int, single: bool):
     def kernel(bases_ref, n_own_ref, *out_refs):
         lo_ref = out_refs[-1]
         hi_ref = None if single else out_refs[0]
-        # Vectorized over the whole [8, chunk] block (per-row processing
+        # Vectorized over the whole [8, row_w] block (per-row processing
         # wastes 7/8 of the VPU sublanes): each row is a contiguous stream
-        # span with its own halo tail, so window s of every row is just the
-        # column slice [:, s : s+chunk].
+        # span with its own halo tail, so window s of every row is the
+        # column slice at offset s — realized as a lane roll so widths stay
+        # constant (wrapped tail lanes are garbage beyond the halo and are
+        # cropped by the final [:, :chunk] store).
         t = pl.program_id(0)
         n_own = n_own_ref[0, 0]
-        hi = jnp.zeros((8, chunk), jnp.uint32)
-        lo = jnp.zeros((8, chunk), jnp.uint32)
-        valid = jnp.ones((8, chunk), jnp.bool_)
-        for s in range(k):  # static unroll
-            # int32 compare domain — uint8-derived bool masks crash the
-            # Mosaic compiler downstream (see histogram_pallas note).
-            w = jax.lax.slice_in_dim(bases_ref[:], s, s + chunk, axis=1).astype(
-                jnp.int32
-            )
-            valid = valid & (w < 4)
-            b = (w & 3).astype(jnp.uint32)
-            if s < nhi:
-                hi = (hi << 2) | b
-            else:
-                lo = (lo << 2) | b
-        if canonical:
-            rc_hi = jnp.zeros_like(hi)
-            rc_lo = jnp.zeros_like(lo)
-            sh, sl = hi, lo
-            for i in range(k):
-                d = sl & 3
-                sl = (sl >> 2) | ((sh & 3) << (2 * (nlo - 1)))
-                sh = sh >> 2
-                comp = d ^ 3
-                if i < nhi:
-                    rc_hi = (rc_hi << 2) | comp
+        w = bases_ref[:].astype(jnp.int32)  # int32 compare domain (Mosaic)
+        row_w = w.shape[1]
+
+        def lroll(a, off):  # a[:, i + off] at column i
+            return pltpu.roll(a, row_w - off, axis=1) if off else a
+
+        # Doubling ladder: window codes/validity for power-of-two lengths —
+        # log2(k) lane rolls instead of the k rolls of a linear unroll (the
+        # encode was ~45% of the k=21 device path).
+        # validity travels as int32 0/1 — Mosaic cannot roll i1 vectors
+        # ("Rotate with non-32-bit data").
+        c = {1: (w & 3).astype(jnp.uint32)}
+        v = {1: (w < 4).astype(jnp.int32)}
+        p = 1
+        while 2 * p <= max(nlo, nhi, 1):
+            c[2 * p] = (c[p] << (2 * p)) | lroll(c[p], p)
+            v[2 * p] = v[p] & lroll(v[p], p)
+            p *= 2
+
+        def build(n):
+            """(codes, valid) for n-base windows from power-of-two pieces."""
+            acc_c = acc_v = None
+            acc_len = 0
+            for q in sorted(c, reverse=True):
+                if not (n & q):
+                    continue
+                if acc_c is None:
+                    acc_c, acc_v, acc_len = c[q], v[q], q
                 else:
-                    rc_lo = (rc_lo << 2) | comp
+                    acc_c = (acc_c << (2 * q)) | lroll(c[q], acc_len)
+                    acc_v = acc_v & lroll(v[q], acc_len)
+                    acc_len += q
+            return acc_c, acc_v
+
+        lo_full, lo_v = build(nlo)
+        if nhi:
+            hi_full, hi_v = build(nhi)
+            hi = hi_full
+            lo = lroll(lo_full, nhi)
+            valid_full = hi_v & lroll(lo_v, nhi)
+        else:
+            hi = jnp.zeros_like(lo_full)
+            lo = lo_full
+            valid_full = lo_v
+        hi = jax.lax.slice_in_dim(hi, 0, chunk, axis=1)
+        lo = jax.lax.slice_in_dim(lo, 0, chunk, axis=1)
+        valid = jax.lax.slice_in_dim(valid_full, 0, chunk, axis=1) != 0
+
+        if canonical:
+            # RC = digit-reverse + complement, via butterfly reversal of the
+            # 16-digit words (O(log k) ops vs the O(k) shift loop).
+            ones32 = jnp.uint32(0xFFFFFFFF)
+            if nhi:
+                rev_lo = _rev16_digits(lo ^ ones32)
+                hi_mask = jnp.uint32((1 << (2 * nhi)) - 1)
+                rev_hi = _rev16_digits((hi ^ hi_mask) & hi_mask)
+                rc_hi = rev_lo >> (2 * (16 - nhi))
+                rc_lo = (rev_lo << (2 * nhi)) | (rev_hi >> (2 * (16 - nhi)))
+            else:
+                k_mask = jnp.uint32((1 << (2 * k)) - 1) if k < 16 else ones32
+                rc_hi = jnp.zeros_like(hi)
+                rc_lo = _rev16_digits((lo ^ k_mask) & k_mask) >> (2 * (16 - k))
             take_rc = (rc_hi < hi) | ((rc_hi == hi) & (rc_lo < lo))
             hi = jnp.where(take_rc, rc_hi, hi)
             lo = jnp.where(take_rc, rc_lo, lo)
@@ -115,7 +164,11 @@ def rolling_codes_split_pallas(
         raise ValueError(f"k must be in [1, {MAX_SPARSE_K}]")
     single = k <= MAX_SINGLE_WORD_K
     T = bases.shape[0]
-    chunk = int(os.environ.get("KMER_TPU_HIST_CHUNK", "512"))
+    # Independent of the histogram kernel's chunk: the encoder wants large
+    # tiles — at 512 the k-1 halo overlap wastes 25% of input DMA and the
+    # grid dispatch dominates; measured k=21 encode 7.2ms (512) -> 5.1ms
+    # (4096) per 16M bases.
+    chunk = int(os.environ.get("KMER_TPU_ENC_CHUNK", "4096"))
     halo = k - 1
     # Lane-aligned row width (non-128-multiple block widths crash Mosaic).
     row_w = _round_up(chunk + halo, 128)

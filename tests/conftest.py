@@ -8,6 +8,10 @@ cluster"). Environment must be set before jax is imported anywhere.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Small encoder tiles in CI: interpret-mode Pallas pads inputs to the tile
+# span (8 * chunk); the production default (4096) would make every tiny
+# fixture a 32K-element interpreted loop.
+os.environ.setdefault("KMER_TPU_ENC_CHUNK", "512")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
