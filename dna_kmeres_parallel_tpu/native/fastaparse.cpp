@@ -527,6 +527,99 @@ int64_t loser_tree_merge(std::vector<MergeStream>& ss, const void* hi,
   return w + 1;
 }
 
+// Loser-tree merge over pre-aggregated (code, count) runs — stage 2 of the
+// hierarchical merge. Codes within one run are unique-sorted; equal codes
+// across runs accumulate at the output cursor.
+struct RunStream {
+  const uint64_t* c;
+  const int64_t* n;
+  int64_t pos, stop;
+};
+
+int64_t loser_tree_merge_runs(std::vector<RunStream>& ss, uint64_t* oc,
+                              int64_t* on) {
+  const int S = static_cast<int>(ss.size());
+  if (S == 0) return 0;
+  int S2 = 1;
+  while (S2 < S) S2 <<= 1;
+  std::vector<uint64_t> key(S2, UINT64_MAX);
+  for (int s = 0; s < S; s++)
+    key[s] = ss[s].pos < ss[s].stop ? ss[s].c[ss[s].pos] : UINT64_MAX;
+  std::vector<int> ls(S2, 0);
+  {
+    std::vector<int> win(2 * S2);
+    for (int i = 0; i < S2; i++) win[S2 + i] = i;
+    for (int node = S2 - 1; node >= 1; node--) {
+      int a = win[2 * node], b = win[2 * node + 1];
+      int w = (key[a] <= key[b]) ? a : b;
+      ls[node] = (w == a) ? b : a;
+      win[node] = w;
+    }
+    ls[0] = win[1];
+  }
+  int64_t w = -1;
+  int wtr = ls[0];
+  while (key[wtr] != UINT64_MAX) {
+    const uint64_t c = key[wtr];
+    RunStream& st = ss[wtr];
+    const int64_t cnt = st.n[st.pos];
+    st.pos++;
+    key[wtr] = (st.pos < st.stop) ? st.c[st.pos] : UINT64_MAX;
+    if (st.pos + 8 < st.stop) __builtin_prefetch(st.c + st.pos + 8);
+    if (w >= 0 && oc[w] == c) {
+      on[w] += cnt;
+    } else {
+      w++;
+      oc[w] = c;
+      on[w] = cnt;
+    }
+    int winner = wtr;
+    uint64_t kwin = key[wtr];
+    for (int node = (S2 + wtr) >> 1; node >= 1; node >>= 1) {
+      const int l = ls[node];
+      const uint64_t kl = key[l];
+      const uint64_t msk = (uint64_t)0 - (uint64_t)(kl < kwin);
+      ls[node] = (int)(((uint64_t)winner & msk) | ((uint64_t)l & ~msk));
+      winner = (int)(((uint64_t)l & msk) | ((uint64_t)winner & ~msk));
+      kwin = (kl & msk) | (kwin & ~msk);
+    }
+    ls[0] = winner;
+    wtr = winner;
+  }
+  return w + 1;
+}
+
+// Hierarchical (two-stage) merge for high fan-in: bundles of <= kGroup
+// streams merge through L1-resident trees into scratch (code, count) runs,
+// then one tree over the runs. One extra memory pass buys shallow trees
+// at both stages — ~2x the flat tree past a few hundred streams.
+constexpr int kGroup = 128;
+constexpr int kTwoStageMin = 384;
+
+template <int HW>
+int64_t merge_two_stage(std::vector<MergeStream>& ss, const void* hi,
+                        const uint32_t* lo, uint64_t* oc, int64_t* on) {
+  const int64_t S = static_cast<int64_t>(ss.size());
+  int64_t in_total = 0;
+  for (auto& st : ss) in_total += st.stop - st.pos;
+  std::vector<uint64_t> sc_c(in_total);
+  std::vector<int64_t> sc_n(in_total);
+  std::vector<RunStream> runs;
+  runs.reserve((S + kGroup - 1) / kGroup);
+  int64_t off = 0;
+  for (int64_t g = 0; g < S; g += kGroup) {
+    int64_t ge = std::min<int64_t>(g + kGroup, S);
+    std::vector<MergeStream> bundle(ss.begin() + g, ss.begin() + ge);
+    int64_t cap = 0;
+    for (auto& st : bundle) cap += st.stop - st.pos;
+    int64_t len =
+        loser_tree_merge<HW>(bundle, hi, lo, sc_c.data() + off, sc_n.data() + off);
+    runs.push_back({sc_c.data() + off, sc_n.data() + off, 0, len});
+    off += cap;
+  }
+  return loser_tree_merge_runs(runs, oc, on);
+}
+
 }  // namespace
 
 extern "C" {
@@ -772,12 +865,16 @@ int64_t kp_compact_rows(const void* hi, int hi_width, const uint32_t* lo,
         for (int64_t r = 0; r < rows; r++)
           if (cut[t][r] < cut[t + 1][r])
             ss.push_back({cut[t][r], cut[t + 1][r]});
+        const bool two_stage = ss.size() >= kTwoStageMin;
         if (hi_width == 0)
-          part_len[t] = loser_tree_merge<0>(ss, hi, lo, oc, on);
+          part_len[t] = two_stage ? merge_two_stage<0>(ss, hi, lo, oc, on)
+                                  : loser_tree_merge<0>(ss, hi, lo, oc, on);
         else if (hi_width == 2)
-          part_len[t] = loser_tree_merge<2>(ss, hi, lo, oc, on);
+          part_len[t] = two_stage ? merge_two_stage<2>(ss, hi, lo, oc, on)
+                                  : loser_tree_merge<2>(ss, hi, lo, oc, on);
         else
-          part_len[t] = loser_tree_merge<4>(ss, hi, lo, oc, on);
+          part_len[t] = two_stage ? merge_two_stage<4>(ss, hi, lo, oc, on)
+                                  : loser_tree_merge<4>(ss, hi, lo, oc, on);
       });
     for (auto& th : ths) th.join();
   }

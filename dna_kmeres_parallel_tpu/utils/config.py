@@ -22,7 +22,10 @@ class KmerConfig:
       canonical: fold reverse complements (min(code, rc(code))) — a mandated
          new capability; the reference has none (SURVEY.md §2.4.6).
       max_seqs: optional ingest cap (reference MAX_SEQS=100, main.cu:30).
-      batch_bases: number of bases per device batch in the streaming counter.
+      batch_bases: number of bases per device batch in the streaming
+         counter (default 16M: smaller batches underutilize the device and
+         pay per-dispatch latency; inputs smaller than one batch use
+         power-of-two shape buckets so tiny files never pad to 16M).
       seq_tile: sequences per tile in the distance engine (rounded to 8).
       dense_bins_limit: largest dense histogram kept per chip (default 4^12).
       count_dtype: dtype of count accumulators (int32 like the reference's
@@ -45,7 +48,7 @@ class KmerConfig:
     k: int = 3
     canonical: bool = False
     max_seqs: int | None = None
-    batch_bases: int = 1 << 22
+    batch_bases: int = 1 << 24
     seq_tile: int = 256
     dense_bins_limit: int = 1 << 24
     count_dtype: str = "int32"
