@@ -349,3 +349,49 @@ def test_parse_range_mid_record_ignores_partial(tmp_path, make_dna):
     parsed = native.parse_fasta_native(path, byte_range=(5, size))
     assert parsed.n_seqs == 1
     assert parsed.ids[0].startswith(">b")
+
+
+@pytest.mark.parametrize("layout", ["single", "u16"])
+def test_compact_rows_native_two_stage(layout):
+    # Fan-in >= 384 streams per partition engages the hierarchical
+    # (bundle -> runs) merge; duplicate-heavy codes so counts accumulate
+    # across bundles.
+    rng = np.random.default_rng(23)
+    R, m = 1024, 64
+    lo = np.sort(rng.integers(0, 1 << 9, (R, m)).astype(np.uint32), axis=1)
+    if layout == "single":
+        words = (lo,)
+    else:
+        hi = np.zeros((R, m), np.uint16)
+        words = (hi, lo)
+    got_c, got_n = native.compact_rows_native(words)
+    codes = np.sort(lo.ravel().astype(np.uint64))
+    starts = np.concatenate([[True], codes[1:] != codes[:-1]])
+    idx = np.flatnonzero(starts)
+    want_n = np.diff(np.append(idx, codes.size)).astype(np.int64)
+    assert np.array_equal(got_c, codes[idx])
+    assert np.array_equal(got_n, want_n)
+    assert int(got_n.sum()) == R * m
+
+
+def test_compact_rows_native_two_stage_sentinels():
+    # Two-stage path with ragged sentinel tails across many rows.
+    rng = np.random.default_rng(29)
+    R, m = 768, 32
+    lo = np.full((R, m), 0xFFFFFFFF, np.uint32)
+    total = 0
+    for r in range(R):
+        nv = int(rng.integers(0, m + 1))
+        lo[r, :nv] = np.sort(rng.integers(0, 1 << 8, nv).astype(np.uint32))
+        total += nv
+    got_c, got_n = native.compact_rows_native((lo,))
+    valid = lo[lo != 0xFFFFFFFF].astype(np.uint64)
+    assert int(got_n.sum()) == total == valid.size
+    codes = np.sort(valid)
+    if codes.size:
+        starts = np.concatenate([[True], codes[1:] != codes[:-1]])
+        idx = np.flatnonzero(starts)
+        assert np.array_equal(got_c, codes[idx])
+        assert np.array_equal(
+            got_n, np.diff(np.append(idx, codes.size)).astype(np.int64)
+        )
