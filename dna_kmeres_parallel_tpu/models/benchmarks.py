@@ -35,9 +35,12 @@ def run_count_bench(
     n_batches = max(total_bases // batch_bases, 1)
 
     # Distinct inputs per dispatch (cycled) so no layer of the stack can
-    # legally dedupe repeated executions and fake the timing.
+    # legally dedupe repeated executions and fake the timing. The LAST
+    # input is reserved for the warmup dispatch so no timed dispatch is
+    # byte-identical to it (a deduped warmup twin inflates throughput by
+    # up to 1/n_batches).
     n_distinct = min(n_batches, 4)
-    keys = jax.random.split(jax.random.PRNGKey(seed), n_distinct)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_distinct + 1)
     inputs = [
         jax.device_put(
             jax.random.randint(kk, (batch_bases,), 0, 4, jnp.int32).astype(
@@ -55,7 +58,7 @@ def run_count_bench(
     # return before execution finishes — only a host fetch of a dependent
     # value truly synchronizes. All timings below end with a host fetch, and
     # the fetch-roundtrip baseline is measured and subtracted.
-    h0 = _count_batch(inputs[0], n_own, k, bins, canonical, pallas)
+    h0 = _count_batch(inputs[n_distinct], n_own, k, bins, canonical, pallas)
     _ = np.asarray(h0)  # materialize fully
     t0 = time.perf_counter()
     _ = np.asarray(h0)  # pure result-transfer roundtrip
@@ -196,8 +199,10 @@ def run_sparse_bench(
 
     batch_bases = min(batch_bases, total_bases)
     n_batches = max(total_bases // batch_bases, 1)
+    # Last input reserved for warmup (see run_count_bench note: a timed
+    # dispatch byte-identical to the warmup can be deduped by the tunnel).
     n_distinct = min(n_batches, 4)
-    keys = jax.random.split(jax.random.PRNGKey(seed), n_distinct)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_distinct + 1)
     inputs = [
         jax.device_put(
             jax.random.randint(kk, (batch_bases,), 0, 4, jnp.int32).astype(
@@ -216,10 +221,12 @@ def run_sparse_bench(
         # [windows_counted, order-signature]: the signature is a
         # permutation-VARIANT reduction (run-start positions weighted by
         # index) — a permutation-invariant one lets XLA elide the sort
-        # entirely (measured: a k=13 "17 Gbase/s" phantom).
+        # entirely (measured: a k=13 "17 Gbase/s" phantom). i < 0 selects
+        # the reserved warmup input.
+        x_in = inputs[n_distinct] if i < 0 else inputs[i % n_distinct]
         if row_len:
             words = sparse_ops.sort_words_rows(
-                inputs[i % n_distinct],
+                x_in,
                 n_own,
                 k,
                 canonical,
@@ -239,7 +246,7 @@ def run_sparse_bench(
             sig = jnp.sum(jnp.where(starts, idx, 0))
             return jnp.stack([n_valid, sig])
         words, starts = sparse_ops.sort_unique_starts(
-            inputs[i % n_distinct], n_own, k, canonical, pallas=pallas
+            x_in, n_own, k, canonical, pallas=pallas
         )
         major = words[0]
         sent = jnp.asarray(jnp.iinfo(major.dtype).max, major.dtype)
@@ -249,7 +256,7 @@ def run_sparse_bench(
         sig = jnp.sum(jnp.where(starts, idx, 0))
         return jnp.stack([n_valid, sig])
 
-    c0 = one(0)
+    c0 = one(-1)  # dedicated warmup input, never timed
     _ = np.asarray(c0)  # warmup + materialize (host fetch is the only true sync)
     t0 = time.perf_counter()
     _ = np.asarray(c0 + jnp.int32(0))
@@ -308,27 +315,27 @@ def run_distance_bench(
     # dispatch): per-dispatch tunnel latency is tens of ms — larger than
     # the kernel itself at this size — and a fetch-roundtrip subtraction
     # across separate dispatches can go negative (a clamp once reported
-    # 6e15 pairs/s).
+    # 6e15 pairs/s). Every OUTER dispatch also gets a distinct base offset
+    # (CLAUDE.md: byte-identical dispatches get deduped in the tunnel).
     reps = 8
 
     @jax.jit
-    def prog(c):
+    def prog(c, base):
         def body(acc, i):
-            return acc + jnp.sum(fn(c + i)), None  # distinct input per iter
+            return acc + jnp.sum(fn(c + base + i)), None  # distinct inputs
 
         out, _ = jax.lax.scan(
             body, jnp.int32(0), jnp.arange(reps, dtype=jnp.int32)
         )
         return out
 
-    s0 = int(prog(counts))  # warmup/compile + sync
+    _ = int(prog(counts, jnp.int32(100)))  # warmup/compile + sync
     best = None
-    for _ in range(3):
+    for j in range(3):
         t0 = time.perf_counter()
-        s1 = int(prog(counts))
+        _ = int(prog(counts, jnp.int32(j)))
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
-        assert s1 == s0
     # One dispatch+fetch roundtrip amortized over reps in-program iters.
     elapsed = best / reps
 

@@ -445,36 +445,21 @@ inline uint64_t code_hw(const void* hi, const uint32_t* lo, int64_t i) {
          lo[i];
 }
 
-// Merge ss (each a sorted slice, all non-empty) writing sorted-unique
-// (code, count) to oc/on; returns entries written. Valid codes are at most
-// 2*31 bits above the lo word (< 2^62), so UINT64_MAX marks exhaustion.
-template <int HW>
-int64_t loser_tree_merge(std::vector<MergeStream>& ss, const void* hi,
-                         const uint32_t* lo, uint64_t* oc, int64_t* on) {
+// One loser-tree core over any stream type. A Stream provides:
+//   uint64_t head() const    — current key, UINT64_MAX when exhausted
+//   int64_t pop(uint64_t c)  — consume the current run of key c, return
+//                              its count contribution, advance
+// Valid codes are at most 2*31 bits (< 2^62), so UINT64_MAX marks
+// exhaustion unambiguously.
+template <class Stream>
+int64_t loser_tree_core(std::vector<Stream>& ss, uint64_t* oc, int64_t* on) {
   const int S = static_cast<int>(ss.size());
   if (S == 0) return 0;
-  if (S == 1) {
-    // Single stream: plain RLE walk.
-    int64_t w = -1;
-    for (int64_t i = ss[0].pos; i < ss[0].stop; i++) {
-      uint64_t c = code_hw<HW>(hi, lo, i);
-      if (w >= 0 && oc[w] == c)
-        on[w]++;
-      else {
-        w++;
-        oc[w] = c;
-        on[w] = 1;
-      }
-    }
-    return w + 1;
-  }
   int S2 = 1;
   while (S2 < S) S2 <<= 1;
   std::vector<uint64_t> key(S2, UINT64_MAX);
-  for (int s = 0; s < S; s++) key[s] = code_hw<HW>(hi, lo, ss[s].pos);
+  for (int s = 0; s < S; s++) key[s] = ss[s].head();
   std::vector<int> ls(S2, 0);  // ls[1..S2-1] = losers; ls[0] = winner
-  // Bottom-up tournament build (iterative): winners[] holds the winner of
-  // each subtree level by level.
   {
     std::vector<int> win(2 * S2);
     for (int i = 0; i < S2; i++) win[S2 + i] = i;
@@ -486,20 +471,12 @@ int64_t loser_tree_merge(std::vector<MergeStream>& ss, const void* hi,
     }
     ls[0] = win[1];
   }
-
   int64_t w = -1;
   int wtr = ls[0];
   while (key[wtr] != UINT64_MAX) {
     const uint64_t c = key[wtr];
-    // Drain this stream's run of equal codes without tree replays.
-    MergeStream& st = ss[wtr];
-    int64_t cnt = 0;
-    do {
-      cnt++;
-      st.pos++;
-    } while (st.pos < st.stop && code_hw<HW>(hi, lo, st.pos) == c);
-    key[wtr] = (st.pos < st.stop) ? code_hw<HW>(hi, lo, st.pos) : UINT64_MAX;
-    if (st.pos + 16 < st.stop) __builtin_prefetch(lo + st.pos + 16);
+    const int64_t cnt = ss[wtr].pop(c);
+    key[wtr] = ss[wtr].head();
     if (w >= 0 && oc[w] == c) {
       on[w] += cnt;
     } else {
@@ -508,9 +485,8 @@ int64_t loser_tree_merge(std::vector<MergeStream>& ss, const void* hi,
       on[w] = cnt;
     }
     // Replay from this leaf to the root. Branchless mask blends: the
-    // compare at each level is a ~50/50 coin flip on real data, and the
-    // mispredict penalty (~17 cycles/level measured) dominates a branchy
-    // replay — masks run 2.5-5x faster (see git history / lt3 microbench).
+    // compare at each level is a ~50/50 coin flip, and the mispredict
+    // penalty (~17 cycles/level measured) dominates a branchy replay.
     int winner = wtr;
     uint64_t kwin = key[wtr];
     for (int node = (S2 + wtr) >> 1; node >= 1; node >>= 1) {
@@ -527,66 +503,63 @@ int64_t loser_tree_merge(std::vector<MergeStream>& ss, const void* hi,
   return w + 1;
 }
 
-// Loser-tree merge over pre-aggregated (code, count) runs — stage 2 of the
-// hierarchical merge. Codes within one run are unique-sorted; equal codes
-// across runs accumulate at the output cursor.
+// Stream of raw sorted window codes (duplicates adjacent; each counts 1).
+template <int HW>
+struct WindowStream {
+  const void* hi;
+  const uint32_t* lo;
+  int64_t pos, stop;
+  inline uint64_t head() const {
+    return pos < stop ? code_hw<HW>(hi, lo, pos) : UINT64_MAX;
+  }
+  inline int64_t pop(uint64_t c) {
+    int64_t cnt = 0;
+    do {  // drain this stream's run of equal codes without tree replays
+      cnt++;
+      pos++;
+    } while (pos < stop && code_hw<HW>(hi, lo, pos) == c);
+    if (pos + 16 < stop) __builtin_prefetch(lo + pos + 16);
+    return cnt;
+  }
+};
+
+// Stream of pre-aggregated (code, count) runs (codes unique within one).
 struct RunStream {
   const uint64_t* c;
   const int64_t* n;
   int64_t pos, stop;
+  inline uint64_t head() const { return pos < stop ? c[pos] : UINT64_MAX; }
+  inline int64_t pop(uint64_t) {
+    const int64_t cnt = n[pos];
+    pos++;
+    if (pos + 8 < stop) __builtin_prefetch(c + pos + 8);
+    return cnt;
+  }
 };
 
-int64_t loser_tree_merge_runs(std::vector<RunStream>& ss, uint64_t* oc,
-                              int64_t* on) {
-  const int S = static_cast<int>(ss.size());
-  if (S == 0) return 0;
-  int S2 = 1;
-  while (S2 < S) S2 <<= 1;
-  std::vector<uint64_t> key(S2, UINT64_MAX);
-  for (int s = 0; s < S; s++)
-    key[s] = ss[s].pos < ss[s].stop ? ss[s].c[ss[s].pos] : UINT64_MAX;
-  std::vector<int> ls(S2, 0);
-  {
-    std::vector<int> win(2 * S2);
-    for (int i = 0; i < S2; i++) win[S2 + i] = i;
-    for (int node = S2 - 1; node >= 1; node--) {
-      int a = win[2 * node], b = win[2 * node + 1];
-      int w = (key[a] <= key[b]) ? a : b;
-      ls[node] = (w == a) ? b : a;
-      win[node] = w;
+// Merge ss (sorted window-code slices) writing sorted-unique (code, count).
+template <int HW>
+int64_t loser_tree_merge(std::vector<MergeStream>& ss, const void* hi,
+                         const uint32_t* lo, uint64_t* oc, int64_t* on) {
+  if (ss.size() == 1) {
+    // Single stream: plain RLE walk.
+    int64_t w = -1;
+    for (int64_t i = ss[0].pos; i < ss[0].stop; i++) {
+      uint64_t c = code_hw<HW>(hi, lo, i);
+      if (w >= 0 && oc[w] == c)
+        on[w]++;
+      else {
+        w++;
+        oc[w] = c;
+        on[w] = 1;
+      }
     }
-    ls[0] = win[1];
+    return w + 1;
   }
-  int64_t w = -1;
-  int wtr = ls[0];
-  while (key[wtr] != UINT64_MAX) {
-    const uint64_t c = key[wtr];
-    RunStream& st = ss[wtr];
-    const int64_t cnt = st.n[st.pos];
-    st.pos++;
-    key[wtr] = (st.pos < st.stop) ? st.c[st.pos] : UINT64_MAX;
-    if (st.pos + 8 < st.stop) __builtin_prefetch(st.c + st.pos + 8);
-    if (w >= 0 && oc[w] == c) {
-      on[w] += cnt;
-    } else {
-      w++;
-      oc[w] = c;
-      on[w] = cnt;
-    }
-    int winner = wtr;
-    uint64_t kwin = key[wtr];
-    for (int node = (S2 + wtr) >> 1; node >= 1; node >>= 1) {
-      const int l = ls[node];
-      const uint64_t kl = key[l];
-      const uint64_t msk = (uint64_t)0 - (uint64_t)(kl < kwin);
-      ls[node] = (int)(((uint64_t)winner & msk) | ((uint64_t)l & ~msk));
-      winner = (int)(((uint64_t)l & msk) | ((uint64_t)winner & ~msk));
-      kwin = (kl & msk) | (kwin & ~msk);
-    }
-    ls[0] = winner;
-    wtr = winner;
-  }
-  return w + 1;
+  std::vector<WindowStream<HW>> ws;
+  ws.reserve(ss.size());
+  for (auto& st : ss) ws.push_back({hi, lo, st.pos, st.stop});
+  return loser_tree_core(ws, oc, on);
 }
 
 // Hierarchical (two-stage) merge for high fan-in: bundles of <= kGroup
@@ -617,7 +590,7 @@ int64_t merge_two_stage(std::vector<MergeStream>& ss, const void* hi,
     runs.push_back({sc_c.data() + off, sc_n.data() + off, 0, len});
     off += cap;
   }
-  return loser_tree_merge_runs(runs, oc, on);
+  return loser_tree_core(runs, oc, on);
 }
 
 }  // namespace

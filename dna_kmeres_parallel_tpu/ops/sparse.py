@@ -184,6 +184,15 @@ def _encode_and_sort(
     return tuple(jax.lax.sort(words, num_keys=len(words)))
 
 
+def pallas_sort_enabled() -> bool:
+    """Whether the experimental bitonic row-sort kernel is requested
+    (KMER_TPU_PALLAS_SORT=1). Read at call time by the public entry points,
+    never inside a trace."""
+    import os
+
+    return os.environ.get("KMER_TPU_PALLAS_SORT") == "1"
+
+
 def _encode_and_sort_rows(
     bases: jax.Array,
     n_own: jax.Array,
@@ -191,6 +200,7 @@ def _encode_and_sort_rows(
     canonical: bool,
     pallas: str | None,
     row_len: int,
+    pallas_sort: bool = False,
 ):
     words = _encode_words(bases, n_own, k, canonical, pallas)
     n = words[-1].shape[0]
@@ -202,14 +212,15 @@ def _encode_and_sort_rows(
             w = jnp.pad(w, (0, npad - n), constant_values=word_sentinel(w.dtype))
         shaped.append(w.reshape(rows, npad // rows))
     # Experimental in-VMEM bitonic kernel (single-word keys only): ~16%
-    # faster than XLA's row sort at m=2048 (ops/sort_pallas.py). Opt-in —
-    # XLA's sort is already near bitonic-optimal and the kernel adds
-    # Mosaic-compile surface.
-    import os
-
+    # faster than XLA's row sort at m=2048 (ops/sort_pallas.py). Opt-in via
+    # pallas_sort_enabled() — read OUTSIDE the jitted callers and passed as
+    # a static arg so the jit cache keys on it (an env read at trace time
+    # would silently ignore later toggles). Requires a Pallas-capable mode
+    # (pallas is not None): the kernel shares the encoder's compile path.
     if (
-        len(shaped) == 1
-        and os.environ.get("KMER_TPU_PALLAS_SORT") == "1"
+        pallas_sort
+        and pallas is not None
+        and len(shaped) == 1
         and row_len & (row_len - 1) == 0
         and row_len % 128 == 0
         and rows % 8 == 0
@@ -248,8 +259,17 @@ def sort_words(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "canonical", "pallas", "row_len")
+    jax.jit,
+    static_argnames=("k", "canonical", "pallas", "row_len", "pallas_sort"),
 )
+def _sort_words_rows_jit(
+    bases, n_own, k, canonical, pallas, row_len, pallas_sort
+):
+    return _encode_and_sort_rows(
+        bases, n_own, k, canonical, pallas, row_len, pallas_sort
+    )
+
+
 def sort_words_rows(
     bases: jax.Array,
     n_own: jax.Array,
@@ -257,6 +277,7 @@ def sort_words_rows(
     canonical: bool = False,
     pallas: str | None = None,
     row_len: int = 2048,
+    pallas_sort: bool | None = None,
 ):
     """Row-sorted variant of sort_words: encode, then sort [rows, row_len]
     SEGMENTS of the window stream independently (lax.sort dimension=-1).
@@ -275,7 +296,11 @@ def sort_words_rows(
     sentinels). The stream is padded up to a row multiple, so rows =
     ceil(n_windows / row_len).
     """
-    return _encode_and_sort_rows(bases, n_own, k, canonical, pallas, row_len)
+    if pallas_sort is None:  # resolved HERE, outside the jit boundary
+        pallas_sort = pallas_sort_enabled()
+    return _sort_words_rows_jit(
+        bases, n_own, k, canonical, pallas, row_len, pallas_sort
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("k", "canonical", "pallas"))
@@ -297,8 +322,20 @@ def sort_words_packed(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "canonical", "pallas", "row_len")
+    jax.jit,
+    static_argnames=("k", "canonical", "pallas", "row_len", "pallas_sort"),
 )
+def _sort_words_rows_packed_jit(
+    data, mask, n_own, k, canonical, pallas, row_len, pallas_sort
+):
+    from dna_kmeres_parallel_tpu.ops import encode as encode_ops
+
+    bases = encode_ops.unpack_stream(data, mask)
+    return _encode_and_sort_rows(
+        bases, n_own, k, canonical, pallas, row_len, pallas_sort
+    )
+
+
 def sort_words_rows_packed(
     data: jax.Array,
     mask: jax.Array,
@@ -307,12 +344,14 @@ def sort_words_rows_packed(
     canonical: bool = False,
     pallas: str | None = None,
     row_len: int = 2048,
+    pallas_sort: bool | None = None,
 ):
     """sort_words_rows over the 2-bit packed transfer format."""
-    from dna_kmeres_parallel_tpu.ops import encode as encode_ops
-
-    bases = encode_ops.unpack_stream(data, mask)
-    return _encode_and_sort_rows(bases, n_own, k, canonical, pallas, row_len)
+    if pallas_sort is None:  # resolved outside the jit boundary
+        pallas_sort = pallas_sort_enabled()
+    return _sort_words_rows_packed_jit(
+        data, mask, n_own, k, canonical, pallas, row_len, pallas_sort
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("k", "canonical", "pallas"))

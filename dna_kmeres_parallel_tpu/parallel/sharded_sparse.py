@@ -56,20 +56,12 @@ def sort_words_rows_sharded(
     def shard_fn(b, n_own):
         b = b.reshape(-1)
         n_own = n_own.reshape(())
-        words = sparse_ops._encode_words(b, n_own, k, canonical, None)
-        n = words[-1].shape[0]
-        rows = max(1, -(-n // row_len))
-        npad = rows * row_len
-        shaped = []
-        for w in words:
-            if npad != n:
-                w = jnp.pad(
-                    w,
-                    (0, npad - n),
-                    constant_values=sparse_ops.word_sentinel(w.dtype),
-                )
-            shaped.append(w.reshape(rows, row_len))
-        out = jax.lax.sort(shaped, num_keys=len(shaped), dimension=-1)
+        # The per-shard program IS the single-device row-sorted program —
+        # one implementation, so the DP-sparse table stays bit-identical to
+        # a single-device count at any device count.
+        out = sparse_ops._encode_and_sort_rows(
+            b, n_own, k, canonical, None, row_len
+        )
         return tuple(o[None] for o in out)
 
     n_words = 1 if k <= sparse_ops.MAX_SINGLE_WORD_K else 2

@@ -151,15 +151,12 @@ def test_sort_words_rows_pallas_sort_env(make_dna, monkeypatch):
         sparse_ops.sort_words_rows(bases, n_own, 13, False, pallas="interpret", row_len=128)
     )
     monkeypatch.setenv("KMER_TPU_PALLAS_SORT", "1")
-    sparse_ops.sort_words_rows.clear_cache()
-    try:
-        alt = compact_table(
-            sparse_ops.sort_words_rows(
-                bases, n_own, 13, False, pallas="interpret", row_len=128
-            )
+    # The env is resolved at CALL time (outside jit) and keyed as a static
+    # arg — no cache clearing needed to flip it mid-process.
+    alt = compact_table(
+        sparse_ops.sort_words_rows(
+            bases, n_own, 13, False, pallas="interpret", row_len=128
         )
-    finally:
-        monkeypatch.delenv("KMER_TPU_PALLAS_SORT")
-        sparse_ops.sort_words_rows.clear_cache()
+    )
     assert np.array_equal(base[0], alt[0])
     assert np.array_equal(base[1], alt[1])
