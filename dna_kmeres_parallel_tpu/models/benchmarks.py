@@ -60,6 +60,15 @@ def run_count_bench(
     # the fetch-roundtrip baseline is measured and subtracted.
     h0 = _count_batch(inputs[n_distinct], n_own, k, bins, canonical, pallas)
     _ = np.asarray(h0)  # materialize fully
+    # Warm the accumulate program too: the timed loop uses BOTH programs,
+    # and a first-run compile/first-touch inside the timed region once cost
+    # ~6.7 s (reported as 0.01 Gbase/s).
+    if n_batches > 1:
+        _ = np.asarray(
+            _count_batch_acc(
+                h0, inputs[n_distinct], n_own, k, bins, canonical, pallas
+            )
+        )
     t0 = time.perf_counter()
     _ = np.asarray(h0)  # pure result-transfer roundtrip
     t_fetch = time.perf_counter() - t0
