@@ -143,13 +143,18 @@ def make_global_stream(local_flat: np.ndarray, mesh, axis: str = "data"):
         return jax.device_put(local_flat, sharding)
     # Hosts' ranges differ in length; agree on the max and pad every local
     # shard to it (INVALID padding never counts) so the global shape is
-    # consistent across processes.
+    # consistent across processes. target is max + 1, NOT max: each
+    # process's records are complete, so no window may span two processes'
+    # slabs — without the guaranteed trailing INVALID, the LONGEST slab
+    # (which gets no padding) would sit flush against the next process's
+    # first record and the halo exchange would count k-1 phantom
+    # cross-process windows (caught by the 2-process gloo test).
     from jax.experimental import multihost_utils
 
     lengths = multihost_utils.process_allgather(
         np.array([local_flat.shape[0]], dtype=np.int64)
     )
-    target = int(np.max(lengths))
+    target = int(np.max(lengths)) + 1
     target += (-target) % n_local
     pad = target - local_flat.shape[0]
     if pad:

@@ -86,3 +86,66 @@ def test_tiny_file_more_parts_than_records(tmp_path):
     for a, b in ranges:
         recs.extend(multihost.read_range_records(str(path), a, b))
     assert [(r.id, r.seq) for r in recs] == [(">a", "ACGTACGT")]
+
+
+def test_count_file_multihost_two_processes(tmp_path, make_dna):
+    # TRUE multi-process run (SURVEY §4 "distributed without a cluster"):
+    # two subprocesses under jax.distributed (gloo CPU collectives), each
+    # parsing its record-aligned byte range and psum-merging over the
+    # 2-device global mesh. The replicated histogram on EVERY process must
+    # equal the whole-file oracle count.
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from dna_kmeres_parallel_tpu.models import oracle
+    from dna_kmeres_parallel_tpu.utils import fasta as fasta_mod
+
+    records = [(f">r{i}", make_dna(120 + 31 * i)) for i in range(7)]
+    path = tmp_path / "mp.fasta"
+    fasta_mod.write_fasta(path, records)
+    k = 6
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    outs = [str(tmp_path / f"out{i}.npz") for i in range(2)]
+    env = {
+        kk: v
+        for kk, v in os.environ.items()
+        if kk not in ("XLA_FLAGS",)  # no forced 8-device host count
+    }
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), str(path), str(k), outs[i]],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process workers timed out")
+        logs.append(out)
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{logs[i][-2000:]}"
+
+    want = sum(
+        (oracle.count_vector(s, k) for _, s in records),
+        np.zeros(1 << (2 * k), np.int64),
+    )
+    for o in outs:
+        got = np.load(o)
+        assert 1 <= int(got["n_seqs"]) <= 7  # this process's range share
+        assert np.array_equal(got["hist"].astype(np.int64), want)
