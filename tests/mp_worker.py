@@ -37,11 +37,54 @@ def main() -> int:
     from dna_kmeres_parallel_tpu.utils.config import KmerConfig
 
     mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
-    hist, total_bases, n_seqs = multihost.count_file_multihost(
-        fasta_path, KmerConfig(k=k), mesh
+    mode = sys.argv[7] if len(sys.argv) > 7 else "dense"
+    if mode == "dense":
+        hist, total_bases, n_seqs = multihost.count_file_multihost(
+            fasta_path, KmerConfig(k=k), mesh
+        )
+        np.savez(out_path, hist=hist, total_bases=total_bases, n_seqs=n_seqs)
+        return 0
+
+    # mode == "bucketed": the config-5 all_to_all path over the
+    # cross-process mesh. Every process parses the whole (small) file and
+    # contributes its device's stream shard; per-device sub-tables are
+    # allgathered and merged into the global table.
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dna_kmeres_parallel_tpu import native
+    from dna_kmeres_parallel_tpu.parallel import bucketed
+
+    parsed = native.parse_fasta_native(fasta_path)
+    shards, n_own = bucketed.shard_stream_with_halo(parsed.stream, k, mesh)
+    D = shards.shape[0]
+    me = jax.process_index()
+    shards_g = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data", None)), shards[me : me + 1], shards.shape
     )
+    n_own_g = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data")), n_own[me : me + 1], n_own.shape
+    )
+    hi, lo, counts, starts, overflow = bucketed.count_bucket_sharded(
+        shards_g, n_own_g, k, False, mesh
+    )
+    # jnp.any over the per-device flags yields a replicated global scalar,
+    # readable on every process directly.
+    assert not bool(overflow), "bucketed send overflow"
+    # Each process holds its own device's row; allgather the rows.
+    local = [
+        np.asarray(x.addressable_shards[0].data)[0]
+        for x in (hi, lo, counts, starts)
+    ]
+    full = [multihost_utils.process_allgather(jnp.asarray(v)) for v in local]
+    codes_u64, counts_np = bucketed.gather_table(*full)
     np.savez(
-        out_path, hist=hist, total_bases=total_bases, n_seqs=n_seqs
+        out_path,
+        codes=codes_u64,
+        counts=counts_np,
+        n_seqs=parsed.n_seqs,
+        total_bases=parsed.total_bases,
     )
     return 0
 
