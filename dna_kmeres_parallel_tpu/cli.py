@@ -69,6 +69,14 @@ def _add_common(p: argparse.ArgumentParser):
         default="tpu",
         help="tpu = JAX/Pallas engine, oracle = NumPy golden engine",
     )
+    p.add_argument(
+        "--mesh",
+        type=int,
+        default=None,
+        metavar="N",
+        help="count data-parallel over an N-device mesh (stream command; "
+        "per-chip partials merged exactly)",
+    )
 
 
 def _build_config(args):
@@ -79,6 +87,7 @@ def _build_config(args):
         canonical=args.canonical,
         max_seqs=args.max_seqs,
         parser_variant=args.parser,
+        mesh_shape=(args.mesh,) if getattr(args, "mesh", None) else (),
     )
 
 

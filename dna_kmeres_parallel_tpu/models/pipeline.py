@@ -105,6 +105,20 @@ class StreamingCounter:
         raise last
 
     # ------------------------------------------------------------------
+    def _mesh(self):
+        """Device mesh for multi-chip DP streaming (KmerConfig.mesh_shape);
+        None = single-device path."""
+        cfg = self.config
+        if not cfg.mesh_shape:
+            return None
+        import math
+
+        from dna_kmeres_parallel_tpu.parallel.mesh import make_mesh
+
+        n = math.prod(cfg.mesh_shape)
+        return make_mesh(n) if n > 1 else None
+
+    # ------------------------------------------------------------------
     def _load_stream(self, source):
         from dna_kmeres_parallel_tpu import native
         from dna_kmeres_parallel_tpu.utils import fasta
@@ -240,12 +254,22 @@ class StreamingCounter:
         done_batches = 0
         stopped = False
         pallas = runtime.pallas_mode() if cfg.use_pallas else None
+        mesh = self._mesh()
 
         def prep(bounds):
             start, end, T, overlap = bounds
             seg = flat[start : min(end + overlap, total)]
             padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
             padded[: seg.shape[0]] = seg
+            if mesh is not None:
+                # Multi-chip DP: stage the batch sharded across the mesh
+                # (count_sharded's ppermute halos + n_own masking handle
+                # intra-batch shard and batch-overlap boundaries).
+                from dna_kmeres_parallel_tpu.parallel.sharded_count import (
+                    device_put_sharded_stream,
+                )
+
+                return device_put_sharded_stream(padded, mesh)
             # staged to device off-thread; 2-bit packed planes if configured
             return stage_batch(padded, cfg.pack_input)
 
@@ -264,7 +288,19 @@ class StreamingCounter:
             done_batches += 1
             with self.metrics.phase("device"):
                 n_own = jnp.int32(end - start)
-                if cfg.pack_input:
+                if mesh is not None:
+                    from dna_kmeres_parallel_tpu.parallel.sharded_count import (
+                        count_sharded,
+                    )
+
+                    h = self._with_retry(
+                        lambda: count_sharded(
+                            staged, cfg.k, cfg.bins, cfg.canonical, mesh,
+                            n_own=n_own,
+                        )
+                    )
+                    acc = h if acc is None else acc + h
+                elif cfg.pack_input:
                     data, mask = staged
                     if acc is None:
                         acc = self._with_retry(
@@ -332,11 +368,33 @@ class StreamingCounter:
         done_batches = 0
         stopped = False
 
+        mesh = self._mesh()
+
         def prep(bounds):
             start, end, T, overlap = bounds
             seg = flat[start : min(end + overlap, total)]
             padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
             padded[: seg.shape[0]] = seg
+            if mesh is not None:
+                # Multi-chip DP-sparse: host-side halo shards (fixed shapes
+                # every batch), staged sharded across the mesh.
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from dna_kmeres_parallel_tpu.parallel.bucketed import (
+                    shard_stream_with_halo,
+                )
+                from dna_kmeres_parallel_tpu.parallel.mesh import DATA_AXIS
+
+                shards, n_own_d = shard_stream_with_halo(
+                    padded, cfg.k, mesh, total_own=end - start
+                )
+                return (
+                    jax.device_put(
+                        shards, NamedSharding(mesh, P(DATA_AXIS, None))
+                    ),
+                    jax.device_put(n_own_d, NamedSharding(mesh, P(DATA_AXIS))),
+                )
             return stage_batch(padded, cfg.pack_input)
 
         from dna_kmeres_parallel_tpu.models.sparse_engine import compact_table
@@ -350,7 +408,15 @@ class StreamingCounter:
             nonlocal since_ckpt
             words, p_start, p_end = p
             with self.metrics.phase("compact"):
-                tables.append(compact_table(words))
+                if mesh is not None:
+                    # [D, rows, m] planes: one table per device's rows.
+                    planes = tuple(np.asarray(w) for w in words)
+                    for d in range(planes[-1].shape[0]):
+                        tables.append(
+                            compact_table(tuple(w[d] for w in planes))
+                        )
+                else:
+                    tables.append(compact_table(words))
             self.metrics.count("bases", p_end - p_start)
             self.metrics.count("batches")
             since_ckpt += p_end - p_start
@@ -376,7 +442,19 @@ class StreamingCounter:
             with self.metrics.phase("device"):
                 pallas = runtime.pallas_mode() if cfg.use_pallas else None
                 n_own = jnp.int32(end - start)
-                if cfg.pack_input and cfg.sort_row_len:
+                if mesh is not None:
+                    from dna_kmeres_parallel_tpu.parallel.sharded_sparse import (
+                        sort_words_rows_sharded,
+                    )
+
+                    shards_g, n_own_g = staged
+                    words = self._with_retry(
+                        lambda: sort_words_rows_sharded(
+                            shards_g, n_own_g, cfg.k, cfg.canonical, mesh,
+                            row_len=cfg.sort_row_len or 2048,
+                        )
+                    )
+                elif cfg.pack_input and cfg.sort_row_len:
                     words = self._with_retry(
                         lambda: sparse_ops.sort_words_rows_packed(
                             *staged, n_own, cfg.k, cfg.canonical,

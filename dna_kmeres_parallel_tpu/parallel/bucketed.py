@@ -233,15 +233,21 @@ def count_bucket_sharded(
 
 
 def shard_stream_with_halo(
-    flat: np.ndarray, k: int, mesh, axis: str = DATA_AXIS
+    flat: np.ndarray, k: int, mesh, axis: str = DATA_AXIS, total_own=None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Host-side feeder: split a flat stream into [D, T + k - 1] shards with
     per-shard halos (tail windows completed by the next shard's head) and
-    the per-shard owned-window counts. Pads with INVALID."""
+    the per-shard owned-window counts. Pads with INVALID.
+
+    total_own (optional): only windows starting at global positions <
+    total_own are owned — the streaming pipeline's batch rule (the batch's
+    trailing k-1 overlap bases complete windows but start none)."""
     from dna_kmeres_parallel_tpu.ops.encode import INVALID
 
     D = mesh.shape[axis]
     total = flat.shape[0]
+    if total_own is None:
+        total_own = total
     T = -(-total // D)
     halo = k - 1
     out = np.full((D, T + halo), INVALID, dtype=np.uint8)
@@ -252,7 +258,7 @@ def shard_stream_with_halo(
         if start < total:
             seg = flat[start:end]
             out[d, : seg.shape[0]] = seg
-            n_own[d] = max(min(T, total - start), 0)
+            n_own[d] = max(min(T, total_own - start), 0)
     return out, n_own
 
 

@@ -75,28 +75,51 @@ def count_sharded(
     canonical: bool,
     mesh: jax.sharding.Mesh,
     axis: str = DATA_AXIS,
+    n_own=None,
 ) -> jax.Array:
     """Flat base stream [D*T] -> merged dense histogram [bins] (replicated).
 
     The stream is split evenly across the ``axis`` devices; halos travel over
     ICI via ppermute; partial histograms merge with an integer psum.
+
+    n_own (optional, traced): count only windows whose GLOBAL start index is
+    < n_own — the streaming pipeline's batch-overlap rule (the k-1 tail
+    bases complete the last owned windows but start none; those windows
+    belong to the next batch). None counts the whole stream.
     """
     n_dev = mesh.shape[axis]
     T = bases.shape[0]
     if T % n_dev:
         raise ValueError(f"stream length {T} not divisible by mesh axis {n_dev}")
+    shard_len = T // n_dev
 
-    def shard_fn(b):
+    def shard_fn(b, limit):
         b = b.reshape(-1)  # [T/D] local shard
-        own = b.shape[0]
+        own = jnp.int32(b.shape[0])
+        if limit is not None:
+            start = jax.lax.axis_index(axis).astype(jnp.int32) * shard_len
+            own = jnp.minimum(own, jnp.maximum(limit.reshape(()) - start, 0))
         with_halo = halo_exchange(b, k, axis)
-        h = _count_shard(with_halo, jnp.int32(own), k, bins, canonical)
+        h = _count_shard(with_halo, own, k, bins, canonical)
         return jax.lax.psum(h, axis)
 
+    if n_own is None:
+        fn = shard_map(
+            lambda b: shard_fn(b, None),
+            mesh=mesh,
+            in_specs=P(axis),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return fn(bases)
     fn = shard_map(
-        shard_fn, mesh=mesh, in_specs=P(axis), out_specs=P(), check_vma=False
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=P(),
+        check_vma=False,
     )
-    return fn(bases)
+    return fn(bases, jnp.asarray(n_own, jnp.int32))
 
 
 @functools.partial(

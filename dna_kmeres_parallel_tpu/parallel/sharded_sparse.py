@@ -82,16 +82,18 @@ def count_sparse_sharded(
     mesh: jax.sharding.Mesh,
     axis: str = DATA_AXIS,
     row_len: int = 2048,
+    total_own=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Flat encoded stream -> exact sorted (codes_u64, counts_i64) table,
-    counted data-parallel across the mesh (one shard per device)."""
+    counted data-parallel across the mesh (one shard per device).
+    total_own: see shard_stream_with_halo (streaming batch-overlap rule)."""
     from dna_kmeres_parallel_tpu.models.sparse_engine import (
         compact_table,
         merge_sparse_tables,
     )
     from dna_kmeres_parallel_tpu.parallel.bucketed import shard_stream_with_halo
 
-    shards, n_own = shard_stream_with_halo(flat, k, mesh, axis)
+    shards, n_own = shard_stream_with_halo(flat, k, mesh, axis, total_own)
     words = sort_words_rows_sharded(
         jnp.asarray(shards),
         jnp.asarray(n_own),

@@ -144,3 +144,26 @@ def test_stream_medium_dense_k9_routes_sparse(tmp_path, make_dna):
     assert np.array_equal(result.hist, want)
     # sparse-path phases ran (device sort + host compact), not the dense path
     assert "compact" in sc.metrics.phase_seconds
+
+
+@pytest.mark.parametrize("k", [5, 9, 21])
+def test_stream_mesh_dp_matches_single(tmp_path, make_dna, k):
+    # KmerConfig.mesh_shape: the streaming counter runs each batch
+    # data-parallel over the mesh (dense: ppermute halos + psum; sparse:
+    # per-chip row sort + host merge). Results must be bit-identical to
+    # the single-device stream.
+    from dna_kmeres_parallel_tpu.models.pipeline import StreamingCounter
+    from dna_kmeres_parallel_tpu.utils import fasta
+
+    records = [(f">r{i}", make_dna(300 + 41 * i, invalid_frac=0.02)) for i in range(4)]
+    path = tmp_path / "mesh.fasta"
+    fasta.write_fasta(path, records)
+    single = StreamingCounter(KmerConfig(k=k, batch_bases=512)).run(str(path))
+    dp = StreamingCounter(
+        KmerConfig(k=k, batch_bases=512, mesh_shape=(8,))
+    ).run(str(path))
+    if hasattr(single, "hist"):
+        assert np.array_equal(single.hist, dp.hist)
+    else:
+        assert np.array_equal(single.codes, dp.codes)
+        assert np.array_equal(single.counts, dp.counts)
