@@ -141,6 +141,13 @@ def count_bucket_sharded(
         if canonical:
             hi, lo = sparse_ops.canonicalize_split(hi, lo, k)
 
+        # In prefix mode with owner = the TOP bits of hi, owner order is
+        # monotone in the (hi, lo) sort key, so the owner word need not be
+        # a sort operand at all (each extra 32-bit operand costs ~28% of
+        # the sort, and this local sort dominates the path); segment bounds
+        # come from searchsorted on hi against the owners' code edges.
+        prefix_fast = owner_mode != "minimizer" and use_hi
+
         if owner_mode == "minimizer":
             # KMC-style routing: Fibonacci hash of the window's minimizer.
             mini = window_minimizers(b, k, minimizer_m)
@@ -150,30 +157,54 @@ def count_bucket_sharded(
             owner = jnp.minimum(hashed.astype(jnp.int32), D - 1)
         else:
             owner_src = hi if use_hi else lo
-            owner = (owner_src >> shift).astype(jnp.int32)
+            # Clamp: for non-power-of-two D the top d_bits can exceed D-1;
+            # unclamped owners would route to nonexistent devices and the
+            # codes would silently vanish from every send segment.
+            owner = jnp.minimum(
+                (owner_src >> shift).astype(jnp.int32), D - 1
+            )
         owner = jnp.where(valid, owner, jnp.int32(D))
         hi = jnp.where(valid, hi, _SENTINEL)
         lo = jnp.where(valid, lo, _SENTINEL)
 
         # Local pre-aggregation: group by (owner, code) and collapse
         # duplicates, so only DISTINCT (code, count) pairs travel over ICI.
-        owner_s, hi_s, lo_s = jax.lax.sort((owner, hi, lo), num_keys=3)
         ones = jnp.ones((n,), jnp.int32)
+        if prefix_fast:
+            hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2)
+            owner_s = jnp.zeros((n,), jnp.int32)  # subsumed by the hi compare
+        else:
+            owner_s, hi_s, lo_s = jax.lax.sort((owner, hi, lo), num_keys=3)
         starts_mask, totals = _rle(owner_s, hi_s, lo_s, ones)
         # Non-starts become sentinels so they compress to nothing downstream.
-        own_u = jnp.where(starts_mask, owner_s, jnp.int32(D))
         hi_u = jnp.where(starts_mask, hi_s, _SENTINEL)
         lo_u = jnp.where(starts_mask, lo_s, _SENTINEL)
         cnt_u = jnp.where(starts_mask, totals, 0)
 
         # Re-sort pulls the masked non-starts (sentinels) out of the way.
-        owner, hi_u, lo_u, cnt_u = jax.lax.sort(
-            (own_u, hi_u, lo_u, cnt_u), num_keys=3
-        )
-
         targets = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0).squeeze(-1)
-        starts = jnp.searchsorted(owner, targets)
-        ends = jnp.searchsorted(owner, targets, side="right")
+        if prefix_fast:
+            hi_u, lo_u, cnt_u = jax.lax.sort((hi_u, lo_u, cnt_u), num_keys=2)
+            # Owner d's codes have hi in [d << shift, (d+1) << shift); the
+            # LAST owner also absorbs the clamped top range (non-pow2 D),
+            # so its end edge is the sentinel boundary (valid hi < 2^30 <
+            # 0xFFFFFFFF, so searchsorted at the sentinel finds the first
+            # invalid entry).
+            edges = (targets.astype(jnp.uint32)) << shift
+            end_edges = jnp.where(
+                targets == D - 1,
+                jnp.uint32(0xFFFFFFFF),
+                edges + (jnp.uint32(1) << shift),
+            )
+            starts = jnp.searchsorted(hi_u, edges)
+            ends = jnp.searchsorted(hi_u, end_edges)
+        else:
+            own_u = jnp.where(starts_mask, owner_s, jnp.int32(D))
+            owner, hi_u, lo_u, cnt_u = jax.lax.sort(
+                (own_u, hi_u, lo_u, cnt_u), num_keys=3
+            )
+            starts = jnp.searchsorted(owner, targets)
+            ends = jnp.searchsorted(owner, targets, side="right")
         seg_len = ends - starts
         overflow = jnp.any(seg_len > cap)
 

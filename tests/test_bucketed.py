@@ -131,3 +131,53 @@ def test_bucketed_minimizer_skewed_input(mesh8):
     codes, cnts = bucketed.gather_table(hi, lo, counts, starts)
     assert codes.shape == (1,)
     assert int(cnts[0]) == 2000 - k + 1
+
+
+@pytest.mark.parametrize("n_dev,k", [(6, 21), (5, 24)])
+def test_bucketed_non_pow2_devices(make_dna, n_dev, k):
+    # Non-power-of-two D: the top d_bits can exceed D-1 and must clamp to
+    # the last owner (unclamped owners routed codes to nonexistent devices
+    # and dropped them silently).
+    from dna_kmeres_parallel_tpu.models.oracle import count_table_any_k
+    from dna_kmeres_parallel_tpu.parallel import bucketed
+    from dna_kmeres_parallel_tpu.parallel.mesh import make_mesh
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    s = make_dna(900, invalid_frac=0.02)
+    flat = codec.encode_bases(s)
+    mesh = make_mesh(n_dev)
+    shards, n_own = bucketed.shard_stream_with_halo(flat, k, mesh)
+    hi, lo, counts, starts, overflow = bucketed.count_bucket_sharded(
+        jnp.asarray(shards), jnp.asarray(n_own), k, False, mesh
+    )
+    assert not bool(overflow)
+    codes_u64, counts_np = bucketed.gather_table(hi, lo, counts, starts)
+    got = {
+        codec.code_to_kmer(int(c), k): int(n)
+        for c, n in zip(codes_u64, counts_np)
+    }
+    assert got == count_table_any_k([s], k)
+
+
+def test_bucketed_k16_lo_owner_path(make_dna):
+    # k=16: hi has zero bits, owners come from lo (use_hi=False) — the
+    # general 3-key sort path.
+    from dna_kmeres_parallel_tpu.models.oracle import count_table_any_k
+    from dna_kmeres_parallel_tpu.parallel import bucketed
+    from dna_kmeres_parallel_tpu.parallel.mesh import make_mesh
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    s = make_dna(600, invalid_frac=0.02)
+    flat = codec.encode_bases(s)
+    mesh = make_mesh(8)
+    shards, n_own = bucketed.shard_stream_with_halo(flat, 16, mesh)
+    hi, lo, counts, starts, overflow = bucketed.count_bucket_sharded(
+        jnp.asarray(shards), jnp.asarray(n_own), 16, False, mesh
+    )
+    assert not bool(overflow)
+    codes_u64, counts_np = bucketed.gather_table(hi, lo, counts, starts)
+    got = {
+        codec.code_to_kmer(int(c), 16): int(n)
+        for c, n in zip(codes_u64, counts_np)
+    }
+    assert got == count_table_any_k([s], 16)
