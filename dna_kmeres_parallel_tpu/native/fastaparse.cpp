@@ -17,6 +17,8 @@
 #include <cstdlib>
 #include <cstring>
 
+#include <zlib.h>
+
 #include <algorithm>
 #include <thread>
 #include <vector>
@@ -116,12 +118,28 @@ int kp_parse_fasta(const char* path, int64_t max_seqs, KpFasta** out) {
 // Byte-range variant for multi-host input sharding: parses only records in
 // [start, end) of the file (the caller aligns boundaries to record starts
 // via parallel/multihost.split_fasta_byte_ranges; end < 0 means EOF).
+//
+// Also handles gzip-compressed input (zlib gzread reads plain files
+// transparently) and FASTQ (first significant byte '@'; 4-state record
+// machine, so '@' at the start of a quality line cannot start a record).
+// Byte ranges are rejected on gzip input (ranges are computed on the
+// compressed size but gzseek addresses uncompressed offsets): rc 3.
 int kp_parse_fasta_range(const char* path, int64_t start, int64_t end,
                          int64_t max_seqs, KpFasta** out) {
-  FILE* f = fopen(path, "rb");
+  bool is_gz = false;
+  {
+    FILE* probe = fopen(path, "rb");
+    if (!probe) return 1;
+    unsigned char magic[2] = {0, 0};
+    size_t got = fread(magic, 1, 2, probe);
+    fclose(probe);
+    is_gz = (got == 2 && magic[0] == 0x1F && magic[1] == 0x8B);
+  }
+  if (is_gz && (start > 0 || end >= 0)) return 3;
+  gzFile f = gzopen(path, "rb");
   if (!f) return 1;
-  if (start > 0 && fseek(f, (long)start, SEEK_SET) != 0) {
-    fclose(f);
+  if (start > 0 && gzseek(f, (z_off_t)start, SEEK_SET) < 0) {
+    gzclose(f);
     return 2;
   }
   int64_t remaining = (end < 0) ? INT64_MAX : end - start;
@@ -150,10 +168,61 @@ int kp_parse_fasta_range(const char* path, int64_t start, int64_t end,
   uint8_t* buf = static_cast<uint8_t*>(malloc(CHUNK));
   Buf line;  // line assembly across chunk boundaries
 
+  // Format detection: first significant byte decides FASTA ('>') vs
+  // FASTQ ('@'). FASTQ record machine: HDR -> SEQ(+) -> QUAL(length ==
+  // sequence length) -> HDR, so quality lines beginning with '@' or '+'
+  // never start a record.
+  enum { FQ_HDR, FQ_SEQ, FQ_QUAL };
+  int fq_state = FQ_HDR;
+  int64_t fq_qual_seen = 0;
+  int format = 0;  // 0 = undecided, 1 = fasta, 2 = fastq
+
+  auto append_bases = [&](const uint8_t* s, int64_t n) {
+    stream.reserve(n);
+    uint8_t* dst = stream.data + stream.len;
+    for (int64_t i = 0; i < n; i++) {
+      uint8_t code = kLut.v[s[i]];
+      dst[i] = code;
+      invalid_bases += (code == kInvalid);
+    }
+    stream.len += n;
+    cur_len += n;
+    total_bases += n;
+  };
+
   auto handle_line = [&](const uint8_t* s, int64_t n) {
     // strip trailing CR
     while (n > 0 && s[n - 1] == '\r') n--;
     if (n == 0) return;
+    if (format == 0) format = (s[0] == '@') ? 2 : 1;
+    if (format == 2) {
+      if (fq_state == FQ_HDR) {
+        if (s[0] != '@') return;  // tolerate junk between records
+        end_record();
+        if (done) return;
+        ids.push(s, n);
+        ids.push1('\0');
+        if (n_seqs > 0 || stream.len > 0) stream.push1(kInvalid);
+        offsets.push(stream.len);
+        cur_len = 0;
+        in_seq = true;
+        fq_state = FQ_SEQ;
+      } else if (fq_state == FQ_SEQ) {
+        if (s[0] == '+') {
+          fq_state = FQ_QUAL;
+          fq_qual_seen = 0;
+        } else {
+          append_bases(s, n);
+        }
+      } else {  // FQ_QUAL: consume until quality length covers the seq
+        fq_qual_seen += n;
+        if (fq_qual_seen >= cur_len) {
+          end_record();
+          fq_state = FQ_HDR;
+        }
+      }
+      return;
+    }
     if (s[0] == '>') {
       end_record();
       if (done) return;
@@ -165,25 +234,17 @@ int kp_parse_fasta_range(const char* path, int64_t start, int64_t end,
       cur_len = 0;
       in_seq = true;
     } else if (in_seq) {
-      stream.reserve(n);
-      uint8_t* dst = stream.data + stream.len;
-      for (int64_t i = 0; i < n; i++) {
-        uint8_t code = kLut.v[s[i]];
-        dst[i] = code;
-        invalid_bases += (code == kInvalid);
-      }
-      stream.len += n;
-      cur_len += n;
-      total_bases += n;
+      append_bases(s, n);
     }
   };
 
   while (!done && remaining > 0) {
     int64_t want = CHUNK < remaining ? CHUNK : remaining;
-    int64_t got = static_cast<int64_t>(fread(buf, 1, want, f));
+    int64_t got = static_cast<int64_t>(
+        gzread(f, buf, static_cast<unsigned>(want)));
     remaining -= got;
     if (got < 0) {
-      fclose(f);
+      gzclose(f);
       free(buf);
       return 2;
     }
@@ -214,7 +275,7 @@ int kp_parse_fasta_range(const char* path, int64_t start, int64_t end,
     line.len = 0;
   }
   end_record();
-  fclose(f);
+  gzclose(f);
   free(buf);
   free(line.data);
 

@@ -43,6 +43,15 @@ class FastaRecord:
 
 def _open_text(source) -> io.TextIOBase:
     if isinstance(source, (str, os.PathLike)):
+        # Transparent gzip: sniff the magic rather than trusting extensions.
+        with open(source, "rb") as probe:
+            magic = probe.read(2)
+        if magic == b"\x1f\x8b":
+            import gzip
+
+            return io.TextIOWrapper(
+                gzip.open(source, "rb"), encoding="ascii", errors="replace"
+            )
         return open(source, "r", encoding="ascii", errors="replace")
     if isinstance(source, bytes):
         return io.StringIO(source.decode("ascii", errors="replace"))
@@ -51,8 +60,67 @@ def _open_text(source) -> io.TextIOBase:
     raise TypeError(f"unsupported FASTA source: {type(source)!r}")
 
 
+def parse_fastq(source, max_seqs: int | None = None) -> list[FastaRecord]:
+    """FASTQ parser (4-state record machine: header '@' -> sequence lines
+    -> '+' separator -> quality of matching length). '@' or '+' at the
+    start of a quality line never begins a record. Returns the same
+    FastaRecord type (quality is dropped: counting only needs bases)."""
+    records: list[FastaRecord] = []
+    f = _open_text(source)
+    state = "hdr"
+    header = ""
+    parts: list[str] = []
+    qual_seen = 0
+    try:
+        for line in f:
+            line = line.rstrip("\r\n")
+            if not line:
+                continue
+            if state == "hdr":
+                if not line.startswith("@"):
+                    continue  # tolerate junk between records
+                if max_seqs is not None and len(records) >= max_seqs:
+                    return records
+                header = line
+                parts = []
+                state = "seq"
+            elif state == "seq":
+                if line.startswith("+"):
+                    state = "qual"
+                    qual_seen = 0
+                else:
+                    parts.append(line)
+            else:  # qual
+                qual_seen += len(line)
+                if qual_seen >= sum(len(x) for x in parts):
+                    records.append(FastaRecord(header, "".join(parts)))
+                    state = "hdr"
+    finally:
+        if not isinstance(source, io.TextIOBase):
+            f.close()
+    return records
+
+
 def parse_fasta(source, max_seqs: int | None = None) -> list[FastaRecord]:
-    """Robust FASTA parser. ``source`` is a path, bytes, or text file object."""
+    """Robust FASTA parser. ``source`` is a path, bytes, or text file object
+    (gzip paths handled transparently). A source whose first significant
+    byte is '@' is dispatched to the FASTQ parser, so every call site
+    accepts both formats."""
+    if isinstance(source, (str, os.PathLike)):
+        probe = _open_text(source)
+        first = ""
+        try:
+            for line in probe:
+                if line.strip():
+                    first = line.lstrip()[0]
+                    break
+        finally:
+            probe.close()
+        if first == "@":
+            return parse_fastq(source, max_seqs=max_seqs)
+    elif isinstance(source, bytes):
+        if source.lstrip()[:1] == b"@":
+            return parse_fastq(source, max_seqs=max_seqs)
     records: list[FastaRecord] = []
     header: str | None = None
     parts: list[str] = []
