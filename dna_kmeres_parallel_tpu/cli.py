@@ -283,6 +283,101 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    """Merge count-table npz files from separate runs (different input
+    files, hosts, or checkpointed partials) into one exact table — the
+    integer sorted-merge the whole framework is built on."""
+    from dna_kmeres_parallel_tpu.models.sparse_engine import (
+        SparseCountResult,
+        merge_sparse_tables,
+    )
+    from dna_kmeres_parallel_tpu.utils import io
+
+    tables = []
+    k = canonical = None
+    for path in _expand_inputs(args.input):
+        tk, tc, codes, counts = io.read_count_npz(path)
+        if k is None:
+            k, canonical = tk, tc
+        elif (tk, tc) != (k, canonical):
+            print(
+                json.dumps(
+                    {"error": f"{path}: k/canonical mismatch "
+                     f"({tk},{tc}) != ({k},{canonical})"}
+                ),
+                file=sys.stderr,
+            )
+            return 2
+        tables.append((codes, counts))
+    codes, counts = merge_sparse_tables(tables)
+    result = SparseCountResult(
+        k=k, canonical=canonical, codes=codes, counts=counts,
+        n_seqs=0, total_bases=0,
+    )
+    if str(args.output).endswith(".npz"):
+        io.write_count_npz(args.output, result)
+    else:
+        io.write_count_table_csv(args.output, result.table())
+    print(
+        json.dumps(
+            {
+                "k": k,
+                "canonical": canonical,
+                "inputs": len(tables),
+                "total_kmers": result.total_kmers,
+                "distinct_kmers": result.distinct_kmers,
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_histo(args) -> int:
+    """k-mer spectrum (count-of-counts histogram), the standard KMC/Gerbil
+    `histogram` report: line i = number of distinct k-mers occurring i
+    times."""
+    from dna_kmeres_parallel_tpu.utils import io
+
+    if str(args.input[0]).endswith(".npz"):
+        k, canonical, codes, counts = io.read_count_npz(args.input[0])
+    else:
+        records = _load_records(args)
+        seqs = [r.seq for r in records]
+        k, canonical = args.k, args.canonical
+        sparse = args.k > 12
+        if sparse:
+            from dna_kmeres_parallel_tpu.models.sparse_engine import SparseKmerEngine
+
+            r = SparseKmerEngine(_build_config(args)).count_sequences(seqs)
+            counts = r.counts
+        else:
+            from dna_kmeres_parallel_tpu.models.engine import KmerEngine
+
+            r = KmerEngine(_build_config(args)).count_sequences(seqs)
+            counts = r.hist[r.hist > 0]
+    import numpy as np
+
+    cap = args.max_count
+    clipped = np.minimum(counts, cap)
+    spectrum = np.bincount(clipped.astype(np.int64), minlength=cap + 1)
+    if args.output:
+        with open(args.output, "w", encoding="ascii") as f:
+            for i in range(1, cap + 1):
+                f.write(f"{i}\t{int(spectrum[i])}\n")
+    report = {
+        "k": k,
+        "canonical": canonical,
+        "distinct_kmers": int(counts.shape[0]),
+        "total_kmers": int(counts.sum()),
+        "max_count": int(counts.max()) if counts.size else 0,
+        "spectrum_head": [int(x) for x in spectrum[1:11]],
+        "output": args.output,
+    }
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_info(args) -> int:
     """Per-sequence stats dump (the reference's printSeqs/VERBOSE analogue,
     main.cu:664-669, structured instead of raw prints)."""
@@ -350,6 +445,25 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("input", nargs="+", help="FASTA path(s) or glob(s)")
     p.set_defaults(fn=cmd_selftest)
+
+    p = sub.add_parser(
+        "merge", help="merge count-table npz files into one exact table"
+    )
+    p.add_argument("input", nargs="+", help="count npz path(s) or glob(s)")
+    p.add_argument("-o", "--output", required=True, help="merged table (.npz or .csv)")
+    p.set_defaults(fn=cmd_merge)
+
+    p = sub.add_parser(
+        "histo", help="k-mer spectrum (count-of-counts histogram)"
+    )
+    _add_common(p)
+    p.add_argument("input", nargs="+", help="FASTA/FASTQ path(s) or a count .npz")
+    p.add_argument("-o", "--output", default=None, help="spectrum TSV path")
+    p.add_argument(
+        "--max-count", type=int, default=10000,
+        help="clip spectrum at this multiplicity (last bin absorbs the tail)",
+    )
+    p.set_defaults(fn=cmd_histo)
 
     p = sub.add_parser("info", help="per-sequence stats for a FASTA file")
     _add_common(p)

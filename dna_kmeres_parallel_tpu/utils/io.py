@@ -61,6 +61,23 @@ def write_count_npz(path, result) -> None:
         save(path, codes=result.codes, counts=result.counts, **meta)
 
 
+def read_count_npz(path):
+    """Load a count-table npz (write_count_npz's format). Returns
+    (k, canonical, codes_u64, counts_i64) — dense histograms are converted
+    to their sparse nonzero form so merging treats both uniformly."""
+    with np.load(path) as z:
+        k = int(z["k"])
+        canonical = bool(z["canonical"])
+        if "hist" in z:
+            hist = z["hist"]
+            codes = np.nonzero(hist)[0].astype(np.uint64)
+            counts = hist[codes.astype(np.int64)].astype(np.int64)
+        else:
+            codes = z["codes"].astype(np.uint64)
+            counts = z["counts"].astype(np.int64)
+    return k, canonical, codes, counts
+
+
 def read_distances_csv(path) -> np.ndarray:
     with open(path, "r", encoding="ascii") as f:
         return np.array([float(x) for x in f if x.strip()], dtype=np.float32)

@@ -60,3 +60,68 @@ def test_engine_pallas_compile_fallback(make_dna, monkeypatch):
     # First pallas attempt raised + at least the jnp fallback ran. (Later
     # batches may hit jit caches from other tests and not re-trace.)
     assert calls["n"] >= 2
+
+
+def test_cli_merge_and_histo(tmp_path, make_dna, monkeypatch):
+    # merge: two per-file npz tables combine into the whole-input table;
+    # histo: the spectrum sums to the distinct count.
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from dna_kmeres_parallel_tpu.models import oracle as oracle_mod
+    from dna_kmeres_parallel_tpu.utils import fasta as fasta_mod
+
+    seqs_a = [make_dna(200) for _ in range(3)]
+    seqs_b = [make_dna(150) for _ in range(2)]
+    pa, pb = tmp_path / "a.fasta", tmp_path / "b.fasta"
+    fasta_mod.write_fasta(pa, [(f">a{i}", s) for i, s in enumerate(seqs_a)])
+    fasta_mod.write_fasta(pb, [(f">b{i}", s) for i, s in enumerate(seqs_b)])
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["KMER_TPU_PLATFORM"] = "cpu"
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "dna_kmeres_parallel_tpu.cli", *argv],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    k = 17
+    run("count", "--k", str(k), str(pa), "-o", str(tmp_path / "a.npz"))
+    run("count", "--k", str(k), str(pb), "-o", str(tmp_path / "b.npz"))
+    rep = run(
+        "merge", str(tmp_path / "a.npz"), str(tmp_path / "b.npz"),
+        "-o", str(tmp_path / "m.csv"),
+    )
+    want = oracle_mod.count_table_any_k(seqs_a + seqs_b, k)
+    assert rep["total_kmers"] == sum(want.values())
+    assert rep["distinct_kmers"] == len(want)
+    got = {}
+    with open(tmp_path / "m.csv") as f:
+        next(f)
+        for line in f:
+            kmer, n = line.strip().split(",")
+            got[kmer] = int(n)
+    assert got == want
+
+    rep = run(
+        "histo", "--k", str(k), str(pa), str(pb),
+        "-o", str(tmp_path / "spec.tsv"),
+    )
+    assert rep["distinct_kmers"] == len(want)
+    assert rep["total_kmers"] == sum(want.values())
+    spec = {}
+    with open(tmp_path / "spec.tsv") as f:
+        for line in f:
+            i, n = line.strip().split("\t")
+            spec[int(i)] = int(n)
+    from collections import Counter
+    want_spec = Counter(want.values())
+    for i, n in want_spec.items():
+        assert spec[i] == n
+    assert sum(spec.values()) == len(want)
