@@ -337,16 +337,45 @@ def cmd_histo(args) -> int:
     """k-mer spectrum (count-of-counts histogram), the standard KMC/Gerbil
     `histogram` report: line i = number of distinct k-mers occurring i
     times."""
+    import numpy as np
+
     from dna_kmeres_parallel_tpu.utils import io
 
-    if str(args.input[0]).endswith(".npz"):
-        k, canonical, codes, counts = io.read_count_npz(args.input[0])
+    inputs = _expand_inputs(args.input)
+    npz_inputs = [p for p in inputs if str(p).endswith(".npz")]
+    if npz_inputs and len(npz_inputs) != len(inputs):
+        print(
+            json.dumps({"error": "histo inputs must be all .npz or all FASTA/FASTQ"}),
+            file=sys.stderr,
+        )
+        return 2
+    if npz_inputs:
+        from dna_kmeres_parallel_tpu.models.sparse_engine import merge_sparse_tables
+
+        tables = []
+        k = canonical = None
+        for path in npz_inputs:
+            tk, tc, codes_t, counts_t = io.read_count_npz(path)
+            if k is None:
+                k, canonical = tk, tc
+            elif (tk, tc) != (k, canonical):
+                print(
+                    json.dumps({"error": f"{path}: k/canonical mismatch"}),
+                    file=sys.stderr,
+                )
+                return 2
+            tables.append((codes_t, counts_t))
+        _, counts = merge_sparse_tables(tables)
     else:
         records = _load_records(args)
         seqs = [r.seq for r in records]
         k, canonical = args.k, args.canonical
-        sparse = args.k > 12
-        if sparse:
+        if args.engine == "oracle":
+            from dna_kmeres_parallel_tpu.models import oracle
+
+            table = oracle.count_table_any_k(seqs, args.k, args.canonical)
+            counts = np.fromiter(table.values(), dtype=np.int64, count=len(table))
+        elif args.k > 12:
             from dna_kmeres_parallel_tpu.models.sparse_engine import SparseKmerEngine
 
             r = SparseKmerEngine(_build_config(args)).count_sequences(seqs)
@@ -356,7 +385,6 @@ def cmd_histo(args) -> int:
 
             r = KmerEngine(_build_config(args)).count_sequences(seqs)
             counts = r.hist[r.hist > 0]
-    import numpy as np
 
     cap = args.max_count
     clipped = np.minimum(counts, cap)

@@ -293,13 +293,13 @@ class StreamingCounter:
                         count_sharded,
                     )
 
-                    h = self._with_retry(
+                    prev = acc
+                    acc = self._with_retry(
                         lambda: count_sharded(
                             staged, cfg.k, cfg.bins, cfg.canonical, mesh,
-                            n_own=n_own,
+                            n_own=n_own, acc=prev,
                         )
                     )
-                    acc = h if acc is None else acc + h
                 elif cfg.pack_input:
                     data, mask = staged
                     if acc is None:

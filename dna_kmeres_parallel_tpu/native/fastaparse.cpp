@@ -209,8 +209,15 @@ int kp_parse_fasta_range(const char* path, int64_t start, int64_t end,
         fq_state = FQ_SEQ;
       } else if (fq_state == FQ_SEQ) {
         if (s[0] == '+') {
-          fq_state = FQ_QUAL;
-          fq_qual_seen = 0;
+          if (cur_len == 0) {
+            // Zero-length read (adapter-trimmed): no quality bytes follow,
+            // so waiting in QUAL would eat the NEXT record's '@' header.
+            end_record();
+            fq_state = FQ_HDR;
+          } else {
+            fq_state = FQ_QUAL;
+            fq_qual_seen = 0;
+          }
         } else {
           append_bases(s, n);
         }

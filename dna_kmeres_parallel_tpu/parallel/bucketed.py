@@ -34,14 +34,23 @@ from dna_kmeres_parallel_tpu.parallel.mesh import DATA_AXIS
 _SENTINEL = jnp.uint32(0xFFFFFFFF)
 
 
-def _owner_bits(k: int, n_dev: int) -> tuple[int, bool]:
-    """(shift, use_hi): owner = (hi if use_hi else lo) >> shift."""
+def _owner_bits(k: int, n_dev: int) -> tuple[int, int, bool]:
+    """(shift, t_bits, use_hi): owner = ((word >> shift) * D) >> t_bits — a
+    balanced multiply-shift range partition. Taking t_bits = d_bits + 4
+    top bits keeps every owner's share within ~6% of uniform for ANY
+    device count, including non-powers of two (a plain bit-shift owner
+    would route up to (2^d_bits - D + 1)x the uniform share to the last
+    owner after clamping, deterministically overflowing its send bucket).
+    """
     d_bits = max(n_dev - 1, 1).bit_length() if n_dev > 1 else 0
     nlo = sparse_ops._lo_bases(k)
     hi_bits = 2 * (k - nlo)
     if hi_bits >= d_bits:
-        return hi_bits - d_bits, True
-    return 2 * nlo - d_bits, False
+        t = min(hi_bits, d_bits + 4)
+        return hi_bits - t, t, True
+    lo_bits = 2 * nlo
+    t = min(lo_bits, d_bits + 4)
+    return lo_bits - t, t, False
 
 
 def window_minimizers(bases: jax.Array, k: int, m: int) -> jax.Array:
@@ -104,7 +113,7 @@ def count_bucket_sharded(
     # +64 fixed slack: binomial tails dominate the uniform share for small
     # shards (the multiplier alone covers large-n concentration).
     cap = min(-(-cap_mult * n_windows // D) + 64, n_windows)
-    shift, use_hi = _owner_bits(k, D)
+    shift, t_bits, use_hi = _owner_bits(k, D)
 
     def _rle(owner_s, hi_s, lo_s, cnt_s):
         """Sorted (owner, hi, lo) with per-element counts -> (starts, totals).
@@ -149,20 +158,15 @@ def count_bucket_sharded(
         prefix_fast = owner_mode != "minimizer" and use_hi
 
         if owner_mode == "minimizer":
-            # KMC-style routing: Fibonacci hash of the window's minimizer.
+            # KMC-style routing: Fibonacci hash of the window's minimizer,
+            # range-partitioned by multiply-shift (balanced for any D).
             mini = window_minimizers(b, k, minimizer_m)
-            hashed = (mini.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)) >> (
-                32 - max(D - 1, 1).bit_length() if D > 1 else 31
-            )
-            owner = jnp.minimum(hashed.astype(jnp.int32), D - 1)
+            h32 = mini.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+            owner = (((h32 >> 16) * jnp.uint32(D)) >> 16).astype(jnp.int32)
         else:
             owner_src = hi if use_hi else lo
-            # Clamp: for non-power-of-two D the top d_bits can exceed D-1;
-            # unclamped owners would route to nonexistent devices and the
-            # codes would silently vanish from every send segment.
-            owner = jnp.minimum(
-                (owner_src >> shift).astype(jnp.int32), D - 1
-            )
+            top = (owner_src >> shift).astype(jnp.uint32)
+            owner = ((top * jnp.uint32(D)) >> t_bits).astype(jnp.int32)
         owner = jnp.where(valid, owner, jnp.int32(D))
         hi = jnp.where(valid, hi, _SENTINEL)
         lo = jnp.where(valid, lo, _SENTINEL)
@@ -185,16 +189,17 @@ def count_bucket_sharded(
         targets = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0).squeeze(-1)
         if prefix_fast:
             hi_u, lo_u, cnt_u = jax.lax.sort((hi_u, lo_u, cnt_u), num_keys=2)
-            # Owner d's codes have hi in [d << shift, (d+1) << shift); the
-            # LAST owner also absorbs the clamped top range (non-pow2 D),
-            # so its end edge is the sentinel boundary (valid hi < 2^30 <
+            # Owner d owns top values in [ceil(d*2^t/D), ceil((d+1)*2^t/D))
+            # (the multiply-shift partition's inverse); the last owner's
+            # end edge is the sentinel boundary (valid hi < 2^30 <
             # 0xFFFFFFFF, so searchsorted at the sentinel finds the first
             # invalid entry).
-            edges = (targets.astype(jnp.uint32)) << shift
-            end_edges = jnp.where(
-                targets == D - 1,
-                jnp.uint32(0xFFFFFFFF),
-                edges + (jnp.uint32(1) << shift),
+            edge_vals = [
+                ((d << t_bits) + D - 1) // D << shift for d in range(D)
+            ]
+            edges = jnp.asarray(edge_vals, jnp.uint32)
+            end_edges = jnp.concatenate(
+                [edges[1:], jnp.full((1,), 0xFFFFFFFF, jnp.uint32)]
             )
             starts = jnp.searchsorted(hi_u, edges)
             ends = jnp.searchsorted(hi_u, end_edges)

@@ -76,6 +76,7 @@ def count_sharded(
     mesh: jax.sharding.Mesh,
     axis: str = DATA_AXIS,
     n_own=None,
+    acc=None,
 ) -> jax.Array:
     """Flat base stream [D*T] -> merged dense histogram [bins] (replicated).
 
@@ -86,6 +87,9 @@ def count_sharded(
     < n_own — the streaming pipeline's batch-overlap rule (the k-1 tail
     bases complete the last owned windows but start none; those windows
     belong to the next batch). None counts the whole stream.
+    acc (optional, traced): running histogram added INSIDE this program —
+    a separate tiny add program costs ~100 ms/dispatch on the tunneled dev
+    TPU (see models/engine._count_batch_acc).
     """
     n_dev = mesh.shape[axis]
     T = bases.shape[0]
@@ -111,15 +115,17 @@ def count_sharded(
             out_specs=P(),
             check_vma=False,
         )
-        return fn(bases)
-    fn = shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=P(),
-        check_vma=False,
-    )
-    return fn(bases, jnp.asarray(n_own, jnp.int32))
+        h = fn(bases)
+    else:
+        fn = shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(axis), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        h = fn(bases, jnp.asarray(n_own, jnp.int32))
+    return h if acc is None else acc + h
 
 
 @functools.partial(

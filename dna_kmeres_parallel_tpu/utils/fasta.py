@@ -86,8 +86,14 @@ def parse_fastq(source, max_seqs: int | None = None) -> list[FastaRecord]:
                 state = "seq"
             elif state == "seq":
                 if line.startswith("+"):
-                    state = "qual"
-                    qual_seen = 0
+                    if not parts or not any(parts):
+                        # Zero-length read: no quality bytes follow — waiting
+                        # in qual state would eat the next '@' header.
+                        records.append(FastaRecord(header, ""))
+                        state = "hdr"
+                    else:
+                        state = "qual"
+                        qual_seen = 0
                 else:
                     parts.append(line)
             else:  # qual
@@ -95,6 +101,10 @@ def parse_fastq(source, max_seqs: int | None = None) -> list[FastaRecord]:
                 if qual_seen >= sum(len(x) for x in parts):
                     records.append(FastaRecord(header, "".join(parts)))
                     state = "hdr"
+        if state in ("seq", "qual"):
+            # EOF flush: accept a trailing record with truncated/absent
+            # quality (counting needs only the bases).
+            records.append(FastaRecord(header, "".join(parts)))
     finally:
         if not isinstance(source, io.TextIOBase):
             f.close()
@@ -121,6 +131,12 @@ def parse_fasta(source, max_seqs: int | None = None) -> list[FastaRecord]:
     elif isinstance(source, bytes):
         if source.lstrip()[:1] == b"@":
             return parse_fastq(source, max_seqs=max_seqs)
+    elif isinstance(source, io.TextIOBase):
+        # Streams can't be rewound portably: materialize, then dispatch.
+        content = source.read()
+        if content.lstrip()[:1] == "@":
+            return parse_fastq(content.encode("ascii", "replace"), max_seqs=max_seqs)
+        source = io.StringIO(content)
     records: list[FastaRecord] = []
     header: str | None = None
     parts: list[str] = []

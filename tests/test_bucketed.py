@@ -181,3 +181,30 @@ def test_bucketed_k16_lo_owner_path(make_dna):
         for c, n in zip(codes_u64, counts_np)
     }
     assert got == count_table_any_k([s], 16)
+
+
+def test_bucketed_non_pow2_no_overflow_at_scale(make_dna):
+    # Regression (reviewed finding): the clamped bit-shift owner routed up
+    # to (2^d_bits - D + 1)x the uniform share to the last owner; at D=5,
+    # k=24, 20k bases the send bucket deterministically overflowed. The
+    # balanced multiply-shift partition must not.
+    from dna_kmeres_parallel_tpu.models.oracle import count_table_any_k
+    from dna_kmeres_parallel_tpu.parallel import bucketed
+    from dna_kmeres_parallel_tpu.parallel.mesh import make_mesh
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    s = make_dna(20000)
+    flat = codec.encode_bases(s)
+    mesh = make_mesh(5)
+    shards, n_own = bucketed.shard_stream_with_halo(flat, 24, mesh)
+    hi, lo, counts, starts, overflow = bucketed.count_bucket_sharded(
+        jnp.asarray(shards), jnp.asarray(n_own), 24, False, mesh
+    )
+    assert not bool(overflow)
+    codes_u64, counts_np = bucketed.gather_table(hi, lo, counts, starts)
+    want = count_table_any_k([s], 24)
+    got = {
+        codec.code_to_kmer(int(c), 24): int(n)
+        for c, n in zip(codes_u64, counts_np)
+    }
+    assert got == want

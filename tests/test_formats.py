@@ -103,3 +103,37 @@ def test_engine_counts_fastq_and_gz(tmp_path, seqs, make_dna):
             f.write(f">{i}\n{s}\n")
     r2 = KmerEngine(KmerConfig(k=5)).count_file(str(gz))
     assert np.array_equal(r2.hist, want)
+
+
+def test_fastq_zero_length_read(tmp_path):
+    # Adapter-trimmed FASTQ: an empty read must not swallow the next record
+    # (regression: the '@' of the following header was consumed as quality).
+    content = "@r1\nACGTACGT\n+\nIIIIIIII\n@empty\n+\n@r2\nGGGGCCCC\n+\nIIIIIIII\n"
+    path = tmp_path / "z.fastq"
+    path.write_text(content)
+    recs = fasta.parse_fasta(str(path))
+    assert [r.id for r in recs] == ["@r1", "@empty", "@r2"]
+    assert [r.seq for r in recs] == ["ACGTACGT", "", "GGGGCCCC"]
+    if native.available():
+        parsed = native.parse_fasta_native(str(path))
+        assert parsed.n_seqs == 3
+        assert np.array_equal(
+            parsed.sequence_codes(2), codec.encode_bases("GGGGCCCC")
+        )
+
+
+def test_fastq_truncated_quality_eof(tmp_path):
+    # EOF inside the quality line: the trailing record's bases still count.
+    path = tmp_path / "t.fastq"
+    path.write_text("@r1\nACGTACGT\n+\nIII")
+    recs = fasta.parse_fasta(str(path))
+    assert [r.seq for r in recs] == ["ACGTACGT"]
+
+
+def test_fastq_stream_source():
+    import io as io_mod
+
+    recs = fasta.parse_fasta(
+        io_mod.StringIO("@a\nACGT\n+\nIIII\n@b\nTTTT\n+\nIIII\n")
+    )
+    assert [r.seq for r in recs] == ["ACGT", "TTTT"]

@@ -125,3 +125,42 @@ def test_cli_merge_and_histo(tmp_path, make_dna, monkeypatch):
     for i, n in want_spec.items():
         assert spec[i] == n
     assert sum(spec.values()) == len(want)
+
+
+def test_cli_histo_multi_npz_and_oracle(tmp_path, make_dna):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from dna_kmeres_parallel_tpu.models import oracle as oracle_mod
+    from dna_kmeres_parallel_tpu.utils import fasta as fasta_mod
+
+    seqs = [make_dna(180) for _ in range(3)]
+    pa = tmp_path / "h.fasta"
+    fasta_mod.write_fasta(pa, [(f">h{i}", s) for i, s in enumerate(seqs)])
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["KMER_TPU_PLATFORM"] = "cpu"
+
+    def run(*argv, expect_rc=0):
+        r = subprocess.run(
+            [sys.executable, "-m", "dna_kmeres_parallel_tpu.cli", *argv],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert r.returncode == expect_rc, r.stdout + r.stderr
+        return json.loads(r.stdout.strip().splitlines()[-1]) if expect_rc == 0 else None
+
+    k = 15
+    run("count", "--k", str(k), str(pa), "-o", str(tmp_path / "h1.npz"))
+    run("count", "--k", str(k), str(pa), "-o", str(tmp_path / "h2.npz"))
+    # two npz inputs: merged table = doubled counts
+    rep = run("histo", str(tmp_path / "h1.npz"), str(tmp_path / "h2.npz"))
+    want = oracle_mod.count_table_any_k(seqs, k)
+    assert rep["distinct_kmers"] == len(want)
+    assert rep["total_kmers"] == 2 * sum(want.values())
+    # mixed npz + fasta inputs rejected
+    run("histo", str(tmp_path / "h1.npz"), str(pa), expect_rc=2)
+    # oracle engine honored
+    rep = run("histo", "--engine", "oracle", "--k", str(k), str(pa))
+    assert rep["total_kmers"] == sum(want.values())
