@@ -397,7 +397,17 @@ class StreamingCounter:
                 )
             return stage_batch(padded, cfg.pack_input)
 
-        from dna_kmeres_parallel_tpu.models.sparse_engine import compact_table
+        from dna_kmeres_parallel_tpu.models.sparse_engine import (
+            compact_table,
+            compact_unsorted,
+            resolve_device_sort,
+        )
+
+        # No-device-sort route (single chip): the device runs the encode
+        # kernel alone and the host radix compactor absorbs the unsorted
+        # words — see KmerConfig.device_sort. The mesh path keeps its
+        # in-shard row sort.
+        dev_sort = resolve_device_sort(cfg) or mesh is not None
 
         # Software pipelining: batch t's host compaction (D2H fetch + native
         # compactor) runs only after batch t+1 has been dispatched, so the
@@ -415,8 +425,10 @@ class StreamingCounter:
                         tables.append(
                             compact_table(tuple(w[d] for w in planes))
                         )
-                else:
+                elif dev_sort:
                     tables.append(compact_table(words))
+                else:
+                    tables.append(compact_unsorted(words, cfg.k))
             self.metrics.count("bases", p_end - p_start)
             self.metrics.count("batches")
             since_ckpt += p_end - p_start
@@ -452,6 +464,18 @@ class StreamingCounter:
                         lambda: sort_words_rows_sharded(
                             shards_g, n_own_g, cfg.k, cfg.canonical, mesh,
                             row_len=cfg.sort_row_len or 2048,
+                        )
+                    )
+                elif not dev_sort and cfg.pack_input:
+                    words = self._with_retry(
+                        lambda: sparse_ops.encode_words_packed(
+                            *staged, n_own, cfg.k, cfg.canonical, pallas=pallas
+                        )
+                    )
+                elif not dev_sort:
+                    words = self._with_retry(
+                        lambda: sparse_ops.encode_words(
+                            staged, n_own, cfg.k, cfg.canonical, pallas=pallas
                         )
                     )
                 elif cfg.pack_input and cfg.sort_row_len:

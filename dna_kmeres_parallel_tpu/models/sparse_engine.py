@@ -26,6 +26,16 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def resolve_device_sort(cfg: KmerConfig) -> bool:
+    """Resolve KmerConfig.device_sort=None: skip the device sort exactly
+    when the native radix compactor can absorb unsorted words."""
+    if cfg.device_sort is not None:
+        return cfg.device_sort
+    from dna_kmeres_parallel_tpu import native
+
+    return not native.available()
+
+
 def compact_table(words) -> tuple[np.ndarray, np.ndarray]:
     """Sorted device code words -> (codes_u64, counts_i64).
 
@@ -75,6 +85,38 @@ def compact_table(words) -> tuple[np.ndarray, np.ndarray]:
     np.not_equal(codes_all[1:], codes_all[:-1], out=starts[1:])
     idx = np.flatnonzero(starts)
     counts = np.diff(np.append(idx, end)).astype(np.int64)
+    return codes_all[idx], counts
+
+
+def compact_unsorted(words, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """UNSORTED device code words (ops/sparse.encode_words output; all-ones
+    sentinels interspersed) -> (codes_u64, counts_i64).
+
+    The host half of the no-device-sort route: an MSD+LSD radix compactor
+    whose cost is a constant ~6 memory touches per element — no device sort
+    needed, no merge fan-in. Native when available; the NumPy fallback
+    filters sentinels and sorts flat.
+    """
+    from dna_kmeres_parallel_tpu import native
+
+    words = tuple(np.asarray(w).reshape(-1) for w in words)
+    if native.available():
+        return native.compact_unsorted_native(words, 2 * k)
+    major = words[0]
+    sent = major.dtype.type(np.iinfo(major.dtype).max)
+    valid = major != sent
+    if len(words) == 1:
+        codes_all = words[0][valid].astype(np.uint64)
+    else:
+        codes_all = sparse_ops.merged_code64(words[0][valid], words[1][valid])
+    if codes_all.size == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    codes_all = np.sort(codes_all)
+    starts = np.empty(codes_all.shape[0], bool)
+    starts[0] = True
+    np.not_equal(codes_all[1:], codes_all[:-1], out=starts[1:])
+    idx = np.flatnonzero(starts)
+    counts = np.diff(np.append(idx, codes_all.shape[0])).astype(np.int64)
     return codes_all[idx], counts
 
 
@@ -259,6 +301,20 @@ class SparseKmerEngine:
                 padded[: seg.shape[0]] = seg
                 staged = stage_batch(padded, cfg.pack_input)
                 n_own = jnp.int32(end - start)
+                if not resolve_device_sort(cfg):
+                    if cfg.pack_input:
+                        words = sparse_ops.encode_words_packed(
+                            *staged, n_own, cfg.k, cfg.canonical,
+                            pallas=self._pallas(),
+                        )
+                    else:
+                        words = sparse_ops.encode_words(
+                            staged, n_own, cfg.k, cfg.canonical,
+                            pallas=self._pallas(),
+                        )
+                    ladder.push(compact_unsorted(words, cfg.k))
+                    start = end
+                    continue
                 if cfg.pack_input and cfg.sort_row_len:
                     words = sparse_ops.sort_words_rows_packed(
                         *staged, n_own, cfg.k, cfg.canonical,

@@ -20,8 +20,16 @@
 #include <zlib.h>
 
 #include <algorithm>
+#include <array>
+#include <atomic>
+#include <memory>
 #include <thread>
+#include <type_traits>
 #include <vector>
+
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -661,6 +669,459 @@ int64_t merge_two_stage(std::vector<MergeStream>& ss, const void* hi,
   return loser_tree_core(runs, oc, on);
 }
 
+// Shared RLE: collapse a sorted run into (code u64, count i64) entries.
+template <class T>
+int64_t rle_run(const T* v, int64_t n, uint64_t* oc, int64_t* on) {
+  int64_t w = -1;
+  for (int64_t i = 0; i < n; i++) {
+    const uint64_t c = v[i];
+    if (w >= 0 && oc[w] == c) {
+      on[w]++;
+    } else {
+      w++;
+      oc[w] = c;
+      on[w] = 1;
+    }
+  }
+  return w + 1;
+}
+
+// ---------------------------------------------------------------------------
+// SIMD pairwise merge ladder (AVX-512) — the fast host half of the
+// row-sorted sparse path on real (server-core) hosts.
+//
+// The loser tree above costs log2(R) dependent compares per element; even
+// branchless, that is ~10 Melem/s/thread at R=8192. A pairwise merge
+// ladder instead does log2(R)+1 sequential passes, each a streaming 2-way
+// merge that the 8x/16x-lane bitonic-merge network below sustains at
+// hundreds of Melem/s. The ladder recurses depth-first with a
+// length-balanced split, so subtrees up to cache size merge entirely in
+// cache and only the top levels pay DRAM bandwidth. Codes travel in their
+// native width (u32 for hi_width 0, u64 otherwise); the final pass RLEs
+// the single sorted run into the (code u64, count i64) table.
+//
+// Selection: merge_ladder when compiled with AVX-512 (overridable with
+// KMER_NATIVE_MERGE=tree|ladder for A/B), loser tree otherwise.
+
+#if defined(__AVX512F__)
+
+// Bitonic-merge two ascending 8-lane u64 vectors: a = low 8, b = high 8.
+inline __m512i bclean_u64(__m512i v) {
+  // Cleaner for an 8-lane bitonic sequence: compare-exchange at
+  // distances 4, 2, 1. mask_blend bit=1 selects the max operand.
+  __m512i u, mn, mx;
+  u = _mm512_permutexvar_epi64(_mm512_setr_epi64(4, 5, 6, 7, 0, 1, 2, 3), v);
+  mn = _mm512_min_epu64(v, u);
+  mx = _mm512_max_epu64(v, u);
+  v = _mm512_mask_blend_epi64(0xF0, mn, mx);
+  u = _mm512_permutexvar_epi64(_mm512_setr_epi64(2, 3, 0, 1, 6, 7, 4, 5), v);
+  mn = _mm512_min_epu64(v, u);
+  mx = _mm512_max_epu64(v, u);
+  v = _mm512_mask_blend_epi64(0xCC, mn, mx);
+  u = _mm512_permutexvar_epi64(_mm512_setr_epi64(1, 0, 3, 2, 5, 4, 7, 6), v);
+  mn = _mm512_min_epu64(v, u);
+  mx = _mm512_max_epu64(v, u);
+  return _mm512_mask_blend_epi64(0xAA, mn, mx);
+}
+
+inline __m512i bclean_u32(__m512i v) {
+  __m512i u, mn, mx;
+  u = _mm512_permutexvar_epi32(
+      _mm512_setr_epi32(8, 9, 10, 11, 12, 13, 14, 15, 0, 1, 2, 3, 4, 5, 6, 7),
+      v);
+  mn = _mm512_min_epu32(v, u);
+  mx = _mm512_max_epu32(v, u);
+  v = _mm512_mask_blend_epi32(0xFF00, mn, mx);
+  u = _mm512_permutexvar_epi32(
+      _mm512_setr_epi32(4, 5, 6, 7, 0, 1, 2, 3, 12, 13, 14, 15, 8, 9, 10, 11),
+      v);
+  mn = _mm512_min_epu32(v, u);
+  mx = _mm512_max_epu32(v, u);
+  v = _mm512_mask_blend_epi32(0xF0F0, mn, mx);
+  u = _mm512_permutexvar_epi32(
+      _mm512_setr_epi32(2, 3, 0, 1, 6, 7, 4, 5, 10, 11, 8, 9, 14, 15, 12, 13),
+      v);
+  mn = _mm512_min_epu32(v, u);
+  mx = _mm512_max_epu32(v, u);
+  v = _mm512_mask_blend_epi32(0xCCCC, mn, mx);
+  u = _mm512_permutexvar_epi32(
+      _mm512_setr_epi32(1, 0, 3, 2, 5, 4, 7, 6, 9, 8, 11, 10, 13, 12, 15, 14),
+      v);
+  mn = _mm512_min_epu32(v, u);
+  mx = _mm512_max_epu32(v, u);
+  return _mm512_mask_blend_epi32(0xAAAA, mn, mx);
+}
+
+template <class T>
+struct VecMerge;
+
+template <>
+struct VecMerge<uint64_t> {
+  static constexpr int64_t kLanes = 8;
+  static inline void merge(__m512i& a, __m512i& b) {
+    // [a, reverse(b)] is one bitonic 16-sequence; first exchange at
+    // distance 8, then clean each half.
+    __m512i br =
+        _mm512_permutexvar_epi64(_mm512_setr_epi64(7, 6, 5, 4, 3, 2, 1, 0), b);
+    __m512i lo = _mm512_min_epu64(a, br);
+    __m512i hi = _mm512_max_epu64(a, br);
+    a = bclean_u64(lo);
+    b = bclean_u64(hi);
+  }
+};
+
+template <>
+struct VecMerge<uint32_t> {
+  static constexpr int64_t kLanes = 16;
+  static inline void merge(__m512i& a, __m512i& b) {
+    __m512i br = _mm512_permutexvar_epi32(
+        _mm512_setr_epi32(15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1,
+                          0),
+        b);
+    __m512i lo = _mm512_min_epu32(a, br);
+    __m512i hi = _mm512_max_epu32(a, br);
+    a = bclean_u32(lo);
+    b = bclean_u32(hi);
+  }
+};
+
+// Branchless scalar 2-way merge (cmov advance; ~50/50 compares mispredict).
+template <class T>
+inline T* scalar_merge2(const T* a, const T* ae, const T* b, const T* be,
+                        T* o) {
+  while (a < ae && b < be) {
+    const T ca = *a, cb = *b;
+    const bool t = ca <= cb;
+    *o++ = t ? ca : cb;
+    a += t;
+    b += !t;
+  }
+  while (a < ae) *o++ = *a++;
+  while (b < be) *o++ = *b++;
+  return o;
+}
+
+// Streaming SIMD 2-way merge of two sorted arrays into out (size na+nb).
+template <class T>
+void simd_merge2(const T* A, int64_t na, const T* B, int64_t nb, T* out) {
+  constexpr int64_t L = VecMerge<T>::kLanes;
+  if (na < 2 * L || nb < 2 * L) {
+    scalar_merge2(A, A + na, B, B + nb, out);
+    return;
+  }
+  __m512i v = _mm512_loadu_si512(A);
+  __m512i w = _mm512_loadu_si512(B);
+  int64_t ia = L, ib = L;
+  for (;;) {
+    VecMerge<T>::merge(v, w);  // v = low L (final), w = high L (carry)
+    _mm512_storeu_si512(out, v);
+    out += L;
+    if (ia + L > na || ib + L > nb) break;
+    // Refill from the stream whose head is smaller — the carry covers
+    // everything below the other stream's head.
+    const bool takeA = A[ia] <= B[ib];
+    v = _mm512_loadu_si512(takeA ? A + ia : B + ib);
+    ia += takeA ? L : 0;
+    ib += takeA ? 0 : L;
+  }
+  // Spill the carry; merge it with the drained stream's tail (< L elems),
+  // then that small run with the surviving stream's tail.
+  T spill[L], tmp[3 * L];
+  _mm512_storeu_si512(spill, w);
+  const T* ta = A + ia;
+  const int64_t ra = na - ia;
+  const T* tb = B + ib;
+  const int64_t rb = nb - ib;
+  if (ra <= rb) {
+    T* te = scalar_merge2(spill, spill + L, ta, ta + ra, tmp);
+    scalar_merge2(tmp, te, tb, tb + rb, out);
+  } else {
+    T* te = scalar_merge2(spill, spill + L, tb, tb + rb, tmp);
+    scalar_merge2(tmp, te, ta, ta + ra, out);
+  }
+}
+
+// Depth-first merge ladder over the streams' (hi, lo) slices. Buffers dst
+// and scr are full-partition sized; subtree [a, b) occupies
+// [pre[a], pre[b]) in either buffer, children write to scr with dst as
+// their scratch, so the subtree's final run lands in dst.
+template <int HW>
+struct MergeLadder {
+  using T = typename std::conditional<HW == 0, uint32_t, uint64_t>::type;
+  const void* hi;
+  const uint32_t* lo;
+  const MergeStream* ss;
+  const int64_t* pre;  // pre[i] = total elements of streams [0, i)
+
+  void widen(int s, T* dst) const {
+    const int64_t p = ss[s].pos, e = ss[s].stop;
+    if (HW == 0) {
+      memcpy(dst, lo + p, static_cast<size_t>(e - p) * sizeof(uint32_t));
+    } else {
+      for (int64_t i = p; i < e; i++) *dst++ = code_hw<HW>(hi, lo, i);
+    }
+  }
+
+  void run(int a, int b, T* dst, T* scr) const {
+    if (b - a == 1) {
+      widen(a, dst + pre[a]);
+      return;
+    }
+    // Split at the length midpoint so both halves stream comparable
+    // volumes through simd_merge2.
+    const int64_t want = (pre[a] + pre[b]) / 2;
+    int mid = static_cast<int>(
+        std::upper_bound(pre + a + 1, pre + b, want) - pre);
+    if (mid >= b) mid = b - 1;
+    run(a, mid, scr, dst);
+    run(mid, b, scr, dst);
+    simd_merge2(scr + pre[a], pre[mid] - pre[a], scr + pre[mid],
+                pre[b] - pre[mid], dst + pre[a]);
+  }
+};
+
+template <int HW>
+int64_t merge_ladder(std::vector<MergeStream>& ss, const void* hi,
+                     const uint32_t* lo, uint64_t* oc, int64_t* on) {
+  using T = typename std::conditional<HW == 0, uint32_t, uint64_t>::type;
+  const int S = static_cast<int>(ss.size());
+  std::vector<int64_t> pre(S + 1, 0);
+  for (int i = 0; i < S; i++) pre[i + 1] = pre[i] + (ss[i].stop - ss[i].pos);
+  const int64_t total = pre[S];
+  if (total == 0) return 0;
+  std::vector<T> b0(total), b1(total);
+  MergeLadder<HW> ml{hi, lo, ss.data(), pre.data()};
+  ml.run(0, S, b0.data(), b1.data());
+  return rle_run(b0.data(), total, oc, on);
+}
+
+#endif  // __AVX512F__
+
+// ---------------------------------------------------------------------------
+// Sortedness-free radix compactor — the host half of the NO-DEVICE-SORT
+// sparse path. The device only encodes window codes (split words +
+// all-ones sentinels for invalid windows) and ships them UNSORTED; this
+// builds the sorted-unique (code u64, count i64) table with an MSD+LSD
+// radix sort:
+//
+//   pass 1 (parallel): 8-bit MSD on code bits [kbits-8, kbits) scatters
+//     elements into 256 value-range buckets (write-combining staging lines
+//     so the scatter writes are 64-byte bursts), widening (hi, lo) words
+//     to native-width codes on the way and dropping sentinel words
+//     (code >= 2^kbits). Buckets are range-ordered, so the final table is
+//     globally sorted without any merge.
+//   pass 2 (parallel over buckets): each ~N/256-element bucket is LSD
+//     radix sorted over the remaining kbits-8 bits with <= 12-bit digits
+//     (counters L1-resident, bucket ping-pong L2-resident), then RLE'd
+//     straight into its reserved output range.
+//
+// Unlike the merge paths above this costs a CONSTANT ~6 memory touches per
+// element regardless of fan-in — and it does not need the device to sort
+// at all, freeing the TPU to run the encode kernel alone.
+
+template <class T>
+struct RadixTraits;
+template <>
+struct RadixTraits<uint32_t> {
+  static constexpr int kMaxDigit = 11;  // 2048 x u32 counters = 8 KB (L1)
+};
+template <>
+struct RadixTraits<uint64_t> {
+  static constexpr int kMaxDigit = 12;  // 4096 x u32 counters = 16 KB (L1)
+};
+
+// LSD radix sort of buf[0..n) over bit range [0, bits); scr is ping-pong
+// scratch of size n. Returns the buffer holding the sorted data.
+template <class T>
+T* lsd_radix(T* buf, T* scr, int64_t n, int bits) {
+  if (n <= 1 || bits <= 0) return buf;
+  int passes = (bits + RadixTraits<T>::kMaxDigit - 1) / RadixTraits<T>::kMaxDigit;
+  int digit = (bits + passes - 1) / passes;  // even-ish split
+  uint32_t cnt[1 << RadixTraits<T>::kMaxDigit];
+  T* src = buf;
+  T* dst = scr;
+  for (int shift = 0; shift < bits; shift += digit) {
+    const int d = std::min(digit, bits - shift);
+    const T mask = (T(1) << d) - 1;
+    const int64_t B = int64_t(1) << d;
+    memset(cnt, 0, B * sizeof(uint32_t));
+    for (int64_t i = 0; i < n; i++) cnt[(src[i] >> shift) & mask]++;
+    uint32_t acc = 0;
+    for (int64_t b = 0; b < B; b++) {
+      uint32_t c = cnt[b];
+      cnt[b] = acc;
+      acc += c;
+    }
+    for (int64_t i = 0; i < n; i++) dst[cnt[(src[i] >> shift) & mask]++] = src[i];
+    std::swap(src, dst);
+  }
+  return src;
+}
+
+// The MSD scatter's per-bucket write-combining staging: one cache line
+// (8 u64 / 16 u32) per bucket, flushed when full.
+constexpr int kMsdBuckets = 256;
+
+template <class T>
+struct WcBuf {
+  static constexpr int kLine = 64 / sizeof(T);
+  alignas(64) T stage[kMsdBuckets][kLine];
+  int fill[kMsdBuckets];
+  T* out[kMsdBuckets];
+  void init(T* base, const int64_t* offs) {
+    for (int b = 0; b < kMsdBuckets; b++) {
+      fill[b] = 0;
+      out[b] = base + offs[b];
+    }
+  }
+  inline void push(int b, T v) {
+    stage[b][fill[b]++] = v;
+    if (fill[b] == kLine) {
+      memcpy(out[b], stage[b], 64);
+      out[b] += kLine;
+      fill[b] = 0;
+    }
+  }
+  void flush() {
+    for (int b = 0; b < kMsdBuckets; b++) {
+      memcpy(out[b], stage[b], fill[b] * sizeof(T));
+      out[b] += fill[b];
+      fill[b] = 0;
+    }
+  }
+};
+
+// Radix-compact n UNSORTED (hi, lo) window words (sentinels = all-ones
+// words interspersed) into the sorted-unique table. kbits = significant
+// code bits (valid codes < 2^kbits). Returns entries written.
+template <int HW>
+int64_t radix_compact(const void* hi, const uint32_t* lo, int64_t n,
+                      int kbits, uint64_t* out_code, int64_t* out_cnt) {
+  using T = typename std::conditional<HW == 0, uint32_t, uint64_t>::type;
+  if (n == 0) return 0;
+  const int msd_shift = std::max(kbits - 8, 0);
+  const int nt = num_threads(n, 1 << 20);
+  std::vector<int64_t> range(nt + 1);
+  for (int t = 0; t <= nt; t++) range[t] = n * t / nt;
+
+  // Pass 1a: per-(thread, bucket) histogram. Sentinel words land in
+  // bucket >= 256 (code >= 2^kbits) and are dropped.
+  std::vector<std::array<int64_t, kMsdBuckets>> th_cnt(nt);
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; t++)
+      ths.emplace_back([&, t] {
+        auto& c = th_cnt[t];
+        c.fill(0);
+        for (int64_t i = range[t]; i < range[t + 1]; i++) {
+          const uint64_t code = code_hw<HW>(hi, lo, i);
+          const uint64_t b = code >> msd_shift;
+          if (b < kMsdBuckets) c[b]++;
+        }
+      });
+    for (auto& th : ths) th.join();
+  }
+  // Bucket layout: bucket-major, thread-minor (so each bucket is
+  // contiguous and range-ordered across the whole input).
+  std::vector<int64_t> bucket_off(kMsdBuckets + 1, 0);
+  {
+    int64_t acc = 0;
+    for (int b = 0; b < kMsdBuckets; b++) {
+      bucket_off[b] = acc;
+      for (int t = 0; t < nt; t++) acc += th_cnt[t][b];
+    }
+    bucket_off[kMsdBuckets] = acc;
+  }
+  const int64_t valid = bucket_off[kMsdBuckets];
+  if (valid == 0) return 0;
+  std::vector<T> binned(valid);
+
+  // Pass 1b: widen + scatter through write-combining lines.
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; t++)
+      ths.emplace_back([&, t] {
+        std::vector<int64_t> offs(kMsdBuckets);
+        for (int b = 0; b < kMsdBuckets; b++) {
+          int64_t o = bucket_off[b];
+          for (int u = 0; u < t; u++) o += th_cnt[u][b];
+          offs[b] = o;
+        }
+        auto wc = std::make_unique<WcBuf<T>>();
+        wc->init(binned.data(), offs.data());
+        for (int64_t i = range[t]; i < range[t + 1]; i++) {
+          const uint64_t code = code_hw<HW>(hi, lo, i);
+          const uint64_t b = code >> msd_shift;
+          if (b < kMsdBuckets) wc->push(static_cast<int>(b), static_cast<T>(code));
+        }
+        wc->flush();
+      });
+    for (auto& th : ths) th.join();
+  }
+
+  // Pass 2: per-bucket LSD sort + RLE into the bucket's reserved output
+  // slice (distinct <= elements, so output offset = input offset is safe).
+  // Buckets are claimed dynamically to ride out skew.
+  std::vector<int64_t> bucket_len(kMsdBuckets, 0);
+  {
+    std::atomic<int> next{0};
+    int64_t max_bucket = 0;
+    for (int b = 0; b < kMsdBuckets; b++)
+      max_bucket = std::max(max_bucket, bucket_off[b + 1] - bucket_off[b]);
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; t++)
+      ths.emplace_back([&] {
+        std::vector<T> scr(max_bucket);
+        for (;;) {
+          const int b = next.fetch_add(1);
+          if (b >= kMsdBuckets) break;
+          const int64_t off = bucket_off[b];
+          const int64_t len = bucket_off[b + 1] - off;
+          if (len == 0) continue;
+          T* data = lsd_radix(binned.data() + off, scr.data(), len, msd_shift);
+          bucket_len[b] = rle_run(data, len, out_code + off, out_cnt + off);
+        }
+      });
+    for (auto& th : ths) th.join();
+  }
+
+  // Compact the per-bucket tables contiguously.
+  int64_t w = 0;
+  for (int b = 0; b < kMsdBuckets; b++) {
+    const int64_t off = bucket_off[b];
+    if (off != w && bucket_len[b]) {
+      memmove(out_code + w, out_code + off, bucket_len[b] * sizeof(uint64_t));
+      memmove(out_cnt + w, out_cnt + off, bucket_len[b] * sizeof(int64_t));
+    }
+    w += bucket_len[b];
+  }
+  return w;
+}
+
+// 0 = auto (ladder when compiled in), 1 = force tree, 2 = force ladder.
+int merge_mode() {
+  static const int mode = [] {
+    const char* e = getenv("KMER_NATIVE_MERGE");
+    if (e == nullptr) return 0;
+    if (strcmp(e, "tree") == 0) return 1;
+    if (strcmp(e, "ladder") == 0) return 2;
+    return 0;
+  }();
+  return mode;
+}
+
+template <int HW>
+int64_t merge_streams(std::vector<MergeStream>& ss, const void* hi,
+                      const uint32_t* lo, uint64_t* oc, int64_t* on) {
+#if defined(__AVX512F__)
+  if (merge_mode() != 1 && ss.size() > 1)
+    return merge_ladder<HW>(ss, hi, lo, oc, on);
+#endif
+  if (ss.size() >= kTwoStageMin && merge_mode() != 2)
+    return merge_two_stage<HW>(ss, hi, lo, oc, on);
+  return loser_tree_merge<HW>(ss, hi, lo, oc, on);
+}
+
 }  // namespace
 
 extern "C" {
@@ -906,16 +1367,12 @@ int64_t kp_compact_rows(const void* hi, int hi_width, const uint32_t* lo,
         for (int64_t r = 0; r < rows; r++)
           if (cut[t][r] < cut[t + 1][r])
             ss.push_back({cut[t][r], cut[t + 1][r]});
-        const bool two_stage = ss.size() >= kTwoStageMin;
         if (hi_width == 0)
-          part_len[t] = two_stage ? merge_two_stage<0>(ss, hi, lo, oc, on)
-                                  : loser_tree_merge<0>(ss, hi, lo, oc, on);
+          part_len[t] = merge_streams<0>(ss, hi, lo, oc, on);
         else if (hi_width == 2)
-          part_len[t] = two_stage ? merge_two_stage<2>(ss, hi, lo, oc, on)
-                                  : loser_tree_merge<2>(ss, hi, lo, oc, on);
+          part_len[t] = merge_streams<2>(ss, hi, lo, oc, on);
         else
-          part_len[t] = two_stage ? merge_two_stage<4>(ss, hi, lo, oc, on)
-                                  : loser_tree_merge<4>(ss, hi, lo, oc, on);
+          part_len[t] = merge_streams<4>(ss, hi, lo, oc, on);
       });
     for (auto& th : ths) th.join();
   }
@@ -931,6 +1388,43 @@ int64_t kp_compact_rows(const void* hi, int hi_width, const uint32_t* lo,
     w += part_len[t];
   }
   return w;
+}
+
+// Valid (non-sentinel) words in an UNSORTED window-word stream: counts
+// codes < 2^kbits. Sizes the output of kp_compact_unsorted.
+int64_t kp_count_valid(const void* hi, int hi_width, const uint32_t* lo,
+                       int64_t n, int kbits) {
+  if (n == 0) return 0;
+  const uint64_t lim = kbits >= 64 ? UINT64_MAX : (uint64_t(1) << kbits);
+  const int nt = num_threads(n, 1 << 20);
+  std::vector<int64_t> counts(nt, 0);
+  std::vector<std::thread> ths;
+  for (int t = 0; t < nt; t++)
+    ths.emplace_back([&, t] {
+      int64_t a = n * t / nt, b = n * (t + 1) / nt, c = 0;
+      for (int64_t i = a; i < b; i++)
+        c += (word_code(hi, hi_width, lo, i) < lim);
+      counts[t] = c;
+    });
+  for (auto& th : ths) th.join();
+  int64_t total = 0;
+  for (int64_t c : counts) total += c;
+  return total;
+}
+
+// Compact n UNSORTED window words (all-ones sentinel words interspersed
+// where the device emitted invalid windows) into the sorted-unique
+// (code u64, count i64) table via the MSD+LSD radix compactor above.
+// kbits = significant code bits (2k for a k-mer table; valid codes are
+// < 2^kbits). out arrays must hold kp_count_valid(...) entries. Returns
+// entries written. This is the host half of the no-device-sort path: the
+// TPU runs the encode kernel alone and ships the word stream as-is.
+int64_t kp_compact_unsorted(const void* hi, int hi_width, const uint32_t* lo,
+                            int64_t n, int kbits, uint64_t* out_code,
+                            int64_t* out_cnt) {
+  if (hi_width == 0) return radix_compact<0>(hi, lo, n, kbits, out_code, out_cnt);
+  if (hi_width == 2) return radix_compact<2>(hi, lo, n, kbits, out_code, out_cnt);
+  return radix_compact<4>(hi, lo, n, kbits, out_code, out_cnt);
 }
 
 // Merge m sorted (codes u64 ascending-unique, counts i64) tables into one,

@@ -355,6 +355,46 @@ def sort_words_rows_packed(
 
 
 @functools.partial(jax.jit, static_argnames=("k", "canonical", "pallas"))
+def encode_words(
+    bases: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    canonical: bool = False,
+    pallas: str | None = None,
+):
+    """Encode-ONLY device program: UNSORTED adaptive code words.
+
+    The device half of the no-device-sort sparse path: windows become the
+    same split-word tuple sort_words produces — (lo,) / (hi_u16, lo) /
+    (hi_u32, lo) with all-ones sentinels for invalid or padding windows —
+    but are shipped in stream order with NO device sort. The host radix
+    compactor (native.compact_unsorted_native) builds the sorted-unique
+    table in a constant number of passes, so the comparison-network sort
+    cost (the dominant device cost at k >= 13, ~log^2 of the segment)
+    disappears from the device program entirely: encode runs at the HBM
+    streaming bound (~2.6+ Gbase/s/chip measured vs 1.3-1.8 with the row
+    sort fused in).
+    """
+    return _encode_words(bases, n_own, k, canonical, pallas)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "canonical", "pallas"))
+def encode_words_packed(
+    data: jax.Array,
+    mask: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    canonical: bool = False,
+    pallas: str | None = None,
+):
+    """encode_words over the 2-bit packed transfer format."""
+    from dna_kmeres_parallel_tpu.ops import encode as encode_ops
+
+    bases = encode_ops.unpack_stream(data, mask)
+    return _encode_words(bases, n_own, k, canonical, pallas)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "canonical", "pallas"))
 def sort_unique_starts(
     bases: jax.Array,
     n_own: jax.Array,

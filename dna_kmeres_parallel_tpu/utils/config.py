@@ -42,7 +42,15 @@ class KmerConfig:
          comparison-network sort cost scales ~log^2(segment), so rows are
          3-5x cheaper on device (measured, scripts/rowsort_probe2.py); the
          host compactor multiway-merges the rows in its single pass.
-         0 = flat full-array sort.
+         0 = flat full-array sort. Only applies when the device sorts at
+         all (see device_sort).
+      device_sort: sparse path (k >= 13): whether the device sorts the
+         window words at all. None (default) = auto: skip the device sort
+         when the native MSD+LSD radix compactor is available (it builds
+         the table from UNSORTED words in a constant number of passes, so
+         sorted input buys it nothing and the device runs the encode
+         kernel alone — ~2x device throughput at k=21); sort on device
+         when only the NumPy fallback compactor exists. True/False force.
     """
 
     k: int = 3
@@ -57,6 +65,7 @@ class KmerConfig:
     parser_variant: str = "modern"
     pack_input: bool = True
     sort_row_len: int = 2048
+    device_sort: bool | None = None
 
     def __post_init__(self):
         if not (1 <= self.k <= 32):

@@ -283,18 +283,91 @@ def test_sort_words_rows_all_invalid():
 @pytest.mark.parametrize("row_len", [64, 2048])
 def test_sparse_engine_row_sort_config(make_dna, row_len):
     # Engine-level: row-sorted config produces the same result as flat.
+    # device_sort=True forces the sort paths (the default auto-routes to
+    # the no-device-sort radix compactor when the native lib is present).
     seqs = [make_dna(150 + 13 * i, invalid_frac=0.02) for i in range(4)]
     k = 21
     flat = SparseKmerEngine(
-        KmerConfig(k=k, batch_bases=512, sort_row_len=0)
+        KmerConfig(k=k, batch_bases=512, sort_row_len=0, device_sort=True)
     ).count_sequences(seqs)
     rows = SparseKmerEngine(
-        KmerConfig(k=k, batch_bases=512, sort_row_len=row_len)
+        KmerConfig(k=k, batch_bases=512, sort_row_len=row_len, device_sort=True)
     ).count_sequences(seqs)
     assert np.array_equal(flat.codes, rows.codes)
     assert np.array_equal(flat.counts, rows.counts)
     want = oracle.count_table_any_k(seqs, k)
     assert rows.table() == want
+
+
+@pytest.mark.parametrize("canonical", [False, True])
+@pytest.mark.parametrize("k", [13, 15, 16, 17, 21, 23, 24, 31])
+def test_encode_words_compact_unsorted_matches_oracle(make_dna, k, canonical):
+    """The no-device-sort route: UNSORTED encode words -> host radix
+    compactor == oracle, across every key-word layout."""
+    from dna_kmeres_parallel_tpu.models.sparse_engine import compact_unsorted
+
+    s = make_dna(400, invalid_frac=0.05)
+    bases = jnp.asarray(codec.encode_bases(s))
+    n_own = jnp.int32(len(s) - k + 1)
+    words = sparse_ops.encode_words(bases, n_own, k, canonical)
+    codes, counts = compact_unsorted(words, k)
+    want = oracle.count_table_any_k([s], k, canonical)
+    got = {codec.code_to_kmer(int(c), k): int(n) for c, n in zip(codes, counts)}
+    assert got == want
+    assert np.all(np.diff(codes.astype(np.int64)) > 0)
+
+
+@pytest.mark.parametrize("k", [15, 21])
+def test_compact_unsorted_native_matches_fallback(make_dna, k):
+    from dna_kmeres_parallel_tpu import native
+    from dna_kmeres_parallel_tpu.models import sparse_engine
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    s = make_dna(600, invalid_frac=0.03)
+    bases = jnp.asarray(codec.encode_bases(s))
+    n_own = jnp.int32(len(s) - k + 1)
+    words = sparse_ops.encode_words(bases, n_own, k)
+    got = native.compact_unsorted_native(
+        tuple(np.asarray(w) for w in words), 2 * k
+    )
+    # Force the NumPy fallback by calling its body via monkeypatched
+    # availability: simplest is to recompute with the documented fallback
+    # semantics (filter sentinels, sort, RLE).
+    ws = tuple(np.asarray(w).reshape(-1) for w in words)
+    major = ws[0]
+    sent = major.dtype.type(np.iinfo(major.dtype).max)
+    valid = major != sent
+    if len(ws) == 1:
+        codes_all = ws[0][valid].astype(np.uint64)
+    else:
+        codes_all = sparse_ops.merged_code64(ws[0][valid], ws[1][valid])
+    codes_all = np.sort(codes_all)
+    uniq, counts = np.unique(codes_all, return_counts=True)
+    assert np.array_equal(got[0], uniq)
+    assert np.array_equal(got[1], counts.astype(np.int64))
+    del sparse_engine
+
+
+@pytest.mark.parametrize("device_sort", [None, False, True])
+def test_sparse_engine_device_sort_routes_agree(make_dna, device_sort):
+    seqs = [make_dna(150 + 13 * i, invalid_frac=0.02) for i in range(4)]
+    k = 21
+    r = SparseKmerEngine(
+        KmerConfig(k=k, batch_bases=512, device_sort=device_sort)
+    ).count_sequences(seqs)
+    assert r.table() == oracle.count_table_any_k(seqs, k)
+
+
+def test_compact_unsorted_empty_and_all_invalid():
+    from dna_kmeres_parallel_tpu.models.sparse_engine import compact_unsorted
+
+    k = 21
+    # All-sentinel words (every window invalid).
+    hi = np.full(64, 0xFFFF, np.uint16)
+    lo = np.full(64, 0xFFFFFFFF, np.uint32)
+    codes, counts = compact_unsorted((hi, lo), k)
+    assert codes.size == 0 and counts.size == 0
 
 
 def test_sparse_engine_packed_feed(make_dna):
