@@ -44,6 +44,19 @@ def main() -> int:
     total = int(os.environ.get("BENCH_BASES", str(64 << 20)))
     batch = int(os.environ.get("BENCH_BATCH", str(16 << 20)))
     row_len = int(os.environ.get("BENCH_ROW_LEN", "2048"))
+    # Device-sort routing mirrors production (KmerConfig.device_sort=None):
+    # with the native radix compactor present the device runs the encode
+    # kernel alone. BENCH_DEVICE_SORT=1/0 forces either route.
+    ds_env = os.environ.get("BENCH_DEVICE_SORT", "auto")
+    if ds_env == "auto":
+        from dna_kmeres_parallel_tpu.models.sparse_engine import (
+            resolve_device_sort,
+        )
+        from dna_kmeres_parallel_tpu.utils.config import KmerConfig
+
+        device_sort = resolve_device_sort(KmerConfig(k=max(k, 13)))
+    else:
+        device_sort = ds_env == "1"
 
     if k <= 12:
         report = run_count_bench(
@@ -56,6 +69,7 @@ def main() -> int:
             total_bases=total,
             batch_bases=batch,
             row_len=row_len,
+            device_sort=device_sort,
         )
     print(json.dumps(report), file=sys.stderr)
 

@@ -196,12 +196,18 @@ def run_sparse_bench(
     batch_bases: int = 16 << 20,
     seed: int = 0,
     row_len: int = 0,
+    device_sort: bool = True,
 ) -> dict:
-    """Throughput of the sparse (sort + RLE) count path at large k —
+    """Throughput of the sparse count path's DEVICE program at large k —
     the k=21 north-star configuration. Device work only (compaction and
     cross-batch merge excluded here; see StreamingCounter metrics for the
     full pipeline split). row_len > 0 measures the row-sorted variant
-    (ops/sparse.sort_words_rows) instead of the flat sort."""
+    (ops/sparse.sort_words_rows) instead of the flat sort; device_sort=False
+    measures the production no-device-sort route (encode kernel only — the
+    host radix compactor needs no sorted input; KmerConfig.device_sort).
+    The Pallas encoder is a custom call, so its word outputs are HBM-
+    materialized exactly as the production D2H fetch requires — the
+    signature reduction cannot elide the writes."""
     import numpy as np
 
     from dna_kmeres_parallel_tpu.ops import sparse as sparse_ops
@@ -225,6 +231,82 @@ def run_sparse_bench(
     from dna_kmeres_parallel_tpu.ops import runtime
 
     pallas = runtime.pallas_mode()  # engine-equivalent kernel selection
+
+    if not device_sort:
+        # The encode-only program streams at the HBM bound (~1 ms per 16M
+        # bases on v5e) — separate dispatches vanish under per-dispatch
+        # tunnel jitter (tens of ms). Two defenses: (a) run MANY batches
+        # inside ONE dispatch via lax.scan (distinct data each iteration —
+        # a rotating salt over the stacked inputs; identical dispatches get
+        # deduped by the tunnel), and (b) time the DIFFERENCE between a
+        # large and a small scan so the dispatch+fetch roundtrip cancels
+        # exactly (min-of-3 each). Measured this way: 604M extra bases in
+        # 37.3 ms = 16.2 Gbase/s (2026-08-19 window).
+        inner_hi = max(n_batches, 48)
+        inner_lo = max(inner_hi // 4, 1)
+        stack = jnp.stack(inputs[:n_distinct])
+
+        def make(inner):
+            @jax.jit
+            def prog(xs, salt0):
+                def body(acc, i):
+                    x = (
+                        xs[i % n_distinct]
+                        + (salt0 + i // n_distinct).astype(jnp.uint8)
+                    ) & jnp.uint8(3)
+                    words = sparse_ops._encode_words(
+                        x, n_own, k, canonical, pallas
+                    )
+                    major = words[0]
+                    sent = jnp.asarray(
+                        jnp.iinfo(major.dtype).max, major.dtype
+                    )
+                    idx = jax.lax.broadcasted_iota(
+                        jnp.int32, major.shape, 0
+                    )
+                    valid = major != sent
+                    n_valid = jnp.sum(valid.astype(jnp.int32))
+                    sig = jnp.sum(jnp.where(valid, idx, 0))
+                    return acc + jnp.stack([n_valid, sig]), None
+
+                acc, _ = jax.lax.scan(
+                    body,
+                    jnp.zeros(2, jnp.int32),
+                    jnp.arange(inner, dtype=jnp.int32),
+                )
+                return acc
+
+            return prog
+
+        def best_time(prog):
+            w = prog(stack, jnp.uint8(101))  # warmup (distinct salt)
+            counted = int(np.asarray(w)[0])
+            best = None
+            for j in range(3):
+                t0 = time.perf_counter()
+                _ = np.asarray(prog(stack, jnp.uint8(j)))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return best, counted
+
+        t_hi, counted_hi = best_time(make(inner_hi))
+        t_lo, counted_lo = best_time(make(inner_lo))
+        elapsed = max(t_hi - t_lo, 1e-9)
+        measured = (inner_hi - inner_lo) * batch_bases
+        return {
+            "bench": "sparse_count",
+            "k": k,
+            "canonical": canonical,
+            "device_sort": False,
+            "row_len": row_len,
+            "total_bases": measured,
+            "batch_bases": batch_bases,
+            "elapsed_s": round(elapsed, 4),
+            "gbases_per_sec": round(measured / elapsed / 1e9, 4),
+            "windows_counted": counted_hi - counted_lo,
+            "windows_expected": (inner_hi - inner_lo) * (batch_bases - k + 1),
+            "device": str(jax.devices()[0]),
+        }
 
     def one(i):
         # [windows_counted, order-signature]: the signature is a
@@ -284,6 +366,8 @@ def run_sparse_bench(
         "bench": "sparse_count",
         "k": k,
         "canonical": canonical,
+        "device_sort": device_sort,
+        "row_len": row_len,
         "total_bases": measured,
         "batch_bases": batch_bases,
         "elapsed_s": round(elapsed, 4),

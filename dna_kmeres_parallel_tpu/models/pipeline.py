@@ -403,11 +403,10 @@ class StreamingCounter:
             resolve_device_sort,
         )
 
-        # No-device-sort route (single chip): the device runs the encode
-        # kernel alone and the host radix compactor absorbs the unsorted
-        # words — see KmerConfig.device_sort. The mesh path keeps its
-        # in-shard row sort.
-        dev_sort = resolve_device_sort(cfg) or mesh is not None
+        # No-device-sort route: the device runs the encode kernel alone and
+        # the host radix compactor absorbs the unsorted words — see
+        # KmerConfig.device_sort. Applies per shard on the mesh path too.
+        dev_sort = resolve_device_sort(cfg)
 
         # Software pipelining: batch t's host compaction (D2H fetch + native
         # compactor) runs only after batch t+1 has been dispatched, so the
@@ -419,11 +418,14 @@ class StreamingCounter:
             words, p_start, p_end = p
             with self.metrics.phase("compact"):
                 if mesh is not None:
-                    # [D, rows, m] planes: one table per device's rows.
+                    # [D, ...] planes: one table per device's shard.
                     planes = tuple(np.asarray(w) for w in words)
                     for d in range(planes[-1].shape[0]):
+                        plane = tuple(w[d] for w in planes)
                         tables.append(
-                            compact_table(tuple(w[d] for w in planes))
+                            compact_table(plane)
+                            if dev_sort
+                            else compact_unsorted(plane, cfg.k)
                         )
                 elif dev_sort:
                     tables.append(compact_table(words))
@@ -456,16 +458,24 @@ class StreamingCounter:
                 n_own = jnp.int32(end - start)
                 if mesh is not None:
                     from dna_kmeres_parallel_tpu.parallel.sharded_sparse import (
+                        encode_words_sharded,
                         sort_words_rows_sharded,
                     )
 
                     shards_g, n_own_g = staged
-                    words = self._with_retry(
-                        lambda: sort_words_rows_sharded(
-                            shards_g, n_own_g, cfg.k, cfg.canonical, mesh,
-                            row_len=cfg.sort_row_len or 2048,
+                    if dev_sort:
+                        words = self._with_retry(
+                            lambda: sort_words_rows_sharded(
+                                shards_g, n_own_g, cfg.k, cfg.canonical, mesh,
+                                row_len=cfg.sort_row_len or 2048,
+                            )
                         )
-                    )
+                    else:
+                        words = self._with_retry(
+                            lambda: encode_words_sharded(
+                                shards_g, n_own_g, cfg.k, cfg.canonical, mesh
+                            )
+                        )
                 elif not dev_sort and cfg.pack_input:
                     words = self._with_retry(
                         lambda: sparse_ops.encode_words_packed(

@@ -75,6 +75,41 @@ def sort_words_rows_sharded(
     return fn(bases, n_own_per_shard)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "canonical", "mesh", "axis"),
+)
+def encode_words_sharded(
+    bases: jax.Array,
+    n_own_per_shard: jax.Array,
+    k: int,
+    canonical: bool,
+    mesh: jax.sharding.Mesh,
+    axis: str = DATA_AXIS,
+):
+    """[D, T + k - 1] halo-carrying stream shards -> per-device UNSORTED
+    word planes [D, N] — the no-device-sort DP variant: each device runs
+    the encode kernel alone and the host radix compactor
+    (sparse_engine.compact_unsorted) absorbs each plane. See
+    KmerConfig.device_sort."""
+
+    def shard_fn(b, n_own):
+        b = b.reshape(-1)
+        n_own = n_own.reshape(())
+        out = sparse_ops._encode_words(b, n_own, k, canonical, None)
+        return tuple(o[None] for o in out)
+
+    n_words = 1 if k <= sparse_ops.MAX_SINGLE_WORD_K else 2
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=tuple(P(axis, None) for _ in range(n_words)),
+        check_vma=False,
+    )
+    return fn(bases, n_own_per_shard)
+
+
 def count_sparse_sharded(
     flat: np.ndarray,
     k: int,
@@ -83,29 +118,40 @@ def count_sparse_sharded(
     axis: str = DATA_AXIS,
     row_len: int = 2048,
     total_own=None,
+    device_sort: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Flat encoded stream -> exact sorted (codes_u64, counts_i64) table,
     counted data-parallel across the mesh (one shard per device).
-    total_own: see shard_stream_with_halo (streaming batch-overlap rule)."""
+    total_own: see shard_stream_with_halo (streaming batch-overlap rule).
+    device_sort=False runs encode-only shards + the host radix compactor."""
     from dna_kmeres_parallel_tpu.models.sparse_engine import (
         compact_table,
+        compact_unsorted,
         merge_sparse_tables,
     )
     from dna_kmeres_parallel_tpu.parallel.bucketed import shard_stream_with_halo
 
     shards, n_own = shard_stream_with_halo(flat, k, mesh, axis, total_own)
-    words = sort_words_rows_sharded(
-        jnp.asarray(shards),
-        jnp.asarray(n_own),
-        k,
-        canonical,
-        mesh,
-        axis,
-        row_len,
-    )
+    if device_sort:
+        words = sort_words_rows_sharded(
+            jnp.asarray(shards),
+            jnp.asarray(n_own),
+            k,
+            canonical,
+            mesh,
+            axis,
+            row_len,
+        )
+    else:
+        words = encode_words_sharded(
+            jnp.asarray(shards), jnp.asarray(n_own), k, canonical, mesh, axis
+        )
     words = tuple(np.asarray(w) for w in words)
     D = words[-1].shape[0]
     tables = [
-        compact_table(tuple(w[d] for w in words)) for d in range(D)
+        compact_table(tuple(w[d] for w in words))
+        if device_sort
+        else compact_unsorted(tuple(w[d] for w in words), k)
+        for d in range(D)
     ]
     return merge_sparse_tables(tables)

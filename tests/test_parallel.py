@@ -133,6 +133,48 @@ def test_count_sparse_sharded_matches_oracle(make_dna, k, canonical):
     assert got == want
 
 
+@pytest.mark.parametrize("k", [13, 21])
+def test_count_sparse_sharded_nosort_matches_sorted(make_dna, k):
+    # The no-device-sort DP route (encode-only shards + host radix
+    # compactor) is bit-identical to the row-sorted route.
+    from dna_kmeres_parallel_tpu.parallel import sharded_sparse
+    from dna_kmeres_parallel_tpu.parallel.mesh import make_mesh
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    flat = codec.encode_bases(make_dna(900, invalid_frac=0.02))
+    mesh = make_mesh(8)
+    a = sharded_sparse.count_sparse_sharded(
+        flat, k, False, mesh, row_len=64, device_sort=True
+    )
+    b = sharded_sparse.count_sparse_sharded(
+        flat, k, False, mesh, device_sort=False
+    )
+    assert np.array_equal(a[0], b[0])
+    assert np.array_equal(a[1], b[1])
+
+
+def test_streaming_mesh_nosort_matches_oracle(make_dna, tmp_path):
+    # StreamingCounter on the virtual mesh with device_sort=False.
+    from dna_kmeres_parallel_tpu.models.oracle import count_table_any_k
+    from dna_kmeres_parallel_tpu.models.pipeline import StreamingCounter
+    from dna_kmeres_parallel_tpu.utils import codec, fasta
+    from dna_kmeres_parallel_tpu.utils.config import KmerConfig
+
+    records = [(f">r{i}", make_dna(200 + 17 * i)) for i in range(3)]
+    path = tmp_path / "m.fasta"
+    fasta.write_fasta(path, records)
+    cfg = KmerConfig(
+        k=21, batch_bases=256, mesh_shape=(8,), device_sort=False
+    )
+    res = StreamingCounter(cfg).run(str(path))
+    want = count_table_any_k([s for _, s in records], 21)
+    got = {
+        codec.code_to_kmer(int(c), 21): int(n)
+        for c, n in zip(res.codes, res.counts)
+    }
+    assert got == want
+
+
 def test_count_sparse_sharded_device_count_invariant(make_dna):
     # Bit-identical table at 1, 2, 8 devices (integer merges only).
     from dna_kmeres_parallel_tpu.parallel import sharded_sparse
