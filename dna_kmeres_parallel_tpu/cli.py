@@ -77,17 +77,27 @@ def _add_common(p: argparse.ArgumentParser):
         help="count data-parallel over an N-device mesh (stream command; "
         "per-chip partials merged exactly)",
     )
+    p.add_argument(
+        "--device-sort",
+        choices=("auto", "on", "off"),
+        default="auto",
+        help="sparse path (k >= 13): whether the device sorts window words. "
+        "auto (default) skips the device sort when the native radix "
+        "compactor is available (encode kernel alone on device)",
+    )
 
 
 def _build_config(args):
     from dna_kmeres_parallel_tpu.utils.config import KmerConfig
 
+    ds = getattr(args, "device_sort", "auto")
     return KmerConfig(
         k=args.k,
         canonical=args.canonical,
         max_seqs=args.max_seqs,
         parser_variant=args.parser,
         mesh_shape=(args.mesh,) if getattr(args, "mesh", None) else (),
+        device_sort=None if ds == "auto" else ds == "on",
     )
 
 

@@ -29,14 +29,16 @@ def main():
     # tunnel-latency-dominated), 16M-base batches when the budget allows.
     sparse_total = max(total, 64 << 20)
     for k in (13, 21, 31):
-        for row_len in (0, 2048):
+        # (device_sort, row_len): production no-sort route first, then the
+        # row-sorted and flat device_sort=True fallbacks.
+        for device_sort, row_len in ((False, 0), (True, 2048), (True, 0)):
             r = B.run_sparse_bench(
                 k=k,
                 total_bases=sparse_total,
                 batch_bases=sparse_total // 4,
                 row_len=row_len,
+                device_sort=device_sort,
             )
-            r["row_len"] = row_len
             print(json.dumps(r), flush=True)
     print(
         json.dumps(B.run_distance_bench(n_seqs=2048, seq_len=1024, k=3)),
