@@ -223,6 +223,40 @@ int main() {
         best = std::min(best, secs(t0, Clock::now()));
       }
       printf("lsd_radix 34b/32K:      %7.1f Melem/s\n", BL / best / 1e6);
+      // Digit-width sweep for the in-bucket LSD: fewer dst streams keep
+      // the scatter's store lines L1-resident at the cost of more passes.
+      for (int dig : {7, 8, 9, 10, 11}) {
+        auto lsd_d = [&](uint64_t* buf, uint64_t* s, int64_t n, int bits) {
+          std::vector<uint32_t> cnt(1 << dig);
+          uint64_t* src = buf;
+          uint64_t* dst = s;
+          for (int shift = 0; shift < bits; shift += dig) {
+            const int d = std::min(dig, bits - shift);
+            const uint64_t mask = (1ull << d) - 1;
+            memset(cnt.data(), 0, (1u << d) * sizeof(uint32_t));
+            for (int64_t i = 0; i < n; i++) cnt[(src[i] >> shift) & mask]++;
+            uint32_t acc2 = 0;
+            for (int64_t b = 0; b < (1 << d); b++) {
+              uint32_t c = cnt[b];
+              cnt[b] = acc2;
+              acc2 += c;
+            }
+            for (int64_t i = 0; i < n; i++)
+              dst[cnt[(src[i] >> shift) & mask]++] = src[i];
+            std::swap(src, dst);
+          }
+          return src;
+        };
+        double bd = 1e9;
+        for (int r = 0; r < 5; r++) {
+          std::vector<uint64_t> b2(bucket);
+          auto t0 = Clock::now();
+          lsd_d(b2.data(), scr.data(), BL, 34);
+          bd = std::min(bd, secs(t0, Clock::now()));
+        }
+        printf("lsd digit=%-2d 34b/32K:   %7.1f Melem/s\n", dig,
+               BL / bd / 1e6);
+      }
       std::vector<uint64_t> big(N);
       for (auto& x : big) x = rng();
       std::sort(big.begin(), big.end());

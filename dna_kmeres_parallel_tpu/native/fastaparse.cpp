@@ -17,11 +17,14 @@
 #include <cstdlib>
 #include <cstring>
 
+#include <sys/mman.h>
+
 #include <zlib.h>
 
 #include <algorithm>
 #include <array>
 #include <atomic>
+#include <chrono>
 #include <memory>
 #include <thread>
 #include <type_traits>
@@ -959,7 +962,11 @@ T* lsd_radix(T* buf, T* scr, int64_t n, int bits) {
 }
 
 // The MSD scatter's per-bucket write-combining staging: one cache line
-// (8 u64 / 16 u32) per bucket, flushed when full.
+// (8 u64 / 16 u32) per bucket, flushed when full. The flush target line
+// for the NEXT flush is write-prefetched: the 256-bucket working set is
+// far larger than L1/L2 and the flush would otherwise stall on the RFO +
+// TLB walk of a cold line (measured: the scatter was 15x the hist pass
+// before this + the huge-page buffer below).
 constexpr int kMsdBuckets = 256;
 
 template <class T>
@@ -972,6 +979,7 @@ struct WcBuf {
     for (int b = 0; b < kMsdBuckets; b++) {
       fill[b] = 0;
       out[b] = base + offs[b];
+      __builtin_prefetch(out[b], 1, 1);
     }
   }
   inline void push(int b, T v) {
@@ -980,6 +988,7 @@ struct WcBuf {
       memcpy(out[b], stage[b], 64);
       out[b] += kLine;
       fill[b] = 0;
+      __builtin_prefetch(out[b], 1, 1);
     }
   }
   void flush() {
@@ -991,6 +1000,30 @@ struct WcBuf {
   }
 };
 
+// Scratch buffer on transparent huge pages when available: the MSD
+// scatter touches its whole extent in 64-byte strides, so 4K pages mean a
+// TLB walk per flush (16K live pages at 64 MB); 2 MB pages cut that to a
+// few dozen.
+template <class T>
+struct HugeBuf {
+  T* p = nullptr;
+  int64_t n = 0;
+  explicit HugeBuf(int64_t count) : n(count) {
+    void* mem = nullptr;
+    if (posix_memalign(&mem, 2 << 20, static_cast<size_t>(n) * sizeof(T)))
+      mem = nullptr;
+    p = static_cast<T*>(mem);
+#if defined(MADV_HUGEPAGE)
+    if (p != nullptr)
+      madvise(p, static_cast<size_t>(n) * sizeof(T), MADV_HUGEPAGE);
+#endif
+  }
+  ~HugeBuf() { free(p); }
+  HugeBuf(const HugeBuf&) = delete;
+  HugeBuf& operator=(const HugeBuf&) = delete;
+  T* data() { return p; }
+};
+
 // Radix-compact n UNSORTED (hi, lo) window words (sentinels = all-ones
 // words interspersed) into the sorted-unique table. kbits = significant
 // code bits (valid codes < 2^kbits). Returns entries written.
@@ -999,6 +1032,14 @@ int64_t radix_compact(const void* hi, const uint32_t* lo, int64_t n,
                       int kbits, uint64_t* out_code, int64_t* out_cnt) {
   using T = typename std::conditional<HW == 0, uint32_t, uint64_t>::type;
   if (n == 0) return 0;
+  // KMER_RADIX_PROF=1: print per-phase wall times to stderr (perf triage).
+  static const bool prof = getenv("KMER_RADIX_PROF") != nullptr;
+  auto now = [] {
+    return std::chrono::duration<double>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+  };
+  double t0 = prof ? now() : 0.0;
   const int msd_shift = std::max(kbits - 8, 0);
   const int nt = num_threads(n, 1 << 20);
   std::vector<int64_t> range(nt + 1);
@@ -1021,6 +1062,7 @@ int64_t radix_compact(const void* hi, const uint32_t* lo, int64_t n,
       });
     for (auto& th : ths) th.join();
   }
+  double t1a = prof ? now() : 0.0;
   // Bucket layout: bucket-major, thread-minor (so each bucket is
   // contiguous and range-ordered across the whole input).
   std::vector<int64_t> bucket_off(kMsdBuckets + 1, 0);
@@ -1034,7 +1076,8 @@ int64_t radix_compact(const void* hi, const uint32_t* lo, int64_t n,
   }
   const int64_t valid = bucket_off[kMsdBuckets];
   if (valid == 0) return 0;
-  std::vector<T> binned(valid);
+  HugeBuf<T> binned(valid);
+  if (binned.data() == nullptr) return -1;  // allocation failure
 
   // Pass 1b: widen + scatter through write-combining lines.
   {
@@ -1058,6 +1101,7 @@ int64_t radix_compact(const void* hi, const uint32_t* lo, int64_t n,
       });
     for (auto& th : ths) th.join();
   }
+  double t1b = prof ? now() : 0.0;
 
   // Pass 2: per-bucket LSD sort + RLE into the bucket's reserved output
   // slice (distinct <= elements, so output offset = input offset is safe).
@@ -1083,6 +1127,14 @@ int64_t radix_compact(const void* hi, const uint32_t* lo, int64_t n,
         }
       });
     for (auto& th : ths) th.join();
+  }
+  if (prof) {
+    double t2 = now();
+    fprintf(stderr,
+            "radix_compact n=%lld: hist %.1f ms, msd-scatter %.1f ms, "
+            "lsd+rle %.1f ms\n",
+            (long long)n, (t1a - t0) * 1e3, (t1b - t1a) * 1e3,
+            (t2 - t1b) * 1e3);
   }
 
   // Compact the per-bucket tables contiguously.
