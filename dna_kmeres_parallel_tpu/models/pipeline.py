@@ -400,6 +400,7 @@ class StreamingCounter:
         from dna_kmeres_parallel_tpu.models.sparse_engine import (
             compact_table,
             compact_unsorted,
+            fetch_words,
             resolve_device_sort,
         )
 
@@ -419,7 +420,7 @@ class StreamingCounter:
             with self.metrics.phase("compact"):
                 if mesh is not None:
                     # [D, ...] planes: one table per device's shard.
-                    planes = tuple(np.asarray(w) for w in words)
+                    planes = fetch_words(words)
                     for d in range(planes[-1].shape[0]):
                         plane = tuple(w[d] for w in planes)
                         tables.append(

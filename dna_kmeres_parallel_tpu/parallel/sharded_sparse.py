@@ -127,6 +127,7 @@ def count_sparse_sharded(
     from dna_kmeres_parallel_tpu.models.sparse_engine import (
         compact_table,
         compact_unsorted,
+        fetch_words,
         merge_sparse_tables,
     )
     from dna_kmeres_parallel_tpu.parallel.bucketed import shard_stream_with_halo
@@ -146,7 +147,7 @@ def count_sparse_sharded(
         words = encode_words_sharded(
             jnp.asarray(shards), jnp.asarray(n_own), k, canonical, mesh, axis
         )
-    words = tuple(np.asarray(w) for w in words)
+    words = fetch_words(words)
     D = words[-1].shape[0]
     tables = [
         compact_table(tuple(w[d] for w in words))
