@@ -65,9 +65,11 @@ def _add_common(p: argparse.ArgumentParser):
     )
     p.add_argument(
         "--engine",
-        choices=("tpu", "oracle"),
+        choices=("tpu", "oracle", "native"),
         default="tpu",
-        help="tpu = JAX/Pallas engine, oracle = NumPy golden engine",
+        help="tpu = JAX/Pallas engine, oracle = NumPy golden engine, "
+        "native = C++ host engine (rolling encoder fused into the radix "
+        "compactor; count command, any k <= 31)",
     )
     p.add_argument(
         "--mesh",
@@ -155,6 +157,34 @@ def cmd_count(args) -> int:
         table = oracle.count_table_any_k(seqs, args.k, args.canonical)
         total_kmers = sum(table.values())
         distinct = len(table)
+    elif args.engine == "native":
+        # C++ host engine: rolling 2k-bit encoder fused into the MSD+LSD
+        # radix compactor (native.count_sparse_host_native) — the CPU
+        # golden engine at GB scale; bit-identical tables to the TPU path.
+        from dna_kmeres_parallel_tpu import native as native_mod
+        from dna_kmeres_parallel_tpu.models.sparse_engine import (
+            SparseCountResult,
+        )
+
+        parts = []
+        for i, s in enumerate(seqs):
+            if i:
+                parts.append(np.array([codec.INVALID_BASE], np.uint8))
+            parts.append(codec.encode_bases(s))
+        flat = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+        codes, counts = native_mod.count_sparse_host_native(
+            flat, args.k, args.canonical
+        )
+        result = SparseCountResult(
+            k=args.k,
+            canonical=args.canonical,
+            codes=codes,
+            counts=counts,
+            n_seqs=len(seqs),
+            total_bases=total_bases,
+        )
+        total_kmers, distinct = result.total_kmers, result.distinct_kmers
+        table = result.table() if (args.output and not npz) else None
     elif sparse:
         from dna_kmeres_parallel_tpu.models.sparse_engine import SparseKmerEngine
 
@@ -182,7 +212,7 @@ def cmd_count(args) -> int:
     report = {
         "k": args.k,
         "canonical": args.canonical,
-        "engine": args.engine + ("/sparse" if sparse and args.engine != "oracle" else ""),
+        "engine": args.engine + ("/sparse" if sparse and args.engine == "tpu" else ""),
         "n_seqs": len(seqs),
         "total_bases": total_bases,
         "total_kmers": total_kmers,

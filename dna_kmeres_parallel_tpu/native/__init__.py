@@ -112,6 +112,12 @@ def _load():
         ctypes.c_void_p, ctypes.c_int, u32p, ctypes.c_int64, ctypes.c_int64,
         u64p, i64p,
     ]
+    lib.kp_count_windows_valid.restype = ctypes.c_int64
+    lib.kp_count_windows_valid.argtypes = [u8p, ctypes.c_int64, ctypes.c_int]
+    lib.kp_count_sparse_host.restype = ctypes.c_int64
+    lib.kp_count_sparse_host.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, u64p, i64p
+    ]
     lib.kp_count_valid.restype = ctypes.c_int64
     lib.kp_count_valid.argtypes = [
         ctypes.c_void_p, ctypes.c_int, u32p, ctypes.c_int64, ctypes.c_int
@@ -405,6 +411,43 @@ def compact_rows_native(
         out_code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         out_cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
+    return out_code[:w].copy(), out_cnt[:w].copy()
+
+
+def count_sparse_host_native(
+    stream: np.ndarray, k: int, canonical: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-only sparse k-mer count: u8 base stream (0..3 codes, 0xFF
+    sequence sentinels) -> sorted-unique (codes_u64, counts_i64).
+
+    The CPU engine for k >= 13 at GB scale (the role the reference's
+    sequentialKmerCount2 plays at main.cu:587-621, generalized): a rolling
+    2k-bit encoder (forward + reverse-complement tracked in O(1) per base)
+    fused directly into the MSD+LSD radix compactor — no intermediate word
+    arrays, ~1 byte read per base plus the compactor's constant passes.
+    Same index space and canonicalization as the device path, so tables
+    are bit-identical to the TPU engines'.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native counter unavailable: {_build_error}")
+    if not (1 <= k <= 31):
+        raise ValueError(f"k must be in [1, 31], got {k}")
+    stream = np.ascontiguousarray(stream, dtype=np.uint8)
+    n = stream.shape[0]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    cap = lib.kp_count_windows_valid(stream.ctypes.data_as(u8p), n, k)
+    out_code = np.zeros(cap, dtype=np.uint64)
+    out_cnt = np.zeros(cap, dtype=np.int64)
+    w = lib.kp_count_sparse_host(
+        stream.ctypes.data_as(u8p),
+        n,
+        k,
+        1 if canonical else 0,
+        out_code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out_cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    assert 0 <= w <= cap, (w, cap)
     return out_code[:w].copy(), out_cnt[:w].copy()
 
 

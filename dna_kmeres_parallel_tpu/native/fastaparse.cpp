@@ -1027,10 +1027,14 @@ struct HugeBuf {
 // Radix-compact n UNSORTED (hi, lo) window words (sentinels = all-ones
 // words interspersed) into the sorted-unique table. kbits = significant
 // code bits (valid codes < 2^kbits). Returns entries written.
-template <int HW>
-int64_t radix_compact(const void* hi, const uint32_t* lo, int64_t n,
-                      int kbits, uint64_t* out_code, int64_t* out_cnt) {
-  using T = typename std::conditional<HW == 0, uint32_t, uint64_t>::type;
+// Generic MSD+LSD radix core over any code source. ForRange is a callable
+// `for_range(a, b, f)` that invokes f(code u64) for every CANDIDATE code
+// of items [a, b) IN ORDER (codes >= 2^kbits are dropped as sentinels);
+// it must enumerate identically on repeated calls (the histogram and
+// scatter passes both walk it).
+template <class T, class ForRange>
+int64_t radix_compact_core(ForRange&& for_range, int64_t n, int kbits,
+                           uint64_t* out_code, int64_t* out_cnt) {
   if (n == 0) return 0;
   // KMER_RADIX_PROF=1: print per-phase wall times to stderr (perf triage).
   static const bool prof = getenv("KMER_RADIX_PROF") != nullptr;
@@ -1054,11 +1058,10 @@ int64_t radix_compact(const void* hi, const uint32_t* lo, int64_t n,
       ths.emplace_back([&, t] {
         auto& c = th_cnt[t];
         c.fill(0);
-        for (int64_t i = range[t]; i < range[t + 1]; i++) {
-          const uint64_t code = code_hw<HW>(hi, lo, i);
+        for_range(range[t], range[t + 1], [&](uint64_t code) {
           const uint64_t b = code >> msd_shift;
           if (b < kMsdBuckets) c[b]++;
-        }
+        });
       });
     for (auto& th : ths) th.join();
   }
@@ -1092,11 +1095,10 @@ int64_t radix_compact(const void* hi, const uint32_t* lo, int64_t n,
         }
         auto wc = std::make_unique<WcBuf<T>>();
         wc->init(binned.data(), offs.data());
-        for (int64_t i = range[t]; i < range[t + 1]; i++) {
-          const uint64_t code = code_hw<HW>(hi, lo, i);
+        for_range(range[t], range[t + 1], [&](uint64_t code) {
           const uint64_t b = code >> msd_shift;
           if (b < kMsdBuckets) wc->push(static_cast<int>(b), static_cast<T>(code));
-        }
+        });
         wc->flush();
       });
     for (auto& th : ths) th.join();
@@ -1149,6 +1151,63 @@ int64_t radix_compact(const void* hi, const uint32_t* lo, int64_t n,
   }
   return w;
 }
+
+// Word-array source: the no-device-sort D2H layout (split hi/lo words,
+// all-ones sentinels interspersed).
+template <int HW>
+int64_t radix_compact(const void* hi, const uint32_t* lo, int64_t n,
+                      int kbits, uint64_t* out_code, int64_t* out_cnt) {
+  using T = typename std::conditional<HW == 0, uint32_t, uint64_t>::type;
+  auto for_range = [hi, lo](int64_t a, int64_t b, auto&& f) {
+    for (int64_t i = a; i < b; i++) f(code_hw<HW>(hi, lo, i));
+  };
+  return radix_compact_core<T>(for_range, n, kbits, out_code, out_cnt);
+}
+
+// ---------------------------------------------------------------------------
+// Host-only sparse counting: rolling split-free encoder fused straight
+// into the radix core — the CPU twin of the TPU encode-only path (and the
+// reference's CPU engine role, /root/reference/main.cu:587-621, at GB
+// scale). One byte per base in, no intermediate word arrays.
+
+// Rolling 2k-bit window codes over a u8 base stream (0..3 valid; anything
+// else, incl. the 0xFF sequence sentinel, breaks the window run).
+struct RollingWindows {
+  const uint8_t* s;
+  int k;
+  bool canonical;
+  uint64_t mask;
+  int rc_shift;
+
+  RollingWindows(const uint8_t* stream, int kk, bool canon)
+      : s(stream), k(kk), canonical(canon) {
+    mask = (k >= 32) ? ~uint64_t(0) : ((uint64_t(1) << (2 * k)) - 1);
+    rc_shift = 2 * (k - 1);
+  }
+
+  // Enumerate valid windows STARTING in [a, b) (absolute window starts),
+  // calling f(code) in order; reads bases [a, b + k - 1).
+  template <class F>
+  void for_range(int64_t a, int64_t b, F&& f) const {
+    uint64_t fwd = 0, rc = 0;
+    int run = 0;
+    for (int64_t j = a; j < b + k - 1; j++) {
+      const uint8_t base = s[j];
+      if (base > 3) {
+        run = 0;
+        continue;
+      }
+      fwd = ((fwd << 2) | base) & mask;
+      rc = (rc >> 2) | (uint64_t(3 - base) << rc_shift);
+      run = run < k ? run + 1 : k;
+      if (run >= k) {
+        // window [j-k+1, j] — owned iff it starts in [a, b)
+        const int64_t start = j - k + 1;
+        if (start >= a && start < b) f(canonical ? std::min(fwd, rc) : fwd);
+      }
+    }
+  }
+};
 
 // 0 = auto (ladder when compiled in), 1 = force tree, 2 = force ladder.
 int merge_mode() {
@@ -1442,6 +1501,52 @@ int64_t kp_compact_rows(const void* hi, int hi_width, const uint32_t* lo,
   return w;
 }
 
+// Valid windows (k consecutive valid bases) in a u8 base stream — sizes
+// the output of kp_count_sparse_host.
+int64_t kp_count_windows_valid(const uint8_t* stream, int64_t n, int k) {
+  const int64_t nw = n - k + 1;
+  if (nw <= 0) return 0;
+  const int nt = num_threads(nw, 1 << 20);
+  std::vector<int64_t> counts(nt, 0);
+  std::vector<std::thread> ths;
+  for (int t = 0; t < nt; t++)
+    ths.emplace_back([&, t] {
+      int64_t a = nw * t / nt, b = nw * (t + 1) / nt, c = 0;
+      int run = 0;
+      for (int64_t j = a; j < b + k - 1; j++) {
+        run = stream[j] > 3 ? 0 : (run < k ? run + 1 : k);
+        if (run >= k && j - k + 1 >= a) c++;
+      }
+      counts[t] = c;
+    });
+  for (auto& th : ths) th.join();
+  int64_t total = 0;
+  for (int64_t c : counts) total += c;
+  return total;
+}
+
+// Host-only sparse k-mer counter: u8 base stream (0..3; 0xFF sentinels) ->
+// sorted-unique (code u64, count i64) table via the rolling encoder fused
+// into the MSD+LSD radix core. The CPU engine for k >= 13 at GB scale —
+// exactly the TPU no-device-sort pipeline with the encode kernel replaced
+// by the host rolling encoder (same index space, same canonicalization).
+// out arrays must hold kp_count_windows_valid(...) entries.
+int64_t kp_count_sparse_host(const uint8_t* stream, int64_t n, int k,
+                             int canonical, uint64_t* out_code,
+                             int64_t* out_cnt) {
+  const int64_t nw = n - k + 1;
+  if (nw <= 0 || k < 1 || k > 31) return 0;
+  RollingWindows rw(stream, k, canonical != 0);
+  auto for_range = [&rw](int64_t a, int64_t b, auto&& f) {
+    rw.for_range(a, b, f);
+  };
+  if (2 * k <= 32)
+    return radix_compact_core<uint32_t>(for_range, nw, 2 * k, out_code,
+                                        out_cnt);
+  return radix_compact_core<uint64_t>(for_range, nw, 2 * k, out_code,
+                                      out_cnt);
+}
+
 // Valid (non-sentinel) words in an UNSORTED window-word stream: counts
 // codes < 2^kbits. Sizes the output of kp_compact_unsorted.
 int64_t kp_count_valid(const void* hi, int hi_width, const uint32_t* lo,
@@ -1561,17 +1666,21 @@ int64_t kp_merge_tables(int64_t m, const uint64_t* const* codes,
           int64_t b = lo_idx[t][i1], be = lo_idx[t + 1][i1];
           int64_t w = 0;
           while (a < ae && b < be) {
-            uint64_t ca = c0[a], cb = c1[b];
-            if (ca < cb) {
-              oc[w] = ca;
-              on[w++] = n0[a++];
-            } else if (cb < ca) {
-              oc[w] = cb;
-              on[w++] = n1[b++];
-            } else {
+            const uint64_t ca = c0[a], cb = c1[b];
+            if (__builtin_expect(ca == cb, 0)) {
+              // Equal codes are rare (distinct tables; dups only across
+              // batches) — keep the branch, it predicts well.
               oc[w] = ca;
               on[w++] = n0[a++] + n1[b++];
+              continue;
             }
+            // The < compare is a ~50/50 coin flip: branchless cmov
+            // advance (same trick as the loser-tree replay).
+            const bool t2 = ca < cb;
+            oc[w] = t2 ? ca : cb;
+            on[w++] = t2 ? n0[a] : n1[b];
+            a += t2;
+            b += !t2;
           }
           if (a < ae) {
             memcpy(oc + w, c0 + a, (ae - a) * sizeof(uint64_t));

@@ -395,3 +395,45 @@ def test_compact_rows_native_two_stage_sentinels():
         assert np.array_equal(
             got_n, np.diff(np.append(idx, codes.size)).astype(np.int64)
         )
+
+
+@pytest.mark.parametrize("k", [4, 13, 16, 21, 31])
+@pytest.mark.parametrize("canonical", [False, True])
+def test_count_sparse_host_native_matches_oracle(make_dna, k, canonical):
+    """The C++ host engine (rolling encoder fused into the radix core)
+    must be exact vs the NumPy oracle across key layouts and canonical."""
+    from dna_kmeres_parallel_tpu.models import oracle
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    seqs = [make_dna(90 + 17 * i, invalid_frac=0.04) for i in range(4)]
+    parts = []
+    for i, s in enumerate(seqs):
+        if i:
+            parts.append(np.array([codec.INVALID_BASE], np.uint8))
+        parts.append(codec.encode_bases(s))
+    stream = np.concatenate(parts)
+    codes, counts = native.count_sparse_host_native(stream, k, canonical)
+    want = oracle.count_table_any_k(seqs, k, canonical)
+    got = {codec.code_to_kmer(int(c), k): int(n) for c, n in zip(codes, counts)}
+    assert got == want
+    assert np.all(np.diff(codes.astype(np.int64)) > 0)
+
+
+def test_count_sparse_host_native_edges():
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    # shorter than k
+    c, n = native.count_sparse_host_native(codec.encode_bases("ACG"), 21)
+    assert c.size == 0 and n.size == 0
+    # all-invalid stream
+    c, n = native.count_sparse_host_native(
+        np.full(100, 0xFF, np.uint8), 13
+    )
+    assert c.size == 0
+    # homopolymer: one distinct code, count L-k+1
+    c, n = native.count_sparse_host_native(codec.encode_bases("A" * 50), 21)
+    assert c.tolist() == [0] and n.tolist() == [30]

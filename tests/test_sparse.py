@@ -359,6 +359,26 @@ def test_sparse_engine_device_sort_routes_agree(make_dna, device_sort):
     assert r.table() == oracle.count_table_any_k(seqs, k)
 
 
+@pytest.mark.parametrize("shape", [(17,), (16,), (4, 6), (3, 7)])
+def test_fetch_words_u16_bitcast_roundtrip(shape):
+    """fetch_words dodges the tunnel's u16 slow path via device bitcast;
+    the result must be bit-identical to a direct fetch for any shape/parity."""
+    import jax
+
+    from dna_kmeres_parallel_tpu.models.sparse_engine import fetch_words
+
+    rng = np.random.default_rng(9)
+    h16 = rng.integers(0, 1 << 16, size=shape, dtype=np.uint16)
+    h32 = rng.integers(0, 1 << 32, size=shape, dtype=np.uint32)
+    dev = (jax.device_put(jnp.asarray(h16)), jax.device_put(jnp.asarray(h32)))
+    got = fetch_words(dev)
+    assert np.array_equal(got[0], h16) and got[0].dtype == np.uint16
+    assert np.array_equal(got[1], h32)
+    # np passthrough
+    got2 = fetch_words((h16, h32))
+    assert np.array_equal(got2[0], h16)
+
+
 def test_compact_unsorted_empty_and_all_invalid():
     from dna_kmeres_parallel_tpu.models.sparse_engine import compact_unsorted
 
