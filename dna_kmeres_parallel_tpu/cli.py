@@ -265,12 +265,36 @@ def cmd_distance(args) -> int:
     return 0
 
 
+def _native_engine_table(seqs, k, canonical):
+    """Host C++ engine table for selftest cross-checks (None when the
+    native lib is unavailable)."""
+    from dna_kmeres_parallel_tpu import native as native_mod
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    if not native_mod.available():
+        return None
+    parts = []
+    for i, s in enumerate(seqs):
+        if i:
+            parts.append(np.array([codec.INVALID_BASE], np.uint8))
+        parts.append(codec.encode_bases(s))
+    flat = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    codes, counts = native_mod.count_sparse_host_native(flat, k, canonical)
+    return {
+        codec.code_to_kmer(int(c), k): int(n) for c, n in zip(codes, counts)
+    }
+
+
 def cmd_selftest(args) -> int:
     from dna_kmeres_parallel_tpu.models import oracle
     from dna_kmeres_parallel_tpu.models.engine import KmerEngine
 
     records = _load_records(args)
     seqs = [r.seq for r in records]
+    # Three-way differential: TPU engine vs NumPy oracle vs C++ host engine
+    # (the reference's CPU-vs-GPU dual-engine strategy, SURVEY.md §4,
+    # extended to three independent implementations).
+    native_tbl = _native_engine_table(seqs, args.k, args.canonical)
     if args.k > 12:
         from dna_kmeres_parallel_tpu.models.sparse_engine import SparseKmerEngine
 
@@ -279,15 +303,23 @@ def cmd_selftest(args) -> int:
         verdict = {
             "engine": "sparse",
             "counts_equal": got.table() == want,
+            "native_counts_equal": (
+                native_tbl == want if native_tbl is not None else None
+            ),
             "n_seqs": len(seqs),
             "total_kmers": sum(want.values()),
         }
         print(json.dumps(verdict))
-        return 0 if verdict["counts_equal"] else 1
+        ok = verdict["counts_equal"] and verdict["native_counts_equal"] is not False
+        return 0 if ok else 1
     engine = KmerEngine(_build_config(args))
     verdict = engine.verify_against_oracle(seqs)
+    if native_tbl is not None:
+        want = oracle.count_table_any_k(seqs, args.k, args.canonical)
+        verdict["native_counts_equal"] = native_tbl == want
     print(json.dumps(verdict))
-    return 0 if verdict["counts_equal"] and verdict["distances_equal"] else 1
+    ok = verdict["counts_equal"] and verdict["distances_equal"]
+    return 0 if ok and verdict.get("native_counts_equal") is not False else 1
 
 
 def cmd_stream(args) -> int:

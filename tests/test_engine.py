@@ -190,6 +190,18 @@ def test_cli_selftest(tmp_path, make_dna, capsys):
     assert rc == 0
     verdict = json.loads(capsys.readouterr().out)
     assert verdict["counts_equal"] and verdict["distances_equal"]
+    # three-way: the C++ host engine is part of the verdict when built
+    from dna_kmeres_parallel_tpu import native
+
+    if native.available():
+        assert verdict["native_counts_equal"] is True
+    # sparse-band selftest includes the same three-way check
+    rc = cli.main(["selftest", "--k", "21", str(path)])
+    assert rc == 0
+    verdict = json.loads(capsys.readouterr().out)
+    assert verdict["counts_equal"]
+    if native.available():
+        assert verdict["native_counts_equal"] is True
 
 
 def test_cli_engines_agree(tmp_path, make_dna, capsys):
