@@ -399,8 +399,11 @@ def run_distance_bench(
     counts.block_until_ready()
 
     use_pallas = runtime.pallas_mode() == "compiled" and bins <= 512
+    # Engine-equivalent kernel: the symmetric path runs the triangle-only
+    # grid (lower tiles are never written, so the signature masks to
+    # i <= j — also what the packed-triangle consumer reads).
     fn = (
-        (lambda c: distance_pallas.min_sum_matrix_pallas(c))
+        (lambda c: distance_pallas.min_sum_matrix_pallas_tri(c))
         if use_pallas
         else (lambda c: dist_ops.min_sum_matrix(c))
     )
@@ -415,7 +418,10 @@ def run_distance_bench(
     @jax.jit
     def prog(c, base):
         def body(acc, i):
-            return acc + jnp.sum(fn(c + base + i)), None  # distinct inputs
+            o = fn(c + base + i)  # distinct inputs
+            r = jax.lax.broadcasted_iota(jnp.int32, o.shape, 0)
+            cx = jax.lax.broadcasted_iota(jnp.int32, o.shape, 1)
+            return acc + jnp.sum(jnp.where(r <= cx, o, 0)), None
 
         out, _ = jax.lax.scan(
             body, jnp.int32(0), jnp.arange(reps, dtype=jnp.int32)

@@ -436,8 +436,10 @@ class KmerEngine:
         lengths = np.array([len(s) for s in seqs], dtype=np.int64)
         pallas = self._pallas()
         if pallas is not None and cfg.bins <= distance_pallas._MAX_UNROLL_B:
+            # Triangle-only grid: ~2x fewer tiles than the full matrix
+            # (min is symmetric); only i < j entries are read below.
             sums = np.asarray(
-                distance_pallas.min_sum_matrix_pallas(
+                distance_pallas.min_sum_matrix_pallas_tri(
                     jnp.asarray(counts), interpret=(pallas == "interpret")
                 )
             )

@@ -35,15 +35,71 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _min_sum_kernel(a_ref, ct_ref, out_ref):
-    """a_ref: [TI, B] int32; ct_ref: [B, TJ] int32; out_ref: [TI, TJ] int32."""
-    B = a_ref.shape[1]
+def _min_sum_kernel(a_ref, ct_ref, out_ref, n_bins: int | None = None):
+    """a_ref: [TI, B] int32; ct_ref: [B, TJ] int32; out_ref: [TI, TJ] int32.
+
+    n_bins: REAL bin count — the arrays are lane-padded to a 128 multiple,
+    and padding bins are all-zero (min(0,0)=0 contributes nothing), so the
+    loop skips them: at k=3 (64 bins padded to 128) that halves the
+    kernel's work."""
+    B = a_ref.shape[1] if n_bins is None else n_bins
     acc = jnp.zeros(out_ref.shape, jnp.int32)
     for b in range(B):  # static unroll; B <= _MAX_UNROLL_B
         col = a_ref[:, b : b + 1]  # [TI, 1] broadcast over lanes
         row = ct_ref[b : b + 1, :]  # [1, TJ] broadcast over sublanes
         acc = acc + jnp.minimum(col, row)
     out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def min_sum_matrix_pallas_tri(
+    counts: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """Symmetric all-pairs min-sum computing ONLY upper-triangle tiles.
+
+    min(a,b) is symmetric, so the strict lower triangle of the [S, S]
+    matrix is redundant — a 1-D grid over the nt*(nt+1)/2 upper-triangle
+    tile coordinates (scalar-prefetched index maps) does ~2x less work
+    than the rectangular grid for the same consumed entries. Tiles
+    strictly below the diagonal are NEVER WRITTEN: consumers must read
+    i <= j entries only (the packed strict-upper-triangle extraction
+    does exactly that; diagonal tiles are computed in full).
+    """
+    S, B = counts.shape
+    if B > _MAX_UNROLL_B:
+        raise ValueError(
+            f"pallas min-sum kernel supports bins <= {_MAX_UNROLL_B}, got {B}"
+        )
+    T = 256
+    Sp = _round_up(max(S, 8), T)
+    Bp = _round_up(B, 128)
+    padded = jnp.zeros((Sp, Bp), jnp.int32).at[:S, :B].set(counts)
+    transposed = padded.T
+    nt = Sp // T
+    coords = [(i, j) for i in range(nt) for j in range(i, nt)]
+    ti = jnp.asarray([c[0] for c in coords], jnp.int32)
+    tj = jnp.asarray([c[1] for c in coords], jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(len(coords),),
+        in_specs=[
+            pl.BlockSpec((T, Bp), lambda t, ti, tj: (ti[t], 0)),
+            pl.BlockSpec((Bp, T), lambda t, ti, tj: (0, tj[t])),
+        ],
+        out_specs=pl.BlockSpec((T, T), lambda t, ti, tj: (ti[t], tj[t])),
+    )
+    def kernel(ti_ref, tj_ref, a_ref, ct_ref, out_ref):
+        del ti_ref, tj_ref  # consumed by the index maps only
+        _min_sum_kernel(a_ref, ct_ref, out_ref, n_bins=B)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Sp, Sp), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(ti, tj, padded, transposed)
+    return out[:S, :S]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -78,7 +134,7 @@ def min_sum_matrix_pallas(
 
     grid = (Sp // _TI, S2p // _TJ)
     out = pl.pallas_call(
-        _min_sum_kernel,
+        functools.partial(_min_sum_kernel, n_bins=B),
         out_shape=jax.ShapeDtypeStruct((Sp, S2p), jnp.int32),
         grid=grid,
         in_specs=[

@@ -160,3 +160,19 @@ def test_sort_words_rows_pallas_sort_env(make_dna, monkeypatch):
     )
     assert np.array_equal(base[0], alt[0])
     assert np.array_equal(base[1], alt[1])
+
+
+def test_min_sum_tri_matches_full_on_triangle():
+    """Triangle-only grid == full kernel on all i <= j entries (the only
+    ones consumers may read; strictly-lower tiles are never written)."""
+    import numpy as np
+
+    from dna_kmeres_parallel_tpu.ops import distance_pallas as dp
+
+    rng = np.random.default_rng(4)
+    S, B = 300, 64  # non-multiple of the 256 tile on purpose
+    counts = jnp.asarray(rng.integers(0, 500, (S, B), dtype=np.int32))
+    full = np.asarray(dp.min_sum_matrix_pallas(counts, interpret=True))
+    tri = np.asarray(dp.min_sum_matrix_pallas_tri(counts, interpret=True))
+    iu = np.triu_indices(S)
+    assert np.array_equal(tri[iu], full[iu])
