@@ -166,12 +166,7 @@ def cmd_count(args) -> int:
             SparseCountResult,
         )
 
-        parts = []
-        for i, s in enumerate(seqs):
-            if i:
-                parts.append(np.array([codec.INVALID_BASE], np.uint8))
-            parts.append(codec.encode_bases(s))
-        flat = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+        flat = codec.concat_with_sentinels(seqs)
         codes, counts = native_mod.count_sparse_host_native(
             flat, args.k, args.canonical
         )
@@ -228,6 +223,14 @@ def cmd_count(args) -> int:
 def cmd_distance(args) -> int:
     from dna_kmeres_parallel_tpu.models import oracle
     from dna_kmeres_parallel_tpu.models.engine import KmerEngine
+
+    if args.engine == "native":
+        print(
+            "error: --engine native serves the count command only "
+            "(distances run on tpu or oracle)",
+            file=sys.stderr,
+        )
+        return 2
     from dna_kmeres_parallel_tpu.utils import io
 
     records = _load_records(args)
@@ -273,12 +276,7 @@ def _native_engine_table(seqs, k, canonical):
 
     if not native_mod.available():
         return None
-    parts = []
-    for i, s in enumerate(seqs):
-        if i:
-            parts.append(np.array([codec.INVALID_BASE], np.uint8))
-        parts.append(codec.encode_bases(s))
-    flat = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    flat = codec.concat_with_sentinels(seqs)
     codes, counts = native_mod.count_sparse_host_native(flat, k, canonical)
     return {
         codec.code_to_kmer(int(c), k): int(n) for c, n in zip(codes, counts)
@@ -323,6 +321,13 @@ def cmd_selftest(args) -> int:
 
 
 def cmd_stream(args) -> int:
+    if args.engine == "native":
+        print(
+            "error: --engine native serves the count command only "
+            "(use `count --engine native` for the C++ host engine)",
+            file=sys.stderr,
+        )
+        return 2
     """Resumable streaming count with metrics and checkpointing."""
     from dna_kmeres_parallel_tpu.models.pipeline import StreamingCounter
     from dna_kmeres_parallel_tpu.utils import io

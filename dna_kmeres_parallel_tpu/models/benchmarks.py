@@ -266,7 +266,20 @@ def run_sparse_bench(
                     )
                     valid = major != sent
                     n_valid = jnp.sum(valid.astype(jnp.int32))
+                    # The signature folds in EVERY word plane's values
+                    # (position-weighted) — a validity-only reduction
+                    # would let XLA dead-code-eliminate the lo plane on
+                    # the non-Pallas fallback path (the CLAUDE.md
+                    # phantom-throughput trap).
                     sig = jnp.sum(jnp.where(valid, idx, 0))
+                    for w in words:
+                        # Mask to 16 bits before widening: u32 -> s32 of
+                        # values above INT32_MAX is implementation-defined.
+                        wv = (
+                            jnp.where(valid, w, 0).astype(jnp.uint32)
+                            & jnp.uint32(0xFFFF)
+                        ).astype(jnp.int32)
+                        sig = sig + jnp.sum(wv * idx)
                     return acc + jnp.stack([n_valid, sig]), None
 
                 acc, _ = jax.lax.scan(
@@ -293,6 +306,13 @@ def run_sparse_bench(
         t_lo, counted_lo = best_time(make(inner_lo))
         elapsed = max(t_hi - t_lo, 1e-9)
         measured = (inner_hi - inner_lo) * batch_bases
+        # Window counts accumulate in an int32 scan carry: compare them
+        # modulo 2^32 so multi-G runs stay a valid exactness check.
+        expected = (inner_hi - inner_lo) * (batch_bases - k + 1)
+        counted = int(
+            np.uint32(np.int64(counted_hi - counted_lo) & 0xFFFFFFFF)
+        )
+        expected_wrapped = int(np.uint32(expected & 0xFFFFFFFF))
         return {
             "bench": "sparse_count",
             "k": k,
@@ -303,8 +323,8 @@ def run_sparse_bench(
             "batch_bases": batch_bases,
             "elapsed_s": round(elapsed, 4),
             "gbases_per_sec": round(measured / elapsed / 1e9, 4),
-            "windows_counted": counted_hi - counted_lo,
-            "windows_expected": (inner_hi - inner_lo) * (batch_bases - k + 1),
+            "windows_counted": counted,
+            "windows_expected": expected_wrapped,
             "device": str(jax.devices()[0]),
         }
 

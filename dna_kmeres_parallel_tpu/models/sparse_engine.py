@@ -381,14 +381,7 @@ class SparseKmerEngine:
         )
 
     def count_sequences(self, seqs: list[str]) -> SparseCountResult:
-        parts = []
-        for i, s in enumerate(seqs):
-            if i:
-                parts.append(np.array([codec.INVALID_BASE], dtype=np.uint8))
-            parts.append(codec.encode_bases(s))
-        flat = (
-            np.concatenate(parts) if parts else np.zeros(0, np.uint8)
-        )
+        flat = codec.concat_with_sentinels(seqs)
         return self.count_stream(flat, sum(len(s) for s in seqs), len(seqs))
 
     def count_file(self, source) -> SparseCountResult:

@@ -447,7 +447,9 @@ def count_sparse_host_native(
         out_code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         out_cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
-    assert 0 <= w <= cap, (w, cap)
+    if w < 0:
+        raise MemoryError("native radix compactor: scratch allocation failed")
+    assert w <= cap, (w, cap)
     return out_code[:w].copy(), out_cnt[:w].copy()
 
 
@@ -493,6 +495,8 @@ def compact_unsorted_native(
         out_code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         out_cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
+    if w < 0:
+        raise MemoryError("native radix compactor: scratch allocation failed")
     assert w <= cap, (w, cap)
     return out_code[:w].copy(), out_cnt[:w].copy()
 

@@ -1111,19 +1111,21 @@ int64_t radix_compact_core(ForRange&& for_range, int64_t n, int kbits,
   std::vector<int64_t> bucket_len(kMsdBuckets, 0);
   {
     std::atomic<int> next{0};
-    int64_t max_bucket = 0;
-    for (int b = 0; b < kMsdBuckets; b++)
-      max_bucket = std::max(max_bucket, bucket_off[b + 1] - bucket_off[b]);
     std::vector<std::thread> ths;
     for (int t = 0; t < nt; t++)
       ths.emplace_back([&] {
-        std::vector<T> scr(max_bucket);
+        // Scratch grows to the largest bucket THIS thread claims —
+        // skewed data (repeat-rich genomes) can put ~all windows in one
+        // bucket, and eagerly sizing every thread's scratch to that
+        // maximum would transiently demand nt * n * sizeof(T).
+        std::vector<T> scr;
         for (;;) {
           const int b = next.fetch_add(1);
           if (b >= kMsdBuckets) break;
           const int64_t off = bucket_off[b];
           const int64_t len = bucket_off[b + 1] - off;
           if (len == 0) continue;
+          if (static_cast<int64_t>(scr.size()) < len) scr.resize(len);
           T* data = lsd_radix(binned.data() + off, scr.data(), len, msd_shift);
           bucket_len[b] = rle_run(data, len, out_code + off, out_cnt + off);
         }

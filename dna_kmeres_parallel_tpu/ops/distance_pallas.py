@@ -61,10 +61,10 @@ def min_sum_matrix_pallas_tri(
     min(a,b) is symmetric, so the strict lower triangle of the [S, S]
     matrix is redundant — a 1-D grid over the nt*(nt+1)/2 upper-triangle
     tile coordinates (scalar-prefetched index maps) does ~2x less work
-    than the rectangular grid for the same consumed entries. Tiles
-    strictly below the diagonal are NEVER WRITTEN: consumers must read
-    i <= j entries only (the packed strict-upper-triangle extraction
-    does exactly that; diagonal tiles are computed in full).
+    than the rectangular grid. The kernel never writes tiles strictly
+    below the diagonal; the returned matrix is made fully valid by
+    mirroring the upper triangle (one cheap elementwise pass — no
+    comment-only "read i <= j" contract for consumers to violate).
     """
     S, B = counts.shape
     if B > _MAX_UNROLL_B:
@@ -99,6 +99,11 @@ def min_sum_matrix_pallas_tri(
         grid_spec=grid_spec,
         interpret=interpret,
     )(ti, tj, padded, transposed)
+    # Mirror: entries below the diagonal take the transposed (computed)
+    # value, overwriting the never-written lower tiles.
+    r = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
+    out = jnp.where(r <= c, out, out.T)
     return out[:S, :S]
 
 

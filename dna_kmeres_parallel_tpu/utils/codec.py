@@ -196,3 +196,15 @@ def unpack_bases(packed: np.ndarray, mask: np.ndarray, length: int) -> np.ndarra
         :length
     ].astype(bool)
     return np.where(valid, flat, INVALID_BASE).astype(np.uint8)
+
+
+def concat_with_sentinels(seqs) -> "np.ndarray":
+    """Encode sequences into ONE flat uint8 stream joined by single 0xFF
+    sentinels (the invariant every engine shares: sequence boundaries are
+    one INVALID byte, so no window spans two sequences)."""
+    parts = []
+    for i, s in enumerate(seqs):
+        if i:
+            parts.append(np.array([INVALID_BASE], dtype=np.uint8))
+        parts.append(encode_bases(s))
+    return np.concatenate(parts) if parts else np.zeros(0, np.uint8)
