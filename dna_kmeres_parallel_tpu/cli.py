@@ -12,6 +12,7 @@ Replaces the reference's compile-time configuration (hard-coded paths and
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -200,6 +201,31 @@ def cmd_count(args) -> int:
         )
     elapsed = time.perf_counter() - t0
 
+    kept = None
+    if args.min_count > 1:
+        # KMC-style -ci: drop below-threshold k-mers from the OUTPUT
+        # (stats above report the unfiltered table).
+        if result is not None and hasattr(result, "codes"):
+            keep = result.counts >= args.min_count
+            result = type(result)(
+                k=result.k,
+                canonical=result.canonical,
+                codes=result.codes[keep],
+                counts=result.counts[keep],
+                n_seqs=result.n_seqs,
+                total_bases=result.total_bases,
+            )
+            kept = int(result.codes.shape[0])
+            table = result.table() if (args.output and not npz) else None
+        elif table is not None:
+            table = {m: c for m, c in table.items() if c >= args.min_count}
+            kept = len(table)
+        elif result is not None and hasattr(result, "hist"):
+            hist = result.hist.copy()
+            hist[hist < args.min_count] = 0
+            result = dataclasses.replace(result, hist=hist)
+            kept = int(np.count_nonzero(hist))
+
     if args.output and npz and result is not None:
         io.write_count_npz(args.output, result)
     elif args.output and table is not None:
@@ -216,6 +242,9 @@ def cmd_count(args) -> int:
         "bases_per_sec": round(total_bases / max(elapsed, 1e-9), 1),
         "output": args.output,
     }
+    if kept is not None:
+        report["min_count"] = args.min_count
+        report["distinct_kept"] = kept
     print(json.dumps(report))
     return 0
 
@@ -281,6 +310,35 @@ def _native_engine_table(seqs, k, canonical):
     return {
         codec.code_to_kmer(int(c), k): int(n) for c, n in zip(codes, counts)
     }
+
+
+def cmd_query(args) -> int:
+    """Look up k-mer counts in a saved table (.npz): the library's
+    count_of() as a CLI verb."""
+    from dna_kmeres_parallel_tpu.utils import codec, io
+
+    k, canonical, codes, counts = io.read_count_npz(args.table)
+    out = {}
+    for kmer in args.kmers:
+        q = kmer.upper()
+        if len(q) != k or any(c not in "ACGT" for c in q):
+            print(
+                f"error: {kmer!r} is not a valid {k}-mer over ACGT",
+                file=sys.stderr,
+            )
+            return 2
+        code = codec.kmer_to_code(q)
+        if canonical:
+            code = min(code, codec.kmer_to_code(codec.revcomp_str(q)))
+        i = int(np.searchsorted(codes, np.uint64(code)))
+        n = (
+            int(counts[i])
+            if i < codes.shape[0] and codes[i] == np.uint64(code)
+            else 0
+        )
+        out[kmer] = n
+    print(json.dumps({"k": k, "canonical": canonical, "counts": out}))
+    return 0
 
 
 def cmd_selftest(args) -> int:
@@ -525,7 +583,17 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("input", nargs="+", help="FASTA path(s) or glob(s)")
     p.add_argument("-o", "--output", default=None, help="count table CSV path")
+    p.add_argument(
+        "--min-count", type=int, default=1, metavar="N",
+        help="exclude k-mers seen fewer than N times from the output "
+        "(KMC-style -ci; stats still report the full table)",
+    )
     p.set_defaults(fn=cmd_count)
+
+    p = sub.add_parser("query", help="look up k-mer counts in a saved .npz table")
+    p.add_argument("table", help="count table .npz (from count/merge -o)")
+    p.add_argument("kmers", nargs="+", help="k-mer string(s) to look up")
+    p.set_defaults(fn=cmd_query)
 
     p = sub.add_parser("distance", help="pairwise k-mer distance matrix")
     _add_common(p)

@@ -164,3 +164,74 @@ def test_cli_histo_multi_npz_and_oracle(tmp_path, make_dna):
     # oracle engine honored
     rep = run("histo", "--engine", "oracle", "--k", str(k), str(pa))
     assert rep["total_kmers"] == sum(want.values())
+
+
+def test_cli_query_and_min_count(tmp_path, make_dna, capsys):
+    import json
+
+    from dna_kmeres_parallel_tpu import cli
+    from dna_kmeres_parallel_tpu.models import oracle
+    from dna_kmeres_parallel_tpu.utils import fasta
+
+    seqs = [make_dna(120) for _ in range(3)]
+    path = tmp_path / "q.fasta"
+    fasta.write_fasta(path, [(f">r{i}", s) for i, s in enumerate(seqs)])
+    npz = tmp_path / "t.npz"
+    assert cli.main(["count", "--k", "17", str(path), "-o", str(npz)]) == 0
+    capsys.readouterr()
+    want = oracle.count_table_any_k(seqs, 17)
+    some = list(want.items())[:5] + [("A" * 17, want.get("A" * 17, 0))]
+    assert cli.main(["query", str(npz)] + [m for m, _ in some]) == 0
+    got = json.loads(capsys.readouterr().out)
+    assert got["k"] == 17
+    for m, c in some:
+        assert got["counts"][m] == c
+    # invalid k-mer -> clean error
+    assert cli.main(["query", str(npz), "NOTAKMER"]) == 2
+    capsys.readouterr()
+
+    # min-count: repeats survive, singletons are dropped from the output
+    s = make_dna(60)
+    path2 = tmp_path / "m.fasta"
+    fasta.write_fasta(path2, [(">a", s + s), (">b", make_dna(40))])
+    out = tmp_path / "f.csv"
+    assert (
+        cli.main(
+            ["count", "--k", "13", str(path2), "-o", str(out), "--min-count", "2"]
+        )
+        == 0
+    )
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["min_count"] == 2 and rep["distinct_kept"] < rep["distinct_kmers"]
+    table = {
+        line.split(",")[0]: int(line.split(",")[1])
+        for line in out.read_text().strip().splitlines()[1:]
+    }
+    assert table and all(c >= 2 for c in table.values())
+    full = oracle.count_table_any_k([s + s, ""], 13)
+    for m, c in full.items():
+        if c >= 2:
+            assert table.get(m, 0) >= 2
+
+
+def test_cli_min_count_dense_npz(tmp_path, make_dna, capsys):
+    import json
+
+    import numpy as np
+
+    from dna_kmeres_parallel_tpu import cli
+    from dna_kmeres_parallel_tpu.utils import fasta
+
+    s = make_dna(50)
+    path = tmp_path / "d.fasta"
+    fasta.write_fasta(path, [(">a", s * 3)])
+    npz = tmp_path / "d.npz"
+    assert (
+        cli.main(["count", "--k", "4", str(path), "-o", str(npz), "--min-count", "3"])
+        == 0
+    )
+    capsys.readouterr()
+    with np.load(npz) as z:
+        hist = z["hist"]
+    assert hist.max() >= 3
+    assert not ((hist > 0) & (hist < 3)).any()
