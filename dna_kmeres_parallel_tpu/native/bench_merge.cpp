@@ -257,6 +257,20 @@ int main() {
         printf("lsd digit=%-2d 34b/32K:   %7.1f Melem/s\n", dig,
                BL / bd / 1e6);
       }
+      // u32 in-bucket LSD (the double-MSD plan's inner sort): same element
+      // count, half the traffic.
+      {
+        std::vector<uint32_t> b32(BL), s32(BL);
+        for (int64_t i = 0; i < BL; i++) b32[i] = (uint32_t)(rng() & ((1u << 28) - 1));
+        double b28 = 1e9;
+        for (int r = 0; r < 5; r++) {
+          std::vector<uint32_t> b2(b32);
+          auto t0 = Clock::now();
+          lsd_radix(b2.data(), s32.data(), BL, 28);
+          b28 = std::min(b28, secs(t0, Clock::now()));
+        }
+        printf("lsd_radix u32 28b/32K:  %7.1f Melem/s\n", BL / b28 / 1e6);
+      }
       std::vector<uint64_t> big(N);
       for (auto& x : big) x = rng();
       std::sort(big.begin(), big.end());
