@@ -268,6 +268,167 @@ def count_bucket_sharded(
     return hi, lo, counts, starts, jnp.any(ov > 0)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "canonical", "mesh", "axis", "owner_mode", "minimizer_m"),
+)
+def exchange_words_bucket_sharded(
+    bases: jax.Array,
+    n_own_per_shard: jax.Array,
+    k: int,
+    canonical: bool,
+    mesh: jax.sharding.Mesh,
+    axis: str = DATA_AXIS,
+    owner_mode: str = "prefix",
+    minimizer_m: int = 7,
+):
+    """RAW-exchange variant of count_bucket_sharded for the no-device-sort
+    era: each chip sorts its windows by OWNER ONLY (one sort key + the
+    word payloads — vs the aggregated path's two full multi-key sorts plus
+    a receive-side merge sort), routes the RAW words over the fixed-cap
+    all_to_all, and ships the received planes to its host UNSORTED; the
+    host radix compactor (sparse_engine.compact_unsorted) builds each
+    owner's sub-table in constant passes, exactly as in the single-chip
+    no-sort path.
+
+    Trade-off vs the 'agg' path: no local RLE pre-aggregation, so (a) ICI
+    moves one word-pair per WINDOW rather than per distinct code (equal on
+    low-duplication data; worse under heavy duplication), and (b) the send
+    capacity is in windows — skewed data (e.g. homopolymers, where every
+    window shares one owner) overflows sooner. Overflow is detected and
+    returned exactly as in the aggregated path; callers fall back to
+    owner_mode='minimizer' or the aggregated exchange.
+
+    Returns (words, overflow): words = per-k word-plane tuple, each
+    [D, D * cap] with all-ones sentinels padding unused capacity; device d
+    holds only codes owned by d.
+    """
+    D = mesh.shape[axis]
+    n_windows = bases.shape[1] - k + 1
+    cap_mult = 4 if canonical else 2
+    cap = min(-(-cap_mult * n_windows // D) + 64, n_windows)
+    shift, t_bits, use_hi = _owner_bits(k, D)
+
+    def shard_fn(b, n_own):
+        b = b.reshape(-1)
+        n_own = n_own.reshape(())
+        (hi, lo), valid = sparse_ops.rolling_codes_split(b, k)
+        n = hi.shape[0]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        valid = valid & (pos < n_own)
+        if canonical:
+            hi, lo = sparse_ops.canonicalize_split(hi, lo, k)
+
+        if owner_mode == "minimizer":
+            mini = window_minimizers(b, k, minimizer_m)
+            h32 = mini.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+            owner = (((h32 >> 16) * jnp.uint32(D)) >> 16).astype(jnp.int32)
+        else:
+            owner_src = hi if use_hi else lo
+            top = (owner_src >> shift).astype(jnp.uint32)
+            owner = ((top * jnp.uint32(D)) >> t_bits).astype(jnp.int32)
+        owner = jnp.where(valid, owner, jnp.int32(D))
+        hi = jnp.where(valid, hi, _SENTINEL)
+        lo = jnp.where(valid, lo, _SENTINEL)
+
+        # ONE owner-key sort; words travel as payload operands (invalid
+        # windows route to pseudo-owner D past every real segment).
+        owner_s, hi_s, lo_s = jax.lax.sort((owner, hi, lo), num_keys=1)
+        targets = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0).squeeze(-1)
+        starts = jnp.searchsorted(owner_s, targets)
+        ends = jnp.searchsorted(owner_s, targets, side="right")
+        seg_len = ends - starts
+        overflow = jnp.any(seg_len > cap)
+
+        pad_u = jnp.full((cap,), _SENTINEL, jnp.uint32)
+        hi_p = jnp.concatenate([hi_s, pad_u])
+        lo_p = jnp.concatenate([lo_s, pad_u])
+
+        def take(start):
+            return (
+                jax.lax.dynamic_slice(hi_p, (start,), (cap,)),
+                jax.lax.dynamic_slice(lo_p, (start,), (cap,)),
+            )
+
+        send_hi, send_lo = jax.vmap(take)(starts)
+        col = jax.lax.broadcasted_iota(jnp.int32, (D, cap), 1)
+        in_seg = col < jnp.minimum(seg_len, cap)[:, None]
+        send_hi = jnp.where(in_seg, send_hi, _SENTINEL)
+        send_lo = jnp.where(in_seg, send_lo, _SENTINEL)
+
+        recv_hi = jax.lax.all_to_all(send_hi, axis, 0, 0, tiled=True)
+        recv_lo = jax.lax.all_to_all(send_lo, axis, 0, 0, tiled=True)
+
+        ov = jax.lax.pmax(overflow.astype(jnp.int32), axis)
+        return recv_hi.reshape(-1)[None], recv_lo.reshape(-1)[None], ov[None]
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(axis, None), P(axis, None), P(axis)),
+        check_vma=False,
+    )
+    hi, lo, ov = fn(bases, n_own_per_shard)
+    # Adaptive word tuple matching ops/sparse._encode_words so the host
+    # compactor treats both paths identically.
+    if k <= sparse_ops.MAX_SINGLE_WORD_K:
+        words = (lo,)
+    elif k <= sparse_ops.MAX_U16_HI_K:
+        hi16 = jnp.where(
+            hi == _SENTINEL, jnp.uint16(0xFFFF), hi.astype(jnp.uint16)
+        )
+        words = (hi16, lo)
+    else:
+        words = (hi, lo)
+    return words, jnp.any(ov > 0)
+
+
+def count_bucket_sharded_raw(
+    flat,
+    k: int,
+    canonical: bool,
+    mesh: jax.sharding.Mesh,
+    axis: str = DATA_AXIS,
+    owner_mode: str = "prefix",
+    minimizer_m: int = 7,
+    total_own=None,
+):
+    """Host-driver convenience for the raw exchange: shard with halos,
+    exchange unsorted words, radix-compact each device's plane on host,
+    merge. Raises on send-capacity overflow (see
+    exchange_words_bucket_sharded for the skew trade-off)."""
+    from dna_kmeres_parallel_tpu.models.sparse_engine import (
+        compact_unsorted,
+        fetch_words,
+        merge_sparse_tables,
+    )
+
+    shards, n_own = shard_stream_with_halo(flat, k, mesh, axis, total_own)
+    words, overflow = exchange_words_bucket_sharded(
+        jnp.asarray(shards),
+        jnp.asarray(n_own),
+        k,
+        canonical,
+        mesh,
+        axis,
+        owner_mode,
+        minimizer_m,
+    )
+    if bool(overflow):
+        raise OverflowError(
+            "bucketed raw exchange: an owner's window share exceeded the "
+            "send capacity (skewed data) — use the aggregated exchange "
+            "(count_bucket_sharded) or owner_mode='minimizer'"
+        )
+    words = fetch_words(words)
+    D = words[-1].shape[0]
+    tables = [
+        compact_unsorted(tuple(w[d] for w in words), k) for d in range(D)
+    ]
+    return merge_sparse_tables(tables)
+
+
 def shard_stream_with_halo(
     flat: np.ndarray, k: int, mesh, axis: str = DATA_AXIS, total_own=None
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -208,3 +208,65 @@ def test_bucketed_non_pow2_no_overflow_at_scale(make_dna):
         for c, n in zip(codes_u64, counts_np)
     }
     assert got == want
+
+
+@pytest.mark.parametrize("k,canonical,owner_mode", [
+    (13, False, "prefix"),
+    (21, False, "prefix"),
+    (21, True, "prefix"),
+    (21, False, "minimizer"),
+    (31, False, "prefix"),
+    (31, False, "minimizer"),
+])
+def test_bucket_raw_exchange_matches_oracle(make_dna, k, canonical, owner_mode):
+    """RAW-exchange variant (one owner-key sort + host radix per owner
+    shard) is exact vs the oracle across key layouts and owner modes."""
+    from dna_kmeres_parallel_tpu.models.oracle import count_table_any_k
+    from dna_kmeres_parallel_tpu.parallel import bucketed
+    from dna_kmeres_parallel_tpu.parallel.mesh import make_mesh
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    seqs = [make_dna(140 + 29 * i, invalid_frac=0.02) for i in range(4)]
+    flat = codec.concat_with_sentinels(seqs)
+    mesh = make_mesh(8)
+    codes, counts = bucketed.count_bucket_sharded_raw(
+        flat, k, canonical, mesh, owner_mode=owner_mode
+    )
+    want = count_table_any_k(seqs, k, canonical)
+    got = {codec.code_to_kmer(int(c), k): int(n) for c, n in zip(codes, counts)}
+    assert got == want
+
+
+def test_bucket_raw_matches_aggregated(make_dna):
+    """Raw and aggregated exchanges produce bit-identical tables."""
+    from dna_kmeres_parallel_tpu.parallel import bucketed
+    from dna_kmeres_parallel_tpu.parallel.mesh import make_mesh
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    import jax.numpy as jnp
+
+    flat = codec.concat_with_sentinels([make_dna(600, invalid_frac=0.01)])
+    mesh = make_mesh(8)
+    k = 21
+    raw = bucketed.count_bucket_sharded_raw(flat, k, False, mesh)
+    shards, n_own = bucketed.shard_stream_with_halo(flat, k, mesh)
+    hi, lo, counts, starts, ov = bucketed.count_bucket_sharded(
+        jnp.asarray(shards), jnp.asarray(n_own), k, False, mesh
+    )
+    assert not bool(ov)
+    agg = bucketed.gather_table(hi, lo, counts, starts)
+    assert np.array_equal(raw[0], agg[0])
+    assert np.array_equal(raw[1], agg[1])
+
+
+def test_bucket_raw_overflow_on_skew(make_dna):
+    """A homopolymer routes every window to one owner: the raw exchange's
+    window-denominated capacity must overflow DETECTABLY, not corrupt."""
+    from dna_kmeres_parallel_tpu.parallel import bucketed
+    from dna_kmeres_parallel_tpu.parallel.mesh import make_mesh
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    flat = codec.encode_bases("A" * 4000)
+    mesh = make_mesh(8)
+    with pytest.raises(OverflowError):
+        bucketed.count_bucket_sharded_raw(flat, 21, False, mesh)
