@@ -66,6 +66,32 @@ def main() -> int:
     n_own_g = jax.make_array_from_process_local_data(
         NamedSharding(mesh, P("data")), n_own[me : me + 1], n_own.shape
     )
+    if mode == "bucketed_raw":
+        # The raw-exchange variant: UNSORTED words cross the process
+        # boundary over the gloo all_to_all; each process radix-compacts
+        # its own device's plane and writes ITS OWN sub-table (owners
+        # partition the code space, so the test-side merge of per-process
+        # npz files reconstructs the global table exactly).
+        from dna_kmeres_parallel_tpu.models.sparse_engine import (
+            compact_unsorted,
+        )
+
+        words, overflow = bucketed.exchange_words_bucket_sharded(
+            shards_g, n_own_g, k, False, mesh
+        )
+        assert not bool(overflow), "bucketed raw send overflow"
+        local_plane = tuple(
+            np.asarray(w.addressable_shards[0].data)[0] for w in words
+        )
+        codes_l, counts_l = compact_unsorted(local_plane, k)
+        np.savez(
+            out_path,
+            codes=codes_l,
+            counts=counts_l,
+            n_seqs=parsed.n_seqs,
+            total_bases=parsed.total_bases,
+        )
+        return 0
     hi, lo, counts, starts, overflow = bucketed.count_bucket_sharded(
         shards_g, n_own_g, k, False, mesh
     )

@@ -204,3 +204,64 @@ def test_bucketed_all_to_all_two_processes(tmp_path, make_dna):
             for c, n in zip(got["codes"], got["counts"])
         }
         assert table == want
+
+
+def test_bucketed_raw_exchange_two_processes(tmp_path, make_dna):
+    # The RAW exchange truly distributed: unsorted word planes cross the
+    # 2-process gloo all_to_all; each process radix-compacts its own
+    # device's plane, and the per-process sub-tables merged here must
+    # equal the whole-file oracle table at k=21.
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from dna_kmeres_parallel_tpu.models.oracle import count_table_any_k
+    from dna_kmeres_parallel_tpu.models.sparse_engine import merge_sparse_tables
+    from dna_kmeres_parallel_tpu.utils import codec
+    from dna_kmeres_parallel_tpu.utils import fasta as fasta_mod
+
+    records = [(f">r{i}", make_dna(150 + 41 * i)) for i in range(4)]
+    path = tmp_path / "mpr.fasta"
+    fasta_mod.write_fasta(path, records)
+    k = 21
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    outs = [str(tmp_path / f"rout{i}.npz") for i in range(2)]
+    env = {kk: v for kk, v in os.environ.items() if kk not in ("XLA_FLAGS",)}
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), str(path), str(k),
+             outs[i], "bucketed_raw"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("bucketed raw multi-process workers timed out")
+        logs.append(out)
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{logs[i][-2000:]}"
+
+    tables = []
+    for o in outs:
+        got = np.load(o)
+        tables.append(
+            (got["codes"].astype(np.uint64), got["counts"].astype(np.int64))
+        )
+    codes, counts = merge_sparse_tables(tables)
+    want = count_table_any_k([s for _, s in records], k)
+    table = {
+        codec.code_to_kmer(int(c), k): int(n) for c, n in zip(codes, counts)
+    }
+    assert table == want
