@@ -70,3 +70,58 @@ def test_split_concat_additivity(s, k):
     left = oracle.count_vector(s[: i + k - 1], k)
     right = oracle.count_vector(s[i:], k)
     assert np.array_equal(whole, left + right)
+
+
+_dna_n = st.text(alphabet="ACGTN", min_size=0, max_size=300)
+
+
+@settings(max_examples=40, deadline=None)
+@given(s=_dna_n, k=st.integers(5, 31), canonical=st.booleans())
+def test_native_host_engine_property(s, k, canonical):
+    """C++ host engine == oracle for arbitrary streams (invalid chars,
+    short tails, any k/canonical) — the rolling fwd+rc encoder and the
+    radix compactor under fuzz."""
+    from dna_kmeres_parallel_tpu import native
+
+    if not native.available():
+        return
+    stream = codec.encode_bases(s)
+    codes, counts = native.count_sparse_host_native(stream, k, canonical)
+    want = oracle.count_table_any_k([s], k, canonical)
+    got = {codec.code_to_kmer(int(c), k): int(n) for c, n in zip(codes, counts)}
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(0, 2000),
+    k=st.sampled_from([13, 16, 17, 21, 24, 31]),
+    frac=st.floats(0.0, 1.0),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_compact_unsorted_property(n, k, frac, seed):
+    """Radix compactor == np.unique over arbitrary word streams with
+    arbitrary sentinel density (incl. all-sentinel and empty)."""
+    from dna_kmeres_parallel_tpu import native
+    from dna_kmeres_parallel_tpu.ops import sparse as sparse_ops
+
+    if not native.available():
+        return
+    rng = np.random.default_rng(seed)
+    kbits = 2 * k
+    codes = rng.integers(0, 1 << kbits, size=n, dtype=np.uint64)
+    sent = rng.random(n) < frac
+    hi_dtype = sparse_ops.hi_dtype(k)
+    lo = np.where(sent, np.uint32(0xFFFFFFFF), (codes & 0xFFFFFFFF).astype(np.uint32))
+    if hi_dtype is None:
+        lo = np.where(sent, np.uint32(0xFFFFFFFF), codes.astype(np.uint32))
+        words = (lo.astype(np.uint32),)
+    else:
+        width = np.dtype(np.uint16 if hi_dtype == np.uint16 else np.uint32)
+        hi_all1 = np.uint64(0xFFFF if width == np.uint16 else 0xFFFFFFFF)
+        hi = np.where(sent, hi_all1, codes >> np.uint64(32)).astype(width)
+        words = (hi, lo)
+    got_c, got_n = native.compact_unsorted_native(words, kbits)
+    want_c, want_n = np.unique(codes[~sent], return_counts=True)
+    assert np.array_equal(got_c, want_c)
+    assert np.array_equal(got_n, want_n.astype(np.int64))
