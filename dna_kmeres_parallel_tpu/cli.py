@@ -180,13 +180,21 @@ def cmd_count(args) -> int:
             total_bases=total_bases,
         )
         total_kmers, distinct = result.total_kmers, result.distinct_kmers
-        table = result.table() if (args.output and not npz) else None
+        table = (
+            result.table()
+            if (args.output and not npz and args.min_count <= 1)
+            else None
+        )
     elif sparse:
         from dna_kmeres_parallel_tpu.models.sparse_engine import SparseKmerEngine
 
         result = SparseKmerEngine(_build_config(args)).count_sequences(seqs)
         total_kmers, distinct = result.total_kmers, result.distinct_kmers
-        table = result.table() if (args.output and not npz) else None
+        table = (
+            result.table()
+            if (args.output and not npz and args.min_count <= 1)
+            else None
+        )
     else:
         from dna_kmeres_parallel_tpu.models.engine import KmerEngine
 
@@ -207,13 +215,8 @@ def cmd_count(args) -> int:
         # (stats above report the unfiltered table).
         if result is not None and hasattr(result, "codes"):
             keep = result.counts >= args.min_count
-            result = type(result)(
-                k=result.k,
-                canonical=result.canonical,
-                codes=result.codes[keep],
-                counts=result.counts[keep],
-                n_seqs=result.n_seqs,
-                total_bases=result.total_bases,
+            result = dataclasses.replace(
+                result, codes=result.codes[keep], counts=result.counts[keep]
             )
             kept = int(result.codes.shape[0])
             table = result.table() if (args.output and not npz) else None
@@ -315,9 +318,14 @@ def _native_engine_table(seqs, k, canonical):
 def cmd_query(args) -> int:
     """Look up k-mer counts in a saved table (.npz): the library's
     count_of() as a CLI verb."""
-    from dna_kmeres_parallel_tpu.utils import codec, io
+    from dna_kmeres_parallel_tpu.models.sparse_engine import SparseCountResult
+    from dna_kmeres_parallel_tpu.utils import io
 
     k, canonical, codes, counts = io.read_count_npz(args.table)
+    result = SparseCountResult(
+        k=k, canonical=canonical, codes=codes, counts=counts,
+        n_seqs=0, total_bases=0,
+    )
     out = {}
     for kmer in args.kmers:
         q = kmer.upper()
@@ -327,16 +335,7 @@ def cmd_query(args) -> int:
                 file=sys.stderr,
             )
             return 2
-        code = codec.kmer_to_code(q)
-        if canonical:
-            code = min(code, codec.kmer_to_code(codec.revcomp_str(q)))
-        i = int(np.searchsorted(codes, np.uint64(code)))
-        n = (
-            int(counts[i])
-            if i < codes.shape[0] and codes[i] == np.uint64(code)
-            else 0
-        )
-        out[kmer] = n
+        out[kmer] = result.count_of(q)
     print(json.dumps({"k": k, "canonical": canonical, "counts": out}))
     return 0
 

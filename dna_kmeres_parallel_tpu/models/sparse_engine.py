@@ -284,7 +284,12 @@ class SparseCountResult:
         }
 
     def count_of(self, kmer: str) -> int:
-        code = np.uint64(codec.kmer_to_code(kmer))
+        code = codec.kmer_to_code(kmer)
+        if self.canonical:
+            # canonical tables key by min(code, rc): fold the query too, so
+            # either strand's spelling finds its count
+            code = min(code, codec.kmer_to_code(codec.revcomp_str(kmer)))
+        code = np.uint64(code)
         i = np.searchsorted(self.codes, code)
         if i < self.codes.shape[0] and self.codes[i] == code:
             return int(self.counts[i])

@@ -332,8 +332,15 @@ def exchange_words_bucket_sharded(
         lo = jnp.where(valid, lo, _SENTINEL)
 
         # ONE owner-key sort; words travel as payload operands (invalid
-        # windows route to pseudo-owner D past every real segment).
-        owner_s, hi_s, lo_s = jax.lax.sort((owner, hi, lo), num_keys=1)
+        # windows route to pseudo-owner D past every real segment). For
+        # single-word k the hi plane is all-zeros: drop it from the sort
+        # (each extra 32-bit operand costs ~28%) and from the exchange.
+        single = k <= sparse_ops.MAX_SINGLE_WORD_K
+        if single:
+            owner_s, lo_s = jax.lax.sort((owner, lo), num_keys=1)
+            hi_s = lo_s  # placeholder; never shipped nor read
+        else:
+            owner_s, hi_s, lo_s = jax.lax.sort((owner, hi, lo), num_keys=1)
         targets = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0).squeeze(-1)
         starts = jnp.searchsorted(owner_s, targets)
         ends = jnp.searchsorted(owner_s, targets, side="right")
@@ -341,25 +348,23 @@ def exchange_words_bucket_sharded(
         overflow = jnp.any(seg_len > cap)
 
         pad_u = jnp.full((cap,), _SENTINEL, jnp.uint32)
-        hi_p = jnp.concatenate([hi_s, pad_u])
         lo_p = jnp.concatenate([lo_s, pad_u])
-
-        def take(start):
-            return (
-                jax.lax.dynamic_slice(hi_p, (start,), (cap,)),
-                jax.lax.dynamic_slice(lo_p, (start,), (cap,)),
-            )
-
-        send_hi, send_lo = jax.vmap(take)(starts)
         col = jax.lax.broadcasted_iota(jnp.int32, (D, cap), 1)
         in_seg = col < jnp.minimum(seg_len, cap)[:, None]
-        send_hi = jnp.where(in_seg, send_hi, _SENTINEL)
+
+        def take(buf, start):
+            return jax.lax.dynamic_slice(buf, (start,), (cap,))
+
+        send_lo = jax.vmap(take, in_axes=(None, 0))(lo_p, starts)
         send_lo = jnp.where(in_seg, send_lo, _SENTINEL)
-
-        recv_hi = jax.lax.all_to_all(send_hi, axis, 0, 0, tiled=True)
         recv_lo = jax.lax.all_to_all(send_lo, axis, 0, 0, tiled=True)
-
         ov = jax.lax.pmax(overflow.astype(jnp.int32), axis)
+        if single:
+            return recv_lo.reshape(-1)[None], recv_lo.reshape(-1)[None], ov[None]
+        hi_p = jnp.concatenate([hi_s, pad_u])
+        send_hi = jax.vmap(take, in_axes=(None, 0))(hi_p, starts)
+        send_hi = jnp.where(in_seg, send_hi, _SENTINEL)
+        recv_hi = jax.lax.all_to_all(send_hi, axis, 0, 0, tiled=True)
         return recv_hi.reshape(-1)[None], recv_lo.reshape(-1)[None], ov[None]
 
     fn = shard_map(

@@ -1,6 +1,7 @@
 """Property-based tests (hypothesis) for the codec and counting invariants."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from dna_kmeres_parallel_tpu.models import oracle
@@ -75,6 +76,13 @@ def test_split_concat_additivity(s, k):
 _dna_n = st.text(alphabet="ACGTN", min_size=0, max_size=300)
 
 
+def _native_available():
+    from dna_kmeres_parallel_tpu import native
+
+    return native.available()
+
+
+@pytest.mark.skipif(not _native_available(), reason="native lib unavailable")
 @settings(max_examples=40, deadline=None)
 @given(s=_dna_n, k=st.integers(5, 31), canonical=st.booleans())
 def test_native_host_engine_property(s, k, canonical):
@@ -83,8 +91,6 @@ def test_native_host_engine_property(s, k, canonical):
     radix compactor under fuzz."""
     from dna_kmeres_parallel_tpu import native
 
-    if not native.available():
-        return
     stream = codec.encode_bases(s)
     codes, counts = native.count_sparse_host_native(stream, k, canonical)
     want = oracle.count_table_any_k([s], k, canonical)
@@ -92,6 +98,7 @@ def test_native_host_engine_property(s, k, canonical):
     assert got == want
 
 
+@pytest.mark.skipif(not _native_available(), reason="native lib unavailable")
 @settings(max_examples=30, deadline=None)
 @given(
     n=st.integers(0, 2000),
@@ -105,18 +112,18 @@ def test_compact_unsorted_property(n, k, frac, seed):
     from dna_kmeres_parallel_tpu import native
     from dna_kmeres_parallel_tpu.ops import sparse as sparse_ops
 
-    if not native.available():
-        return
     rng = np.random.default_rng(seed)
     kbits = 2 * k
     codes = rng.integers(0, 1 << kbits, size=n, dtype=np.uint64)
     sent = rng.random(n) < frac
     hi_dtype = sparse_ops.hi_dtype(k)
-    lo = np.where(sent, np.uint32(0xFFFFFFFF), (codes & 0xFFFFFFFF).astype(np.uint32))
     if hi_dtype is None:
         lo = np.where(sent, np.uint32(0xFFFFFFFF), codes.astype(np.uint32))
         words = (lo.astype(np.uint32),)
     else:
+        lo = np.where(
+            sent, np.uint32(0xFFFFFFFF), (codes & 0xFFFFFFFF).astype(np.uint32)
+        )
         width = np.dtype(np.uint16 if hi_dtype == np.uint16 else np.uint32)
         hi_all1 = np.uint64(0xFFFF if width == np.uint16 else 0xFFFFFFFF)
         hi = np.where(sent, hi_all1, codes >> np.uint64(32)).astype(width)
