@@ -6,16 +6,18 @@ Prints ONE JSON line:
 
 Headline metric: giga-bases/second/chip through the device count path at
 k=21 — BASELINE.json's north-star configuration ("Giga-bases/sec/chip at
-k=21"), served by the sparse row-sorted path (fused Pallas encode ->
-[rows, 2048] segment sort; ops/sparse.sort_words_rows). The reference
+k=21"), served by the no-device-sort route (fused Pallas encode kernel
+alone; the host radix compactor builds the table — KmerConfig.device_sort;
+BENCH_DEVICE_SORT=1 measures the row-sorted fallback). The reference
 publishes no throughput numbers (BASELINE.md: "published": {}); the
 baseline denominator is 1.0 Gbase/s, a generous estimate of an A100-class
 CUDA k-mer counter (Gerbil-era GPU counters sustain ~0.5-1.5 Gbase/s), so
 vs_baseline == achieved Gbase/s. BASELINE.json's stated target is >=10x.
 
-BENCH_K <= 12 instead measures the dense-histogram path (config-1/2
-shapes, fused Pallas two-level MXU kernel). Details (per-phase timings,
-device, exactness check) go to stderr.
+BENCH_K <= 8 instead measures the dense-histogram path (config-1 shapes,
+fused Pallas two-level MXU kernel, two-size differential timing); k >= 9
+mirrors production routing through the sparse path. Details (per-phase
+timings, device, exactness check) go to stderr.
 """
 
 import json
@@ -58,7 +60,11 @@ def main() -> int:
     else:
         device_sort = ds_env == "1"
 
-    if k <= 12:
+    # k <= 8: the dense fused-Pallas histogram (production routing);
+    # k >= 9 routes through the sparse path in production (engine.py), so
+    # the bench mirrors that — the dense kernel at k=11 measures 0.08
+    # Gbase/s, which is precisely why production does not use it there.
+    if k <= 8:
         report = run_count_bench(
             k=k, canonical=False, total_bases=total, batch_bases=batch
         )

@@ -24,15 +24,25 @@ def run_count_bench(
     total_bases: int = 64 << 20,
     batch_bases: int = 8 << 20,
     seed: int = 0,
+    differential: bool = True,
 ) -> dict:
     """Time the device count path over synthetic random bases.
 
     Data is pre-staged on device so the measurement isolates the count
     kernel (encode + histogram), the reference's step-1 analogue.
+    differential=True (default) times MANY batches inside ONE dispatch via
+    lax.scan at two scan lengths and reports their difference, so the
+    tunnel's dispatch+fetch roundtrip cancels exactly (the same scheme as
+    the no-device-sort sparse bench; the legacy per-dispatch path kept for
+    comparison under differential=False).
     """
     bins = codec.num_bins(k)
     batch_bases = min(batch_bases, total_bases)
     n_batches = max(total_bases // batch_bases, 1)
+    if differential:
+        return _run_count_bench_differential(
+            k, canonical, batch_bases, n_batches, seed, bins
+        )
 
     # Distinct inputs per dispatch (cycled) so no layer of the stack can
     # legally dedupe repeated executions and fake the timing. The LAST
@@ -108,6 +118,81 @@ def run_count_bench(
         "gbases_per_sec": round(bases_per_sec / 1e9, 4),
         "windows_counted": total_windows,
         "windows_expected": n_batches * (batch_bases - k + 1),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def _run_count_bench_differential(
+    k: int, canonical: bool, batch_bases: int, n_batches: int, seed: int,
+    bins: int,
+) -> dict:
+    """Two-size lax.scan differential timing of the dense count program."""
+    from dna_kmeres_parallel_tpu.ops import runtime
+
+    pallas = runtime.pallas_mode()
+    n_distinct = 4
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_distinct)
+    stack = jnp.stack(
+        [
+            jax.random.randint(kk, (batch_bases,), 0, 4, jnp.int32).astype(
+                jnp.uint8
+            )
+            for kk in keys
+        ]
+    )
+    n_own = jnp.int32(batch_bases - k + 1)
+    inner_hi = max(n_batches, 24)
+    inner_lo = max(inner_hi // 4, 1)
+
+    def make(inner):
+        @jax.jit
+        def prog(xs, salt0):
+            def body(acc, i):
+                x = (
+                    xs[i % n_distinct]
+                    + (salt0 + i // n_distinct).astype(jnp.uint8)
+                ) & jnp.uint8(3)
+                h = _count_batch(x, n_own, k, bins, canonical, pallas)
+                return acc + h, None
+
+            acc, _ = jax.lax.scan(
+                body,
+                jnp.zeros((bins,), jnp.int32),
+                jnp.arange(inner, dtype=jnp.int32),
+            )
+            return acc
+
+        return prog
+
+    def best_time(prog):
+        h = prog(stack, jnp.uint8(101))
+        counted = int(np.asarray(h, dtype=np.int64).sum())
+        best = None
+        for j in range(3):
+            t0 = time.perf_counter()
+            _ = np.asarray(prog(stack, jnp.uint8(j)))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best, counted
+
+    t_hi, counted_hi = best_time(make(inner_hi))
+    t_lo, counted_lo = best_time(make(inner_lo))
+    elapsed = max(t_hi - t_lo, 1e-9)
+    measured = (inner_hi - inner_lo) * batch_bases
+    expected = (inner_hi - inner_lo) * (batch_bases - k + 1)
+    counted = int(np.uint32(np.int64(counted_hi - counted_lo) & 0xFFFFFFFF))
+    return {
+        "bench": "count",
+        "k": k,
+        "canonical": canonical,
+        "bins": bins,
+        "total_bases": measured,
+        "batch_bases": batch_bases,
+        "elapsed_s": round(elapsed, 4),
+        "gbases_per_sec": round(measured / elapsed / 1e9, 4),
+        "bases_per_sec": round(measured / elapsed, 1),
+        "windows_counted": counted,
+        "windows_expected": int(np.uint32(expected & 0xFFFFFFFF)),
         "device": str(jax.devices()[0]),
     }
 
