@@ -562,14 +562,35 @@ def cmd_info(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    from dna_kmeres_parallel_tpu.models.benchmarks import run_count_bench
-
-    report = run_count_bench(
-        k=args.k,
-        canonical=args.canonical,
-        total_bases=_parse_size(args.bases),
-        batch_bases=_parse_size(args.batch),
+    from dna_kmeres_parallel_tpu.models.benchmarks import (
+        run_count_bench,
+        run_sparse_bench,
     )
+
+    # Mirror production routing (bench.py): dense kernel for k <= 8, the
+    # sparse path's device program for k >= 9 (no-device-sort by default).
+    if args.k <= 8:
+        report = run_count_bench(
+            k=args.k,
+            canonical=args.canonical,
+            total_bases=_parse_size(args.bases),
+            batch_bases=_parse_size(args.batch),
+        )
+    else:
+        from dna_kmeres_parallel_tpu.models.sparse_engine import (
+            resolve_device_sort,
+        )
+        from dna_kmeres_parallel_tpu.utils.config import KmerConfig
+
+        report = run_sparse_bench(
+            k=args.k,
+            canonical=args.canonical,
+            total_bases=_parse_size(args.bases),
+            batch_bases=_parse_size(args.batch),
+            device_sort=resolve_device_sort(
+                KmerConfig(k=args.k, canonical=args.canonical)
+            ),
+        )
     print(json.dumps(report))
     return 0
 
