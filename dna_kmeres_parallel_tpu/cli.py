@@ -417,6 +417,24 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def _table_set_op(ca, na, cb, nb, op):
+    """Sorted-unique table set ops (KMC-tools semantics): intersect keeps
+    codes present in BOTH with min counts; subtract decrements A's counts
+    by B's and drops non-positives (counters_subtract)."""
+    idx = np.searchsorted(cb, ca)
+    idx_c = np.minimum(idx, max(cb.shape[0] - 1, 0))
+    match = (cb.shape[0] > 0) & (cb[idx_c] == ca) if cb.shape[0] else np.zeros(
+        ca.shape[0], bool
+    )
+    if op == "intersect":
+        keep = match
+        counts = np.minimum(na, np.where(match, nb[idx_c], 0))
+    else:  # subtract
+        counts = na - np.where(match, nb[idx_c], 0)
+        keep = counts > 0
+    return ca[keep], counts[keep].astype(np.int64)
+
+
 def cmd_merge(args) -> int:
     """Merge count-table npz files from separate runs (different input
     files, hosts, or checkpointed partials) into one exact table — the
@@ -443,7 +461,13 @@ def cmd_merge(args) -> int:
             )
             return 2
         tables.append((codes, counts))
-    codes, counts = merge_sparse_tables(tables)
+    if args.op == "sum":
+        codes, counts = merge_sparse_tables(tables)
+    else:
+        # KMC-tools-style set operations, folded left over the inputs.
+        codes, counts = tables[0]
+        for cb, nb in tables[1:]:
+            codes, counts = _table_set_op(codes, counts, cb, nb, args.op)
     result = SparseCountResult(
         k=k, canonical=canonical, codes=codes, counts=counts,
         n_seqs=0, total_bases=0,
@@ -644,6 +668,14 @@ def main(argv=None) -> int:
     )
     p.add_argument("input", nargs="+", help="count npz path(s) or glob(s)")
     p.add_argument("-o", "--output", required=True, help="merged table (.npz or .csv)")
+    p.add_argument(
+        "--op",
+        choices=("sum", "intersect", "subtract"),
+        default="sum",
+        help="sum = exact additive merge (default); intersect = codes in "
+        "ALL inputs with min counts; subtract = left table minus the "
+        "others' counts, non-positives dropped (KMC-tools semantics)",
+    )
     p.set_defaults(fn=cmd_merge)
 
     p = sub.add_parser(

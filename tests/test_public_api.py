@@ -235,3 +235,45 @@ def test_cli_min_count_dense_npz(tmp_path, make_dna, capsys):
         hist = z["hist"]
     assert hist.max() >= 3
     assert not ((hist > 0) & (hist < 3)).any()
+
+
+def test_cli_merge_set_ops(tmp_path, make_dna, capsys):
+    import json
+
+    from dna_kmeres_parallel_tpu import cli
+    from dna_kmeres_parallel_tpu.models import oracle
+    from dna_kmeres_parallel_tpu.utils import fasta
+
+    a, b = make_dna(150), make_dna(150)
+    shared = make_dna(60)
+    pa, pb = tmp_path / "a.fasta", tmp_path / "b.fasta"
+    fasta.write_fasta(pa, [(">a", a + shared)])
+    fasta.write_fasta(pb, [(">b", b + shared)])
+    na, nb = tmp_path / "a.npz", tmp_path / "b.npz"
+    k = 15
+    assert cli.main(["count", "--k", str(k), str(pa), "-o", str(na)]) == 0
+    assert cli.main(["count", "--k", str(k), str(pb), "-o", str(nb)]) == 0
+    capsys.readouterr()
+
+    ta = oracle.count_table_any_k([a + shared], k)
+    tb = oracle.count_table_any_k([b + shared], k)
+
+    out = tmp_path / "i.csv"
+    assert cli.main(["merge", str(na), str(nb), "-o", str(out), "--op", "intersect"]) == 0
+    capsys.readouterr()
+    got = {
+        ln.split(",")[0]: int(ln.split(",")[1])
+        for ln in out.read_text().strip().splitlines()[1:]
+    }
+    want = {m: min(c, tb[m]) for m, c in ta.items() if m in tb}
+    assert got == want
+
+    out2 = tmp_path / "s.csv"
+    assert cli.main(["merge", str(na), str(nb), "-o", str(out2), "--op", "subtract"]) == 0
+    capsys.readouterr()
+    got = {
+        ln.split(",")[0]: int(ln.split(",")[1])
+        for ln in out2.read_text().strip().splitlines()[1:]
+    }
+    want = {m: c - tb.get(m, 0) for m, c in ta.items() if c - tb.get(m, 0) > 0}
+    assert got == want
