@@ -421,16 +421,19 @@ def _table_set_op(ca, na, cb, nb, op):
     """Sorted-unique table set ops (KMC-tools semantics): intersect keeps
     codes present in BOTH with min counts; subtract decrements A's counts
     by B's and drops non-positives (counters_subtract)."""
-    idx = np.searchsorted(cb, ca)
-    idx_c = np.minimum(idx, max(cb.shape[0] - 1, 0))
-    match = (cb.shape[0] > 0) & (cb[idx_c] == ca) if cb.shape[0] else np.zeros(
-        ca.shape[0], bool
-    )
+    if cb.shape[0] == 0:
+        # Empty right table: intersect -> empty; subtract -> A unchanged.
+        if op == "intersect":
+            return ca[:0], na[:0].astype(np.int64)
+        return ca, na.astype(np.int64)
+    idx_c = np.minimum(np.searchsorted(cb, ca), cb.shape[0] - 1)
+    match = cb[idx_c] == ca
+    other = np.where(match, nb[idx_c], 0)
     if op == "intersect":
         keep = match
-        counts = np.minimum(na, np.where(match, nb[idx_c], 0))
+        counts = np.minimum(na, other)
     else:  # subtract
-        counts = na - np.where(match, nb[idx_c], 0)
+        counts = na - other
         keep = counts > 0
     return ca[keep], counts[keep].astype(np.int64)
 
@@ -606,14 +609,14 @@ def cmd_bench(args) -> int:
         )
         from dna_kmeres_parallel_tpu.utils.config import KmerConfig
 
+        cfg = KmerConfig(k=args.k, canonical=args.canonical)
         report = run_sparse_bench(
             k=args.k,
             canonical=args.canonical,
             total_bases=_parse_size(args.bases),
             batch_bases=_parse_size(args.batch),
-            device_sort=resolve_device_sort(
-                KmerConfig(k=args.k, canonical=args.canonical)
-            ),
+            device_sort=resolve_device_sort(cfg),
+            row_len=cfg.sort_row_len,  # production shape for the fallback
         )
     print(json.dumps(report))
     return 0

@@ -122,11 +122,49 @@ def run_count_bench(
     }
 
 
+def _two_size_differential(make, stack, inner_hi: int, inner_lo: int,
+                           counted_of=None):
+    """Shared two-size lax.scan differential timer: time make(inner)(stack,
+    salt) at two scan lengths (min-of-3 distinct-salt dispatches each) and
+    return (elapsed, counted_delta, valid). The dispatch+fetch roundtrip
+    cancels in the difference. valid=False flags the jitter pathology
+    where the small program out-times the large one (a clamp here once
+    reported 6e15 pairs/s in an earlier bench; callers must surface an
+    obviously-wrong 0.0, never an absurdly-right huge number).
+
+    make(inner) must return a jitted prog(stack, salt0_u8); counted_of
+    extracts the window count from its fetched result (default: int64
+    sum). Salts 0..2 are timed, 101 warms up."""
+    if counted_of is None:
+        counted_of = lambda h: int(np.asarray(h, dtype=np.int64).sum())
+
+    def best_time(prog):
+        h = prog(stack, jnp.uint8(101))
+        counted = counted_of(h)
+        best = None
+        for j in range(3):
+            t0 = time.perf_counter()
+            _ = np.asarray(prog(stack, jnp.uint8(j)))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best, counted
+
+    t_hi, counted_hi = best_time(make(inner_hi))
+    t_lo, counted_lo = best_time(make(inner_lo))
+    valid = t_hi > t_lo
+    elapsed = max(t_hi - t_lo, 1e-9)
+    return elapsed, counted_hi - counted_lo, valid
+
+
 def _run_count_bench_differential(
     k: int, canonical: bool, batch_bases: int, n_batches: int, seed: int,
     bins: int,
 ) -> dict:
-    """Two-size lax.scan differential timing of the dense count program."""
+    """Two-size lax.scan differential timing of the dense count program.
+    NOTE: timing validity needs a >= 24-iteration large scan, so requests
+    smaller than 24 batches execute more device work than asked;
+    total_bases in the report is what was MEASURED (requested_* preserves
+    the ask)."""
     from dna_kmeres_parallel_tpu.ops import runtime
 
     pallas = runtime.pallas_mode()
@@ -164,33 +202,25 @@ def _run_count_bench_differential(
 
         return prog
 
-    def best_time(prog):
-        h = prog(stack, jnp.uint8(101))
-        counted = int(np.asarray(h, dtype=np.int64).sum())
-        best = None
-        for j in range(3):
-            t0 = time.perf_counter()
-            _ = np.asarray(prog(stack, jnp.uint8(j)))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        return best, counted
-
-    t_hi, counted_hi = best_time(make(inner_hi))
-    t_lo, counted_lo = best_time(make(inner_lo))
-    elapsed = max(t_hi - t_lo, 1e-9)
+    elapsed, counted_delta, valid = _two_size_differential(
+        make, stack, inner_hi, inner_lo
+    )
     measured = (inner_hi - inner_lo) * batch_bases
     expected = (inner_hi - inner_lo) * (batch_bases - k + 1)
-    counted = int(np.uint32(np.int64(counted_hi - counted_lo) & 0xFFFFFFFF))
+    counted = int(np.uint32(np.int64(counted_delta) & 0xFFFFFFFF))
+    gbps = 0.0 if not valid else round(measured / elapsed / 1e9, 4)
     return {
         "bench": "count",
         "k": k,
         "canonical": canonical,
         "bins": bins,
         "total_bases": measured,
+        "requested_total_bases": n_batches * batch_bases,
         "batch_bases": batch_bases,
         "elapsed_s": round(elapsed, 4),
-        "gbases_per_sec": round(measured / elapsed / 1e9, 4),
-        "bases_per_sec": round(measured / elapsed, 1),
+        "gbases_per_sec": gbps,
+        "bases_per_sec": 0.0 if not valid else round(measured / elapsed, 1),
+        "timing_valid": valid,
         "windows_counted": counted,
         "windows_expected": int(np.uint32(expected & 0xFFFFFFFF)),
         "device": str(jax.devices()[0]),
@@ -376,27 +406,17 @@ def run_sparse_bench(
 
             return prog
 
-        def best_time(prog):
-            w = prog(stack, jnp.uint8(101))  # warmup (distinct salt)
-            counted = int(np.asarray(w)[0])
-            best = None
-            for j in range(3):
-                t0 = time.perf_counter()
-                _ = np.asarray(prog(stack, jnp.uint8(j)))
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            return best, counted
-
-        t_hi, counted_hi = best_time(make(inner_hi))
-        t_lo, counted_lo = best_time(make(inner_lo))
-        elapsed = max(t_hi - t_lo, 1e-9)
+        # The scan fetches the full [n_valid, sig] carry (the sig keeps
+        # XLA from dead-coding word planes); the count is element 0.
+        elapsed, counted_delta, valid = _two_size_differential(
+            make, stack, inner_hi, inner_lo,
+            counted_of=lambda h: int(np.asarray(h)[0]),
+        )
         measured = (inner_hi - inner_lo) * batch_bases
         # Window counts accumulate in an int32 scan carry: compare them
         # modulo 2^32 so multi-G runs stay a valid exactness check.
         expected = (inner_hi - inner_lo) * (batch_bases - k + 1)
-        counted = int(
-            np.uint32(np.int64(counted_hi - counted_lo) & 0xFFFFFFFF)
-        )
+        counted = int(np.uint32(np.int64(counted_delta) & 0xFFFFFFFF))
         expected_wrapped = int(np.uint32(expected & 0xFFFFFFFF))
         return {
             "bench": "sparse_count",
@@ -407,7 +427,10 @@ def run_sparse_bench(
             "total_bases": measured,
             "batch_bases": batch_bases,
             "elapsed_s": round(elapsed, 4),
-            "gbases_per_sec": round(measured / elapsed / 1e9, 4),
+            "gbases_per_sec": (
+                0.0 if not valid else round(measured / elapsed / 1e9, 4)
+            ),
+            "timing_valid": valid,
             "windows_counted": counted,
             "windows_expected": expected_wrapped,
             "device": str(jax.devices()[0]),

@@ -277,3 +277,27 @@ def test_cli_merge_set_ops(tmp_path, make_dna, capsys):
     }
     want = {m: c - tb.get(m, 0) for m, c in ta.items() if c - tb.get(m, 0) > 0}
     assert got == want
+
+
+def test_cli_merge_set_ops_empty_right(tmp_path, make_dna, capsys):
+    """Set ops against an EMPTY table: intersect -> empty, subtract -> A."""
+    import json
+
+    from dna_kmeres_parallel_tpu import cli
+    from dna_kmeres_parallel_tpu.utils import fasta
+
+    pa = tmp_path / "a.fasta"
+    fasta.write_fasta(pa, [(">a", make_dna(100))])
+    pe = tmp_path / "e.fasta"
+    fasta.write_fasta(pe, [(">e", "NNNNNNNNNN")])  # no valid 15-mers
+    na, ne = tmp_path / "a.npz", tmp_path / "e.npz"
+    assert cli.main(["count", "--k", "15", str(pa), "-o", str(na)]) == 0
+    assert cli.main(["count", "--k", "15", str(pe), "-o", str(ne)]) == 0
+    capsys.readouterr()
+    out = tmp_path / "o.csv"
+    assert cli.main(["merge", str(na), str(ne), "-o", str(out), "--op", "intersect"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["distinct_kmers"] == 0
+    assert cli.main(["merge", str(na), str(ne), "-o", str(out), "--op", "subtract"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["distinct_kmers"] == 86 - 15 + 1 or rep["distinct_kmers"] > 0
