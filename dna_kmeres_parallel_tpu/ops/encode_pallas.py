@@ -167,8 +167,10 @@ def rolling_codes_split_pallas(
     # Independent of the histogram kernel's chunk: the encoder wants large
     # tiles — at 512 the k-1 halo overlap wastes 25% of input DMA and the
     # grid dispatch dominates; measured k=21 encode 7.2ms (512) -> 5.1ms
-    # (4096) per 16M bases.
-    chunk = int(os.environ.get("KMER_TPU_ENC_CHUNK", "4096"))
+    # (4096) per 16M bases. In the no-device-sort era the encode-only
+    # program is grid-step-overhead sensitive: same-window sweep 4096 ->
+    # 16.0, 8192 -> 16.2, 16384 -> 17.6, 32768 -> 16.3 Gbase/s at k=21.
+    chunk = int(os.environ.get("KMER_TPU_ENC_CHUNK", "16384"))
     halo = k - 1
     # Lane-aligned row width (non-128-multiple block widths crash Mosaic).
     row_w = _round_up(chunk + halo, 128)
