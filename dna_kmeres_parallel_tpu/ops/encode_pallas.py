@@ -45,7 +45,9 @@ def _rev16_digits(x):
     return (x << 16) | (x >> 16)
 
 
-def _make_encode_kernel(k: int, canonical: bool, chunk: int, single: bool):
+def _make_encode_kernel(
+    k: int, canonical: bool, chunk: int, single: bool, hi16: bool
+):
     nlo = _lo_bases(k)
     nhi = k - nlo
 
@@ -137,7 +139,16 @@ def _make_encode_kernel(k: int, canonical: bool, chunk: int, single: bool):
         sent_i = jnp.int32(-1)  # 0xFFFFFFFF
         lo_i = jax.lax.bitcast_convert_type(lo, jnp.int32)
         lo_ref[:] = jnp.where(valid, lo_i, sent_i)
-        if hi_ref is not None:
+        if hi_ref is not None and hi16:
+            # The 16 <= k <= 23 band: hi fits 14 bits, so the kernel emits
+            # the int16 plane DIRECTLY (sentinel 0xFFFF = -1) — half the
+            # hi-plane store traffic and no downstream conversion pass.
+            # (int16 outputs compile on this Mosaic; uint32 outputs crash.)
+            hi_i = jax.lax.bitcast_convert_type(hi, jnp.int32)
+            hi_ref[:] = jnp.where(valid, hi_i, jnp.int32(0xFFFF)).astype(
+                jnp.int16
+            )
+        elif hi_ref is not None:
             hi_i = jax.lax.bitcast_convert_type(hi, jnp.int32)
             hi_ref[:] = jnp.where(valid, hi_i, sent_i)
 
@@ -154,15 +165,20 @@ def rolling_codes_split_pallas(
     canonical: bool = False,
     interpret: bool = False,
 ):
-    """[T] uint8 stream -> (hi, lo) uint32 [Tp] window codes (sentinel
-    0xFFFFFFFF where invalid / beyond n_own; Tp = T rounded up to the tile
-    span — the sentinel tail sorts to the end and is ignored downstream).
+    """[T] uint8 stream -> (hi, lo) window codes [Tp] (sentinel all-ones
+    where invalid / beyond n_own; Tp = T rounded up to the tile span — the
+    sentinel tail sorts to the end and is ignored downstream).
 
     For k <= 15 the full code fits lo, so hi is None and the kernel writes
-    a single output plane (half the HBM store traffic)."""
+    a single output plane (half the HBM store traffic). For 16 <= k <= 23
+    hi is emitted as uint16 directly (sentinel 0xFFFF); above that, uint32
+    (sentinel 0xFFFFFFFF)."""
     if not (1 <= k <= MAX_SPARSE_K):
         raise ValueError(f"k must be in [1, {MAX_SPARSE_K}]")
     single = k <= MAX_SINGLE_WORD_K
+    from dna_kmeres_parallel_tpu.ops.sparse import MAX_U16_HI_K
+
+    hi16 = (not single) and k <= MAX_U16_HI_K
     T = bases.shape[0]
     # Independent of the histogram kernel's chunk: the encoder wants large
     # tiles — at 512 the k-1 halo overlap wastes 25% of input DMA and the
@@ -182,13 +198,15 @@ def rolling_codes_split_pallas(
 
     rows = _overlapped_rows(bases, T, Tp, n_rows, chunk, row_w)
 
-    kernel = _make_encode_kernel(k, canonical, chunk, single)
+    kernel = _make_encode_kernel(k, canonical, chunk, single, hi16)
     n_out = 1 if single else 2
+    out_dtypes = ([jnp.int16] if hi16 else [jnp.int32])[: n_out - 1] + [
+        jnp.int32
+    ]
     out = pl.pallas_call(
         kernel,
         out_shape=tuple(
-            jax.ShapeDtypeStruct((n_rows, chunk), jnp.int32)
-            for _ in range(n_out)
+            jax.ShapeDtypeStruct((n_rows, chunk), dt) for dt in out_dtypes
         ),
         grid=(n_tiles,),
         in_specs=[
@@ -206,5 +224,7 @@ def rolling_codes_split_pallas(
     lo = jax.lax.bitcast_convert_type(out[-1].reshape(-1), jnp.uint32)
     if single:
         return None, lo
-    hi = jax.lax.bitcast_convert_type(out[0].reshape(-1), jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        out[0].reshape(-1), jnp.uint16 if hi16 else jnp.uint32
+    )
     return hi, lo

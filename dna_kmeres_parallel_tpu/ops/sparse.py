@@ -143,6 +143,10 @@ def _encode_words(
         hi, lo = rolling_codes_split_pallas(
             bases, n_own, k, canonical, interpret=(pallas == "interpret")
         )
+        if hi is not None and hi.dtype == jnp.uint16:
+            # The kernel already emitted the u16 hi plane (16 <= k <= 23)
+            # with the 0xFFFF sentinel — no conversion pass needed.
+            return (hi, lo)
     else:
         (hi, lo), valid = rolling_codes_split(bases, k)
         n = hi.shape[0]
