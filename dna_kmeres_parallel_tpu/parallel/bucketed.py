@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from dna_kmeres_parallel_tpu.ops import sparse as sparse_ops
 from dna_kmeres_parallel_tpu.parallel.mesh import DATA_AXIS
@@ -74,6 +74,31 @@ def window_minimizers(bases: jax.Array, k: int, m: int) -> jax.Array:
     return mini
 
 
+def _capacity(n_windows: int, D: int, canonical: bool) -> int:
+    """Fixed all_to_all send capacity per owner. Canonical folding
+    concentrates the code space in its lower half (~2x skew: double the
+    slack); +64 fixed slack covers binomial tails on small shards."""
+    cap_mult = 4 if canonical else 2
+    return min(-(-cap_mult * n_windows // D) + 64, n_windows)
+
+
+def _route_owner(b, hi, lo, valid, k, D, owner_mode, minimizer_m,
+                 shift, t_bits, use_hi):
+    """Owner id per window (D for invalid) — shared by the aggregated and
+    raw exchanges so they route identically by construction."""
+    if owner_mode == "minimizer":
+        # KMC-style routing: Fibonacci hash of the window's minimizer,
+        # range-partitioned by multiply-shift (balanced for any D).
+        mini = window_minimizers(b, k, minimizer_m)
+        h32 = mini.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+        owner = (((h32 >> 16) * jnp.uint32(D)) >> 16).astype(jnp.int32)
+    else:
+        owner_src = hi if use_hi else lo
+        top = (owner_src >> shift).astype(jnp.uint32)
+        owner = ((top * jnp.uint32(D)) >> t_bits).astype(jnp.int32)
+    return jnp.where(valid, owner, jnp.int32(D))
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "canonical", "mesh", "axis", "owner_mode", "minimizer_m")
 )
@@ -107,12 +132,8 @@ def count_bucket_sharded(
     n_windows = bases.shape[1] - k + 1
     # Capacity is in DISTINCT codes per owner (local RLE collapses duplicates
     # before routing, so skewed data like homopolymers can't overflow on
-    # multiplicity). Canonical folding concentrates the code space in its
-    # lower half, so its owner distribution is ~2x skewed: double the slack.
-    cap_mult = 4 if canonical else 2
-    # +64 fixed slack: binomial tails dominate the uniform share for small
-    # shards (the multiplier alone covers large-n concentration).
-    cap = min(-(-cap_mult * n_windows // D) + 64, n_windows)
+    # multiplicity).
+    cap = _capacity(n_windows, D, canonical)
     shift, t_bits, use_hi = _owner_bits(k, D)
 
     def _rle(owner_s, hi_s, lo_s, cnt_s):
@@ -157,17 +178,8 @@ def count_bucket_sharded(
         # come from searchsorted on hi against the owners' code edges.
         prefix_fast = owner_mode != "minimizer" and use_hi
 
-        if owner_mode == "minimizer":
-            # KMC-style routing: Fibonacci hash of the window's minimizer,
-            # range-partitioned by multiply-shift (balanced for any D).
-            mini = window_minimizers(b, k, minimizer_m)
-            h32 = mini.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
-            owner = (((h32 >> 16) * jnp.uint32(D)) >> 16).astype(jnp.int32)
-        else:
-            owner_src = hi if use_hi else lo
-            top = (owner_src >> shift).astype(jnp.uint32)
-            owner = ((top * jnp.uint32(D)) >> t_bits).astype(jnp.int32)
-        owner = jnp.where(valid, owner, jnp.int32(D))
+        owner = _route_owner(b, hi, lo, valid, k, D, owner_mode,
+                             minimizer_m, shift, t_bits, use_hi)
         hi = jnp.where(valid, hi, _SENTINEL)
         lo = jnp.where(valid, lo, _SENTINEL)
 
@@ -305,9 +317,10 @@ def exchange_words_bucket_sharded(
     """
     D = mesh.shape[axis]
     n_windows = bases.shape[1] - k + 1
-    cap_mult = 4 if canonical else 2
-    cap = min(-(-cap_mult * n_windows // D) + 64, n_windows)
+    cap = _capacity(n_windows, D, canonical)
     shift, t_bits, use_hi = _owner_bits(k, D)
+    single = k <= sparse_ops.MAX_SINGLE_WORD_K
+    narrow16 = (not single) and k <= sparse_ops.MAX_U16_HI_K
 
     def shard_fn(b, n_own):
         b = b.reshape(-1)
@@ -319,15 +332,8 @@ def exchange_words_bucket_sharded(
         if canonical:
             hi, lo = sparse_ops.canonicalize_split(hi, lo, k)
 
-        if owner_mode == "minimizer":
-            mini = window_minimizers(b, k, minimizer_m)
-            h32 = mini.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
-            owner = (((h32 >> 16) * jnp.uint32(D)) >> 16).astype(jnp.int32)
-        else:
-            owner_src = hi if use_hi else lo
-            top = (owner_src >> shift).astype(jnp.uint32)
-            owner = ((top * jnp.uint32(D)) >> t_bits).astype(jnp.int32)
-        owner = jnp.where(valid, owner, jnp.int32(D))
+        owner = _route_owner(b, hi, lo, valid, k, D, owner_mode,
+                             minimizer_m, shift, t_bits, use_hi)
         hi = jnp.where(valid, hi, _SENTINEL)
         lo = jnp.where(valid, lo, _SENTINEL)
 
@@ -335,12 +341,17 @@ def exchange_words_bucket_sharded(
         # windows route to pseudo-owner D past every real segment). For
         # single-word k the hi plane is all-zeros: drop it from the sort
         # (each extra 32-bit operand costs ~28%) and from the exchange.
-        single = k <= sparse_ops.MAX_SINGLE_WORD_K
         if single:
             owner_s, lo_s = jax.lax.sort((owner, lo), num_keys=1)
             hi_s = lo_s  # placeholder; never shipped nor read
         else:
             owner_s, hi_s, lo_s = jax.lax.sort((owner, hi, lo), num_keys=1)
+        if narrow16:
+            # 16 <= k <= 23: hi fits 14 bits — narrow BEFORE the exchange
+            # so the hi plane's ICI volume halves (sentinel -> 0xFFFF).
+            hi_s = jnp.where(
+                hi_s == _SENTINEL, jnp.uint16(0xFFFF), hi_s.astype(jnp.uint16)
+            )
         targets = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0).squeeze(-1)
         starts = jnp.searchsorted(owner_s, targets)
         ends = jnp.searchsorted(owner_s, targets, side="right")
@@ -361,9 +372,10 @@ def exchange_words_bucket_sharded(
         ov = jax.lax.pmax(overflow.astype(jnp.int32), axis)
         if single:
             return recv_lo.reshape(-1)[None], recv_lo.reshape(-1)[None], ov[None]
-        hi_p = jnp.concatenate([hi_s, pad_u])
+        hi_sent = hi_s.dtype.type(0xFFFF if narrow16 else 0xFFFFFFFF)
+        hi_p = jnp.concatenate([hi_s, jnp.full((cap,), hi_sent, hi_s.dtype)])
         send_hi = jax.vmap(take, in_axes=(None, 0))(hi_p, starts)
-        send_hi = jnp.where(in_seg, send_hi, _SENTINEL)
+        send_hi = jnp.where(in_seg, send_hi, hi_sent)
         recv_hi = jax.lax.all_to_all(send_hi, axis, 0, 0, tiled=True)
         return recv_hi.reshape(-1)[None], recv_lo.reshape(-1)[None], ov[None]
 
@@ -376,14 +388,10 @@ def exchange_words_bucket_sharded(
     )
     hi, lo, ov = fn(bases, n_own_per_shard)
     # Adaptive word tuple matching ops/sparse._encode_words so the host
-    # compactor treats both paths identically.
+    # compactor treats both paths identically (hi already narrowed to u16
+    # before the exchange for 16 <= k <= 23).
     if k <= sparse_ops.MAX_SINGLE_WORD_K:
         words = (lo,)
-    elif k <= sparse_ops.MAX_U16_HI_K:
-        hi16 = jnp.where(
-            hi == _SENTINEL, jnp.uint16(0xFFFF), hi.astype(jnp.uint16)
-        )
-        words = (hi16, lo)
     else:
         words = (hi, lo)
     return words, jnp.any(ov > 0)
@@ -450,7 +458,10 @@ def shard_stream_with_halo(
     total = flat.shape[0]
     if total_own is None:
         total_own = total
-    T = -(-total // D)
+    # Floor T at 1 so an EMPTY stream still yields k-wide all-INVALID
+    # shards (counting them returns an empty table) instead of [D, k-1]
+    # shards that crash the encoder's window math.
+    T = max(-(-total // D), 1)
     halo = k - 1
     out = np.full((D, T + halo), INVALID, dtype=np.uint8)
     n_own = np.zeros(D, dtype=np.int32)

@@ -87,12 +87,7 @@ def encode_range_stream(path: str, start: int, end: int) -> tuple[np.ndarray, in
     from dna_kmeres_parallel_tpu.utils import codec
 
     records = read_range_records(path, start, end)
-    parts = []
-    for i, r in enumerate(records):
-        if i:
-            parts.append(np.array([codec.INVALID_BASE], dtype=np.uint8))
-        parts.append(codec.encode_bases(r.seq))
-    flat = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    flat = codec.concat_with_sentinels([r.seq for r in records])
     return flat, sum(len(r.seq) for r in records), len(records)
 
 
@@ -132,7 +127,10 @@ def make_global_stream(local_flat: np.ndarray, mesh, axis: str = "data"):
 
     from dna_kmeres_parallel_tpu.ops.encode import INVALID
 
-    n_local = max(len(jax.local_devices()), 1)
+    # Pad to the PER-PROCESS share of the mesh axis (not the local device
+    # count: a sub-mesh spanning fewer devices than the process owns would
+    # otherwise produce a global length not divisible by the axis size).
+    n_local = max(mesh.shape[axis] // max(jax.process_count(), 1), 1)
     sharding = NamedSharding(mesh, P(axis))
     if jax.process_count() == 1:
         pad = (-local_flat.shape[0]) % n_local

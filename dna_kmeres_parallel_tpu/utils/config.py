@@ -68,8 +68,10 @@ class KmerConfig:
     device_sort: bool | None = None
 
     def __post_init__(self):
-        if not (1 <= self.k <= 32):
-            raise ValueError(f"k must be in [1, 32], got {self.k}")
+        if not (1 <= self.k <= 31):
+            # 31 is the hard framework limit: 2k bits must fit the 62-bit
+            # code budget (split u32 words; host codecs use int64).
+            raise ValueError(f"k must be in [1, 31], got {self.k}")
         if self.parser_variant not in ("modern", "blank_line", "no_blank_line"):
             raise ValueError(f"bad parser_variant {self.parser_variant!r}")
 

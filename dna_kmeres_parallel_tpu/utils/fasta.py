@@ -234,10 +234,20 @@ def iter_fasta_records(
     """Stream (id, seq) records from a FASTA file without loading it whole.
 
     Reads ``chunk_bytes`` at a time; records are yielded as soon as complete.
-    Uses the modern record semantics of ``parse_fasta``.
+    Uses the modern record semantics of ``parse_fasta``. Gzip paths are
+    sniffed from the magic bytes like ``parse_fasta`` (a raw-binary read
+    of a .gz would silently yield ZERO records); FASTQ is not supported
+    here — use parse_fasta for format dispatch.
     """
     if isinstance(source, (str, os.PathLike)):
-        f = open(source, "rb")
+        with open(source, "rb") as probe:
+            magic = probe.read(2)
+        if magic == b"\x1f\x8b":
+            import gzip
+
+            f = gzip.open(source, "rb")
+        else:
+            f = open(source, "rb")
         close = True
     elif isinstance(source, bytes):
         f = io.BytesIO(source)

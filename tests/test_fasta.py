@@ -113,3 +113,16 @@ def test_empty_and_header_only():
     assert fasta.parse_fasta(b"") == []
     recs = fasta.parse_fasta(b">only header\n")
     assert [(r.id, r.seq) for r in recs] == [(">only header", "")]
+
+
+def test_iter_fasta_records_gzip(tmp_path, make_dna):
+    """iter_fasta_records must sniff gzip like parse_fasta (review
+    regression: a raw-binary read of .gz yielded zero records)."""
+    import gzip
+
+    seqs = [make_dna(80) for _ in range(3)]
+    raw = "".join(f">r{i}\n{s}\n" for i, s in enumerate(seqs)).encode()
+    path = tmp_path / "in.fa.gz"
+    path.write_bytes(gzip.compress(raw))
+    got = list(fasta.iter_fasta_records(str(path)))
+    assert [r.seq for r in got] == seqs

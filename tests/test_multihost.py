@@ -265,3 +265,16 @@ def test_bucketed_raw_exchange_two_processes(tmp_path, make_dna):
         codec.code_to_kmer(int(c), k): int(n) for c, n in zip(codes, counts)
     }
     assert table == want
+
+
+def test_make_global_stream_sub_mesh(make_dna):
+    """A mesh smaller than the local device count must still shard
+    (review regression: pad divisor was the local device count)."""
+    from dna_kmeres_parallel_tpu.parallel import multihost
+    from dna_kmeres_parallel_tpu.parallel.mesh import make_mesh
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    mesh = make_mesh(3)
+    flat = codec.encode_bases(make_dna(10))
+    g = multihost.make_global_stream(flat, mesh)
+    assert g.shape[0] % 3 == 0

@@ -189,3 +189,19 @@ def test_count_sparse_sharded_device_count_invariant(make_dna):
     for c, n in results[1:]:
         assert np.array_equal(c, results[0][0])
         assert np.array_equal(n, results[0][1])
+
+
+def test_sharded_counters_empty_stream(make_dna):
+    """An empty stream must return an empty table from every sharded
+    counter, not crash the encoder's window math (review regression)."""
+    from dna_kmeres_parallel_tpu.parallel import bucketed, sharded_sparse
+    from dna_kmeres_parallel_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    flat = np.zeros(0, np.uint8)
+    c, n = sharded_sparse.count_sparse_sharded(flat, 21, False, mesh, row_len=64)
+    assert c.size == 0 and n.size == 0
+    c, n = sharded_sparse.count_sparse_sharded(flat, 21, False, mesh, device_sort=False)
+    assert c.size == 0
+    c, n = bucketed.count_bucket_sharded_raw(flat, 21, False, mesh)
+    assert c.size == 0
