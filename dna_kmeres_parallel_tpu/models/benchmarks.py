@@ -244,7 +244,10 @@ def run_impl_matrix_bench(
 
     from dna_kmeres_parallel_tpu.models.engine import _count_batch
 
-    keys = jax.random.split(jax.random.PRNGKey(seed), reps)
+    # reps timed inputs + ONE reserved warmup input: a timed dispatch
+    # byte-identical to the warmup gets deduped in the tunnel (CLAUDE.md),
+    # inflating throughput by up to 1/reps.
+    keys = jax.random.split(jax.random.PRNGKey(seed), reps + 1)
     inputs = [
         jax.device_put(
             jax.random.randint(kk, (total_bases,), 0, 4, jnp.int32).astype(jnp.uint8)
@@ -277,7 +280,7 @@ def run_impl_matrix_bench(
                     fn = lambda b: _count_sorted(b, n_own, k, bins)
                 else:
                     fn = lambda b: _count_batch(b, n_own, k, bins, False, pallas)
-                h0 = fn(inputs[0])
+                h0 = fn(inputs[reps])  # reserved warmup input
                 _ = np.asarray(h0)  # warmup; block_until_ready is not a
                 # reliable sync on the tunneled dev TPU — host-fetch instead
                 t0 = time.perf_counter()
@@ -285,7 +288,7 @@ def run_impl_matrix_bench(
                 t_fetch = time.perf_counter() - t0
                 t0 = time.perf_counter()
                 acc = None
-                for b in inputs:
+                for b in inputs[:reps]:
                     h = fn(b)
                     acc = h if acc is None else acc + h
                 acc = np.asarray(acc)
@@ -441,8 +444,11 @@ def run_sparse_bench(
         # permutation-VARIANT reduction (run-start positions weighted by
         # index) — a permutation-invariant one lets XLA elide the sort
         # entirely (measured: a k=13 "17 Gbase/s" phantom). i < 0 selects
-        # the reserved warmup input.
+        # the reserved warmup input. Past the distinct pool, a salt keeps
+        # every dispatch's bytes unique (dedupe trap, CLAUDE.md).
         x_in = inputs[n_distinct] if i < 0 else inputs[i % n_distinct]
+        if i >= n_distinct:
+            x_in = (x_in + jnp.uint8(i // n_distinct)) & jnp.uint8(3)
         if row_len:
             words = sparse_ops.sort_words_rows(
                 x_in,

@@ -247,16 +247,10 @@ class KmerEngine:
         )
 
     def _flat_stream(self, seqs: list[str]) -> tuple[np.ndarray, int]:
-        """Concatenate base codes with 1 invalid sentinel between sequences."""
-        total = sum(len(s) for s in seqs) + max(len(seqs) - 1, 0)
-        flat = np.full(total, codec.INVALID_BASE, dtype=np.uint8)
-        pos = 0
-        for i, s in enumerate(seqs):
-            if i:
-                pos += 1  # sentinel separator
-            flat[pos : pos + len(s)] = codec.encode_bases(s)
-            pos += len(s)
-        return flat, total
+        """Concatenate base codes with 1 invalid sentinel between sequences
+        (the shared codec helper — one implementation of the invariant)."""
+        flat = codec.concat_with_sentinels(seqs)
+        return flat, flat.shape[0]
 
     # ------------------------------------------------------------- counting
     def count_stream(
@@ -272,11 +266,13 @@ class KmerEngine:
         # materialize the dense histogram once at the end (codes are unique,
         # so it's a direct indexed store, not a scatter-add).
         if (1 << 16) < cfg.bins and total_bases > 0:
-            from dna_kmeres_parallel_tpu.models.sparse_engine import SparseKmerEngine
+            from dna_kmeres_parallel_tpu.models.sparse_engine import (
+                SparseKmerEngine,
+                dense_from_sparse,
+            )
 
             sp = SparseKmerEngine(cfg).count_stream(flat, total_bases, n_seqs)
-            hist = np.zeros(cfg.bins, dtype=np.int64)
-            hist[sp.codes.astype(np.int64)] = sp.counts
+            hist = dense_from_sparse(sp, cfg.bins)
             return CountResult(
                 k=cfg.k,
                 canonical=cfg.canonical,

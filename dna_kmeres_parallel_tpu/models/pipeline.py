@@ -38,6 +38,11 @@ from dna_kmeres_parallel_tpu.utils.config import KmerConfig
 from dna_kmeres_parallel_tpu.utils.metrics import Metrics
 
 
+# Device accumulators are int32: flush to the host int64 histogram before
+# any bin could overflow (worst case: one bin receives every window).
+_FLUSH_LIMIT = (1 << 31) - (1 << 27)
+
+
 def _prefetched(items, fn, depth: int = 2):
     """Run fn over items with a 1-thread prefetcher: batch i+1's host prep
     (pad + H2D staging) overlaps batch i's device compute — the
@@ -87,7 +92,14 @@ class StreamingCounter:
 
     def _with_retry(self, fn):
         """Run fn(), retrying transient device errors (the reference exits on
-        first error, main.cu:224-227; here a failed batch is re-dispatched)."""
+        first error, main.cu:224-227; here a failed batch is re-dispatched).
+
+        NOTE: JAX dispatch is asynchronous — an error during device
+        EXECUTION surfaces at the next host sync (np.asarray / fetch), not
+        here. Wrap the sync point (with a closure that re-dispatches from
+        still-valid inputs) when execution-time retry matters; a poisoned
+        accumulator chain cannot be retried batch-granularly and falls
+        back to checkpoint resume."""
         last = None
         for attempt in range(self.max_retries + 1):
             try:
@@ -213,9 +225,12 @@ class StreamingCounter:
                 # unique so it's an indexed store, not a scatter-add).
                 # Checkpoints along the way are sparse tables.
                 if cfg.bins > (1 << 16) and flat.shape[0] >= cfg.k:
+                    from dna_kmeres_parallel_tpu.models.sparse_engine import (
+                        dense_from_sparse,
+                    )
+
                     sp = self._run_sparse(flat, total_bases, n_seqs, t0)
-                    hist = np.zeros(cfg.bins, dtype=np.int64)
-                    hist[sp.codes.astype(np.int64)] = sp.counts
+                    hist = dense_from_sparse(sp, cfg.bins)
                     return CountResult(
                         k=cfg.k,
                         canonical=cfg.canonical,
@@ -251,6 +266,7 @@ class StreamingCounter:
 
         acc = None
         since_ckpt = 0
+        acc_windows = 0
         done_batches = 0
         stopped = False
         pallas = runtime.pallas_mode() if cfg.use_pallas else None
@@ -335,9 +351,19 @@ class StreamingCounter:
             self.metrics.count("bases", end - start)
             self.metrics.count("batches")
             since_ckpt += end - start
-            if since_ckpt >= self.checkpoint_every_bases:
+            acc_windows += end - start
+            if acc_windows >= _FLUSH_LIMIT:
+                # Flush before any int32 accumulator bin could overflow
+                # (the guard KmerEngine.count_stream applies; a
+                # checkpoint_every_bases above 2^31 must not disable it).
                 hist += np.asarray(acc, dtype=np.int64)
                 acc = None
+                acc_windows = 0
+            if since_ckpt >= self.checkpoint_every_bases:
+                if acc is not None:
+                    hist += np.asarray(acc, dtype=np.int64)
+                    acc = None
+                acc_windows = 0
                 self._save(end, total_bases, hist=hist)
                 since_ckpt = 0
         if acc is not None:

@@ -57,6 +57,15 @@ def fetch_words(words) -> tuple[np.ndarray, ...]:
     return tuple(out)
 
 
+def dense_from_sparse(sp: "SparseCountResult", bins: int) -> np.ndarray:
+    """Materialize a dense int64 histogram from a sparse result — the
+    shared k=9..12 densify step (codes are unique, so this is an indexed
+    store, not a scatter-add)."""
+    hist = np.zeros(bins, dtype=np.int64)
+    hist[sp.codes.astype(np.int64)] = sp.counts
+    return hist
+
+
 def resolve_device_sort(cfg: KmerConfig) -> bool:
     """Resolve KmerConfig.device_sort=None: skip the device sort exactly
     when the native radix compactor can absorb unsorted words."""

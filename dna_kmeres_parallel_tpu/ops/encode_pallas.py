@@ -187,6 +187,13 @@ def rolling_codes_split_pallas(
     # program is grid-step-overhead sensitive: same-window sweep 4096 ->
     # 16.0, 8192 -> 16.2, 16384 -> 17.6, 32768 -> 16.3 Gbase/s at k=21.
     chunk = int(os.environ.get("KMER_TPU_ENC_CHUNK", "16384"))
+    if chunk < 128 or chunk % 128:
+        # Mosaic block widths must be 128-multiples (CLAUDE.md) — fail
+        # with a clear message instead of the remote helper's opaque 500;
+        # chunk must also cover the k-1 halo (k <= 31 -> halo <= 30 < 128).
+        raise ValueError(
+            f"KMER_TPU_ENC_CHUNK must be a positive multiple of 128, got {chunk}"
+        )
     halo = k - 1
     # Lane-aligned row width (non-128-multiple block widths crash Mosaic).
     row_w = _round_up(chunk + halo, 128)
