@@ -82,6 +82,13 @@ def main() -> int:
     exact = report["windows_counted"] == report["windows_expected"]
     if not exact:
         print("WINDOW COUNT MISMATCH — benchmark invalid", file=sys.stderr)
+    if report.get("timing_valid") is False:
+        # The differential timer caught the jitter pathology (small program
+        # out-timed the large one): the number is 0.0 by construction —
+        # flag the run rather than record a fake metric.
+        print("TIMING INVALID — tunnel jitter swamped the measurement",
+              file=sys.stderr)
+        exact = False
 
     value = report["gbases_per_sec"]
     baseline_gbps = 1.0

@@ -41,7 +41,6 @@ def _enable_compile_cache():
 
 def _parse_size(s: str) -> int:
     s = s.strip().upper()
-    mult = 1
     for suffix, m in (("K", 1 << 10), ("M", 1 << 20), ("G", 1 << 30)):
         if s.endswith(suffix):
             return int(float(s[:-1]) * m)
@@ -155,9 +154,29 @@ def cmd_count(args) -> int:
     result = None
     t0 = time.perf_counter()
     if args.engine == "oracle":
+        from dna_kmeres_parallel_tpu.models.sparse_engine import (
+            SparseCountResult,
+        )
+
         table = oracle.count_table_any_k(seqs, args.k, args.canonical)
         total_kmers = sum(table.values())
         distinct = len(table)
+        if npz:
+            # .npz output needs a result object (the oracle previously fell
+            # through to the CSV writer and produced a CSV named .npz).
+            codes = np.sort(
+                np.array(
+                    [codec.kmer_to_code(m) for m in table], dtype=np.uint64
+                )
+            )
+            counts = np.array(
+                [table[codec.code_to_kmer(int(c), args.k)] for c in codes],
+                dtype=np.int64,
+            )
+            result = SparseCountResult(
+                k=args.k, canonical=args.canonical, codes=codes,
+                counts=counts, n_seqs=len(seqs), total_bases=total_bases,
+            )
     elif args.engine == "native":
         # C++ host engine: rolling 2k-bit encoder fused into the MSD+LSD
         # radix compactor (native.count_sparse_host_native) — the CPU
@@ -199,12 +218,10 @@ def cmd_count(args) -> int:
         from dna_kmeres_parallel_tpu.models.engine import KmerEngine
 
         result = KmerEngine(_build_config(args)).count_sequences(seqs)
-        hist = result.hist
-        nz = np.nonzero(hist)[0]
-        total_kmers, distinct = int(hist.sum()), int(len(nz))
+        total_kmers, distinct = result.total_kmers, result.distinct_kmers
         table = (
-            {codec.code_to_kmer(int(c), args.k): int(hist[c]) for c in nz}
-            if (args.output and not npz)
+            result.table()
+            if (args.output and not npz and args.min_count <= 1)
             else None
         )
     elapsed = time.perf_counter() - t0
@@ -536,6 +553,16 @@ def cmd_histo(args) -> int:
 
             table = oracle.count_table_any_k(seqs, args.k, args.canonical)
             counts = np.fromiter(table.values(), dtype=np.int64, count=len(table))
+        elif args.engine == "native":
+            # C++ host engine — no device work at all (was previously
+            # silently substituted with the TPU engine).
+            from dna_kmeres_parallel_tpu import native as native_mod
+            from dna_kmeres_parallel_tpu.utils import codec
+
+            flat = codec.concat_with_sentinels(seqs)
+            _, counts = native_mod.count_sparse_host_native(
+                flat, args.k, args.canonical
+            )
         elif args.k > 12:
             from dna_kmeres_parallel_tpu.models.sparse_engine import SparseKmerEngine
 
@@ -573,7 +600,12 @@ def cmd_info(args) -> int:
     records = _load_records(args)
     seqs = [r.seq for r in records]
     lengths = [len(s) for s in seqs]
-    invalid = sum(1 for s in seqs for ch in s if ch not in "ACGT")
+    from dna_kmeres_parallel_tpu.utils import codec as codec_mod
+
+    invalid = sum(
+        int((codec_mod.encode_bases(s) == codec_mod.INVALID_BASE).sum())
+        for s in seqs
+    )
     report = {
         "n_seqs": len(seqs),
         "total_bases": sum(lengths),

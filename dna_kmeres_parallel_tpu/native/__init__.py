@@ -179,6 +179,14 @@ def parse_fasta_native(
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native parser unavailable: {_build_error}")
+    if max_seqs == 0:
+        # The C side treats <= 0 as "no cap"; the Python parser returns no
+        # records for an explicit 0 — honor that here for parser parity.
+        return ParsedFasta(
+            n_seqs=0, stream=np.zeros(0, np.uint8),
+            offsets=np.zeros(1, np.int64), lengths=np.zeros(0, np.int64),
+            ids=[], total_bases=0, invalid_bases=0,
+        )
     out = ctypes.POINTER(_KpFasta)()
     start, end = byte_range if byte_range is not None else (0, -1)
     rc = lib.kp_parse_fasta_range(

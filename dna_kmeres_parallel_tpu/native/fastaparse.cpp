@@ -264,6 +264,14 @@ int kp_parse_fasta_range(const char* path, int64_t start, int64_t end,
     if (got < 0) {
       gzclose(f);
       free(buf);
+      // Buf/I64Buf carry raw pointers (ownership normally transfers to
+      // the result struct): free the accumulated buffers on this error
+      // path or a failed multi-GB parse leaks them all.
+      free(stream.data);
+      free(offsets.data);
+      free(lengths.data);
+      free(ids.data);
+      free(line.data);
       return 2;
     }
     if (got == 0) break;
@@ -926,11 +934,11 @@ template <class T>
 struct RadixTraits;
 template <>
 struct RadixTraits<uint32_t> {
-  static constexpr int kMaxDigit = 11;  // 2048 x u32 counters = 8 KB (L1)
+  static constexpr int kMaxDigit = 11;  // 2048 x u64 counters = 16 KB (L1)
 };
 template <>
 struct RadixTraits<uint64_t> {
-  static constexpr int kMaxDigit = 12;  // 4096 x u32 counters = 16 KB (L1)
+  static constexpr int kMaxDigit = 12;  // 4096 x u64 counters = 32 KB (L1)
 };
 
 // LSD radix sort of buf[0..n) over bit range [0, bits); scr is ping-pong
@@ -940,18 +948,21 @@ T* lsd_radix(T* buf, T* scr, int64_t n, int bits) {
   if (n <= 1 || bits <= 0) return buf;
   int passes = (bits + RadixTraits<T>::kMaxDigit - 1) / RadixTraits<T>::kMaxDigit;
   int digit = (bits + passes - 1) / passes;  // even-ish split
-  uint32_t cnt[1 << RadixTraits<T>::kMaxDigit];
+  // u64 counters: a single MSD bucket can exceed 2^32 elements on
+  // repeat-skewed multi-Gbase inputs, and wrapped u32 counts would emit a
+  // silently wrong table.
+  uint64_t cnt[1 << RadixTraits<T>::kMaxDigit];
   T* src = buf;
   T* dst = scr;
   for (int shift = 0; shift < bits; shift += digit) {
     const int d = std::min(digit, bits - shift);
     const T mask = (T(1) << d) - 1;
     const int64_t B = int64_t(1) << d;
-    memset(cnt, 0, B * sizeof(uint32_t));
+    memset(cnt, 0, B * sizeof(uint64_t));
     for (int64_t i = 0; i < n; i++) cnt[(src[i] >> shift) & mask]++;
-    uint32_t acc = 0;
+    uint64_t acc = 0;
     for (int64_t b = 0; b < B; b++) {
-      uint32_t c = cnt[b];
+      uint64_t c = cnt[b];
       cnt[b] = acc;
       acc += c;
     }

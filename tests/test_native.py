@@ -437,3 +437,16 @@ def test_count_sparse_host_native_edges():
     # homopolymer: one distinct code, count L-k+1
     c, n = native.count_sparse_host_native(codec.encode_bases("A" * 50), 21)
     assert c.tolist() == [0] and n.tolist() == [30]
+
+
+def test_parse_fasta_native_max_seqs_zero(tmp_path):
+    """max_seqs=0 must yield zero records (review regression: the falsy
+    zero was forwarded as 'no cap' to the C side)."""
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    p = tmp_path / "z.fasta"
+    p.write_text(">a\nACGT\n>b\nGGTT\n")
+    parsed = native.parse_fasta_native(str(p), max_seqs=0)
+    assert parsed.n_seqs == 0 and parsed.total_bases == 0
+    full = native.parse_fasta_native(str(p))
+    assert full.n_seqs == 2

@@ -301,3 +301,44 @@ def test_cli_merge_set_ops_empty_right(tmp_path, make_dna, capsys):
     assert cli.main(["merge", str(na), str(ne), "-o", str(out), "--op", "subtract"]) == 0
     rep = json.loads(capsys.readouterr().out)
     assert rep["distinct_kmers"] == 86 - 15 + 1 or rep["distinct_kmers"] > 0
+
+
+def test_cli_oracle_npz_output(tmp_path, make_dna, capsys):
+    """--engine oracle -o table.npz must write a REAL npz (review
+    regression: it silently wrote CSV bytes under the .npz name)."""
+    import numpy as np
+
+    from dna_kmeres_parallel_tpu import cli
+    from dna_kmeres_parallel_tpu.models import oracle
+    from dna_kmeres_parallel_tpu.utils import fasta
+
+    s = make_dna(120)
+    path = tmp_path / "o.fasta"
+    fasta.write_fasta(path, [(">a", s)])
+    npz = tmp_path / "o.npz"
+    assert cli.main(["count", "--k", "15", "--engine", "oracle", str(path), "-o", str(npz)]) == 0
+    capsys.readouterr()
+    with np.load(npz) as z:
+        assert int(z["counts"].sum()) == sum(
+            oracle.count_table_any_k([s], 15).values()
+        )
+    # and query reads it
+    assert cli.main(["query", str(npz), "A" * 15]) == 0
+
+
+def test_cli_histo_native_engine(tmp_path, make_dna, capsys):
+    import json
+
+    from dna_kmeres_parallel_tpu import cli, native
+    from dna_kmeres_parallel_tpu.utils import fasta
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    s = make_dna(60)
+    path = tmp_path / "h.fasta"
+    fasta.write_fasta(path, [(">a", s * 2)])
+    assert cli.main(["histo", "--k", "15", "--engine", "native", str(path)]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["distinct_kmers"] > 0
