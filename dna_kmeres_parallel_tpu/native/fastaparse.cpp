@@ -32,6 +32,8 @@
 
 #if defined(__AVX512F__)
 #include <immintrin.h>
+#elif defined(__x86_64__) || defined(_M_X64)
+#include <emmintrin.h>  // SSE2 non-temporal stores + sfence
 #endif
 
 namespace {
@@ -973,11 +975,17 @@ T* lsd_radix(T* buf, T* scr, int64_t n, int bits) {
 }
 
 // The MSD scatter's per-bucket write-combining staging: one cache line
-// (8 u64 / 16 u32) per bucket, flushed when full. The flush target line
-// for the NEXT flush is write-prefetched: the 256-bucket working set is
-// far larger than L1/L2 and the flush would otherwise stall on the RFO +
-// TLB walk of a cold line (measured: the scatter was 15x the hist pass
-// before this + the huge-page buffer below).
+// (8 u64 / 16 u32) per bucket, flushed when full. The first flush of each
+// bucket is a partial memcpy that brings the output pointer to 64-byte
+// alignment; every flush after that is a full aligned line written with
+// NON-TEMPORAL stores, which skip the read-for-ownership of the
+// destination line (the scratch is written exactly once here and re-read
+// from DRAM by the LSD pass regardless) — one third of the scatter's DRAM
+// traffic gone. On the memcpy path the next flush line is write-prefetched
+// instead: the 256-bucket working set is far larger than L1/L2 and the
+// flush would otherwise stall on the RFO + TLB walk of a cold line
+// (measured: the scatter was 15x the hist pass before this + the
+// huge-page buffer below).
 constexpr int kMsdBuckets = 256;
 
 template <class T>
@@ -985,22 +993,54 @@ struct WcBuf {
   static constexpr int kLine = 64 / sizeof(T);
   alignas(64) T stage[kMsdBuckets][kLine];
   int fill[kMsdBuckets];
+  int target[kMsdBuckets];  // fill level that triggers the next flush
   T* out[kMsdBuckets];
   void init(T* base, const int64_t* offs) {
     for (int b = 0; b < kMsdBuckets; b++) {
       fill[b] = 0;
       out[b] = base + offs[b];
-      __builtin_prefetch(out[b], 1, 1);
+      const int mis = static_cast<int>(
+          (reinterpret_cast<uintptr_t>(out[b]) & 63) / sizeof(T));
+      target[b] = mis ? kLine - mis : kLine;
+      // Prefetch only when the first flush is a regular (RFO-ing) store;
+      // pulling the line into cache would defeat a non-temporal store.
+      if (target[b] != kLine) __builtin_prefetch(out[b], 1, 1);
     }
+  }
+  inline void flush_line(int b) {
+    const int m = target[b];
+#if defined(__AVX512F__)
+    if (m == kLine) {
+      _mm512_stream_si512(
+          reinterpret_cast<__m512i*>(out[b]),
+          _mm512_load_si512(reinterpret_cast<const __m512i*>(stage[b])));
+    } else {
+      memcpy(out[b], stage[b], static_cast<size_t>(m) * sizeof(T));
+      target[b] = kLine;
+    }
+#elif defined(__x86_64__) || defined(_M_X64)
+    if (m == kLine) {
+      const __m128i* s = reinterpret_cast<const __m128i*>(stage[b]);
+      __m128i* d = reinterpret_cast<__m128i*>(out[b]);
+      _mm_stream_si128(d + 0, _mm_load_si128(s + 0));
+      _mm_stream_si128(d + 1, _mm_load_si128(s + 1));
+      _mm_stream_si128(d + 2, _mm_load_si128(s + 2));
+      _mm_stream_si128(d + 3, _mm_load_si128(s + 3));
+    } else {
+      memcpy(out[b], stage[b], static_cast<size_t>(m) * sizeof(T));
+      target[b] = kLine;
+    }
+#else
+    memcpy(out[b], stage[b], static_cast<size_t>(m) * sizeof(T));
+    target[b] = kLine;
+    __builtin_prefetch(out[b] + m, 1, 1);
+#endif
+    out[b] += m;
+    fill[b] = 0;
   }
   inline void push(int b, T v) {
     stage[b][fill[b]++] = v;
-    if (fill[b] == kLine) {
-      memcpy(out[b], stage[b], 64);
-      out[b] += kLine;
-      fill[b] = 0;
-      __builtin_prefetch(out[b], 1, 1);
-    }
+    if (fill[b] == target[b]) flush_line(b);
   }
   void flush() {
     for (int b = 0; b < kMsdBuckets; b++) {
@@ -1008,6 +1048,11 @@ struct WcBuf {
       out[b] += fill[b];
       fill[b] = 0;
     }
+#if defined(__x86_64__) || defined(_M_X64)
+    // Non-temporal stores are weakly ordered; make them visible before the
+    // spawning thread joins and the LSD pass reads the scratch.
+    _mm_sfence();
+#endif
   }
 };
 
