@@ -62,6 +62,24 @@ def window_minimizers(bases: jax.Array, k: int, m: int) -> jax.Array:
     by the k=31 target config). Windows touching invalid bases get INT32_MAX
     (callers mask them via their own validity anyway).
     """
+    return window_minimizers_pos(bases, k, m)[0]
+
+
+def window_minimizers_pos(
+    bases: jax.Array, k: int, m: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(minimizer code, minimizer POSITION, window validity) per k-window.
+
+    Position is the absolute base index of the leftmost minimal m-mer in
+    the window (garbage for invalid windows). Ties break leftmost, so as
+    the window slides the position is non-decreasing and the windows
+    sharing one position form a contiguous run of at most k-m+1 windows —
+    the SUPER-K-MER runs the compressed exchange ships as one record each.
+    Validity is the AND of all k-m+1 m-mer validities (their union covers
+    all k bases) — NOT derivable from the minimizer value: invalid m-mers
+    carry the +inf sentinel, which the min hides whenever any other m-mer
+    in the window is valid.
+    """
     from dna_kmeres_parallel_tpu.ops import encode as encode_ops
 
     big = jnp.int32(2**31 - 1)
@@ -69,9 +87,16 @@ def window_minimizers(bases: jax.Array, k: int, m: int) -> jax.Array:
     mcodes = jnp.where(mvalid, mcodes, big)
     n = bases.shape[0] - k + 1
     mini = jnp.full((n,), big, jnp.int32)
+    pos = jnp.zeros((n,), jnp.int32)
+    vwin = jnp.ones((n,), bool)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     for j in range(k - m + 1):  # static unroll
-        mini = jnp.minimum(mini, jax.lax.slice_in_dim(mcodes, j, j + n, axis=0))
-    return mini
+        cand = jax.lax.slice_in_dim(mcodes, j, j + n, axis=0)
+        take = cand < mini  # strict: earlier (leftmost) occurrence wins ties
+        mini = jnp.where(take, cand, mini)
+        pos = jnp.where(take, idx + j, pos)
+        vwin = vwin & jax.lax.slice_in_dim(mvalid, j, j + n, axis=0)
+    return mini, pos, vwin
 
 
 def _capacity(n_windows: int, D: int, canonical: bool) -> int:
@@ -439,6 +464,270 @@ def count_bucket_sharded_raw(
     tables = [
         compact_unsorted(tuple(w[d] for w in words), k) for d in range(D)
     ]
+    return merge_sparse_tables(tables)
+
+
+def superkmer_geometry(k: int, m: int) -> tuple[int, int]:
+    """(max record bases, u32 words per record) of the super-k-mer exchange.
+
+    A super-k-mer run holds at most k-m+1 windows (one minimizer position
+    supports exactly that many overlapping windows), i.e. 2k-m bases; bases
+    pack 16 per u32 word (2 bits each, little-endian within the word).
+    """
+    if not 1 <= m < k:
+        raise ValueError(f"minimizer m must satisfy 1 <= m < k, got m={m} k={k}")
+    skmax = 2 * k - m
+    return skmax, -(-skmax // 16)
+
+
+def _superkmer_capacity(n_windows: int, D: int, k: int, m: int) -> int:
+    """Records-per-owner send capacity: expected records = 2/(k-m+2) per
+    window (the super-k-mer density of random sequence), x2 slack for
+    routing variance, +64 for binomial tails on small shards."""
+    exp_per_owner = -(-2 * n_windows // ((k - m + 2) * D))
+    return min(2 * exp_per_owner + 64, max(n_windows, 1))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "mesh", "axis", "minimizer_m")
+)
+def exchange_superkmers_bucket_sharded(
+    bases: jax.Array,
+    n_own_per_shard: jax.Array,
+    k: int,
+    mesh: jax.sharding.Mesh,
+    axis: str = DATA_AXIS,
+    minimizer_m: int = 7,
+):
+    """SUPER-K-MER compressed exchange: ship minimizer runs, not windows.
+
+    The raw exchange (exchange_words_bucket_sharded) moves one split word
+    pair per WINDOW over ICI — 6-8 B/window. But consecutive windows
+    sharing a minimizer route to the same owner by construction, so this
+    variant ships each such run ONCE as a fixed-size record: the run's
+    2k-m-base extent packed 2-bit into W = ceil((2k-m)/16) u32 words plus
+    an i32 run-length word. At the random-sequence run density 2/(k-m+2)
+    that is (W+1)*8/(k-m+2) B/window — e.g. k=31/m=7: 1.5 B vs 8 B raw
+    (5.4x); k=21/m=11: 1.9 B vs 6 B (3.2x). The receiving host expands
+    records back to a sentinel-separated base stream and counts it with
+    the fused rolling-encoder radix engine (native kp_count_sparse_host),
+    so no per-window data ever crosses ICI or PCIe.
+
+    The device program is also lighter than the raw exchange's: no k-wide
+    rolling encode, no canonicalization (both happen on the receiving
+    host), only the m-mer minimizer scan, the 2-bit packing ladder, and
+    ONE owner-key sort over (W+2)-operand records.
+
+    Owner = Fibonacci hash of the run's minimizer VALUE (equal k-mers have
+    equal minimizers, so every copy of a code lands on one owner; the same
+    'minimizer' owner mode the aggregated/raw paths offer). Runs break
+    where the minimizer POSITION moves (leftmost-tie argmin), bounding
+    records to k-m+1 windows.
+
+    Returns (planes, meta, overflow): planes = W uint32 arrays [D, D*cap]
+    of packed record bases, meta = int32 [D, D*cap] run lengths in windows
+    (0 = unused capacity), overflow as in the other exchanges.
+    """
+    D = mesh.shape[axis]
+    n_windows = bases.shape[1] - k + 1
+    skmax, W = superkmer_geometry(k, minimizer_m)
+    cap = _superkmer_capacity(n_windows, D, k, minimizer_m)
+
+    def shard_fn(b, n_own):
+        b = b.reshape(-1)
+        n_own = n_own.reshape(())
+        n = b.shape[0] - k + 1
+        mini, pos, vwin = window_minimizers_pos(b, k, minimizer_m)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        valid = vwin & (idx < n_own)
+
+        h32 = mini.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+        owner = (((h32 >> 16) * jnp.uint32(D)) >> 16).astype(jnp.int32)
+
+        def shift1(x, fill):
+            return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
+
+        # Run breaks: minimizer position moved, or validity flipped (the
+        # first window always breaks). Positions of invalid windows are
+        # garbage but every valid run is bounded by the validity terms.
+        brk = (
+            (pos != shift1(pos, jnp.int32(-1)))
+            | (valid != shift1(valid, False))
+        )
+        run_start = brk & valid
+        flagged = jnp.where(brk, idx, n)
+        nxt = jax.lax.cummin(flagged, reverse=True)
+        after = jnp.concatenate([nxt[1:], jnp.full((1,), n, jnp.int32)])
+        run_len = after - idx  # windows in the run starting here
+
+        # Pack the record extent (skmax bases from the run start; bases
+        # past the true length are masked by meta on the host). Pad the
+        # stream so the last window's record slice stays in bounds.
+        from dna_kmeres_parallel_tpu.ops.encode import INVALID
+
+        bp = jnp.concatenate(
+            [b, jnp.full((k - minimizer_m,), INVALID, jnp.uint8)]
+        )
+        b2 = (bp & 3).astype(jnp.uint32)
+        planes = []
+        for w in range(W):
+            acc = jnp.zeros((n,), jnp.uint32)
+            for t in range(16):
+                j = w * 16 + t
+                if j >= skmax:
+                    break
+                acc = acc | (
+                    jax.lax.slice_in_dim(b2, j, j + n, axis=0) << (2 * t)
+                )
+            planes.append(acc)
+
+        meta = jnp.where(run_start, run_len, 0)
+        owner_rec = jnp.where(run_start, owner, jnp.int32(D))
+        sorted_ops = jax.lax.sort((owner_rec, meta, *planes), num_keys=1)
+        owner_s, meta_s = sorted_ops[0], sorted_ops[1]
+        planes_s = sorted_ops[2:]
+
+        targets = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0).squeeze(-1)
+        starts = jnp.searchsorted(owner_s, targets)
+        ends = jnp.searchsorted(owner_s, targets, side="right")
+        seg_len = ends - starts
+        overflow = jnp.any(seg_len > cap)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (D, cap), 1)
+        in_seg = col < jnp.minimum(seg_len, cap)[:, None]
+
+        def take(buf, start):
+            return jax.lax.dynamic_slice(buf, (start,), (cap,))
+
+        pad_i = jnp.zeros((cap,), jnp.int32)
+        send_meta = jax.vmap(take, in_axes=(None, 0))(
+            jnp.concatenate([meta_s, pad_i]), starts
+        )
+        send_meta = jnp.where(in_seg, send_meta, 0)
+        recv_meta = jax.lax.all_to_all(send_meta, axis, 0, 0, tiled=True)
+        recv_planes = []
+        pad_u = jnp.zeros((cap,), jnp.uint32)
+        for p in planes_s:
+            send_p = jax.vmap(take, in_axes=(None, 0))(
+                jnp.concatenate([p, pad_u]), starts
+            )
+            recv_planes.append(
+                jax.lax.all_to_all(send_p, axis, 0, 0, tiled=True)
+            )
+        ov = jax.lax.pmax(overflow.astype(jnp.int32), axis)
+        return (
+            tuple(p.reshape(-1)[None] for p in recv_planes),
+            recv_meta.reshape(-1)[None],
+            ov[None],
+        )
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(
+            tuple(P(axis, None) for _ in range(W)),
+            P(axis, None),
+            P(axis),
+        ),
+        check_vma=False,
+    )
+    planes, meta, ov = fn(bases, n_own_per_shard)
+    return planes, meta, jnp.any(ov > 0)
+
+
+def expand_superkmers(
+    planes, meta: np.ndarray, k: int, m: int
+) -> np.ndarray:
+    """Received super-k-mer records -> sentinel-separated u8 base stream.
+
+    Each record with run length r > 0 contributes its r+k-1 bases followed
+    by one INVALID separator, so a rolling window scan of the stream yields
+    exactly r windows per record — the stream is directly the input format
+    of the fused host engine (native.count_sparse_host_native) and of the
+    NumPy fallback. Vectorized: one shift/mask per base column.
+    """
+    skmax, W = superkmer_geometry(k, m)
+    meta = np.asarray(meta).reshape(-1)
+    sel = meta > 0
+    r = meta[sel].astype(np.int64)
+    if r.size and int(r.max()) > k - m + 1:
+        raise AssertionError(
+            f"super-k-mer run length {int(r.max())} exceeds k-m+1={k-m+1}"
+        )
+    out = np.empty((r.size, skmax + 1), np.uint8)
+    out[:, skmax] = 0xFF
+    for j in range(skmax):
+        w, t = divmod(j, 16)
+        plane = np.asarray(planes[w]).reshape(-1)[sel]
+        out[:, j] = ((plane >> np.uint32(2 * t)) & np.uint32(3)).astype(np.uint8)
+    cols = np.arange(skmax + 1, dtype=np.int64)[None, :]
+    out[cols >= (r + k - 1)[:, None]] = 0xFF
+    return out.reshape(-1)
+
+
+def _count_stream_host(
+    stream: np.ndarray, k: int, canonical: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-unique (codes_u64, counts_i64) of a sentinel-separated base
+    stream: the fused native rolling-encoder radix engine when built, a
+    NumPy rolling count otherwise."""
+    from dna_kmeres_parallel_tpu import native
+
+    if native.available():
+        return native.count_sparse_host_native(stream, k, canonical)
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    codes, valid = codec.kmer_codes(stream, k)
+    codes = codes[valid]
+    if canonical:
+        codes = codec.canonical_code(codes, k)
+    codes, counts = np.unique(np.asarray(codes, np.uint64), return_counts=True)
+    return codes.astype(np.uint64), counts.astype(np.int64)
+
+
+def count_bucket_sharded_super(
+    flat,
+    k: int,
+    canonical: bool,
+    mesh: jax.sharding.Mesh,
+    axis: str = DATA_AXIS,
+    minimizer_m: int = 7,
+    total_own=None,
+):
+    """Host driver for the super-k-mer exchange: shard with halos, route
+    minimizer runs over the compressed all_to_all, expand each device's
+    received records on its host, count with the fused rolling engine,
+    merge. Raises on send-capacity overflow (pathological run density —
+    fall back to count_bucket_sharded)."""
+    from dna_kmeres_parallel_tpu.models.sparse_engine import (
+        merge_sparse_tables,
+    )
+
+    shards, n_own = shard_stream_with_halo(flat, k, mesh, axis, total_own)
+    planes, meta, overflow = exchange_superkmers_bucket_sharded(
+        jnp.asarray(shards),
+        jnp.asarray(n_own),
+        k,
+        mesh,
+        axis,
+        minimizer_m,
+    )
+    if bool(overflow):
+        raise OverflowError(
+            "super-k-mer exchange: an owner's record share exceeded the "
+            "send capacity (pathological minimizer-run density) — use the "
+            "aggregated exchange (count_bucket_sharded)"
+        )
+    planes = [np.asarray(p) for p in planes]
+    meta = np.asarray(meta)
+    D = meta.shape[0]
+    tables = []
+    for d in range(D):
+        stream = expand_superkmers(
+            [p[d] for p in planes], meta[d], k, minimizer_m
+        )
+        tables.append(_count_stream_host(stream, k, canonical))
     return merge_sparse_tables(tables)
 
 

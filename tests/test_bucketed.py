@@ -270,3 +270,114 @@ def test_bucket_raw_overflow_on_skew(make_dna):
     mesh = make_mesh(8)
     with pytest.raises(OverflowError):
         bucketed.count_bucket_sharded_raw(flat, 21, False, mesh)
+
+
+# ---------------------------------------------------------------------------
+# Super-k-mer (minimizer-run) compressed exchange
+
+
+@pytest.mark.parametrize(
+    "k,m,canonical",
+    [(16, 9, False), (21, 7, False), (21, 11, True), (31, 7, False), (31, 15, True)],
+)
+def test_superkmer_matches_oracle(make_dna, mesh8, k, m, canonical):
+    seqs = [make_dna(250 + 19 * i, invalid_frac=0.03) for i in range(4)]
+    codes, counts = bucketed.count_bucket_sharded_super(
+        _flat(seqs), k, canonical, mesh8, minimizer_m=m
+    )
+    want = oracle.count_table_any_k(seqs, k, canonical=canonical)
+    got = {codec.code_to_kmer(int(c), k): int(n) for c, n in zip(codes, counts)}
+    assert got == want
+
+
+def test_superkmer_matches_aggregated(make_dna, mesh8):
+    # The compressed exchange and the aggregated exchange must build
+    # bit-identical tables from the same stream.
+    k = 21
+    flat = _flat([make_dna(700, invalid_frac=0.01)])
+    sup = bucketed.count_bucket_sharded_super(flat, k, False, mesh8)
+    shards, n_own = bucketed.shard_stream_with_halo(flat, k, mesh8)
+    hi, lo, counts, starts, overflow = bucketed.count_bucket_sharded(
+        jnp.asarray(shards), jnp.asarray(n_own), k, False, mesh8
+    )
+    assert not bool(overflow)
+    agg = bucketed.gather_table(hi, lo, counts, starts)
+    assert np.array_equal(sup[0], agg[0])
+    assert np.array_equal(sup[1], agg[1])
+
+
+def test_superkmer_run_structure(make_dna):
+    # Leftmost-tie argmin positions are non-decreasing and runs (maximal
+    # same-position stretches of valid windows) never exceed k-m+1 windows
+    # — the bound the fixed-size record format relies on.
+    k, m = 21, 7
+    s = make_dna(400, invalid_frac=0.02)
+    bases = jnp.asarray(codec.encode_bases(s))
+    mini, pos, vwin = bucketed.window_minimizers_pos(bases, k, m)
+    pos, vwin = np.asarray(pos), np.asarray(vwin)
+    run = 1
+    for i in range(1, pos.size):
+        if vwin[i] and vwin[i - 1]:
+            assert pos[i] >= pos[i - 1]
+            run = run + 1 if pos[i] == pos[i - 1] else 1
+            assert run <= k - m + 1
+        else:
+            run = 1
+
+
+def test_superkmer_expand_roundtrip(make_dna):
+    # expand_superkmers is the exact inverse of the device packing: count
+    # the expanded stream and compare against a direct count.
+    k, m = 21, 7
+    mesh1 = make_mesh(1)
+    seqs = [make_dna(300), make_dna(150, invalid_frac=0.05)]
+    flat = _flat(seqs)
+    shards, n_own = bucketed.shard_stream_with_halo(flat, k, mesh1)
+    planes, meta, ov = bucketed.exchange_superkmers_bucket_sharded(
+        jnp.asarray(shards), jnp.asarray(n_own), k, mesh1, minimizer_m=m
+    )
+    assert not bool(ov)
+    stream = bucketed.expand_superkmers(
+        [np.asarray(p)[0] for p in planes], np.asarray(meta)[0], k, m
+    )
+    codes, valid = codec.kmer_codes(stream, k)
+    total = int(valid.sum())
+    want = sum(oracle.count_table_any_k(seqs, k).values())
+    assert total == want
+
+
+def test_superkmer_overflow_on_pathological_runs(mesh8):
+    # A homopolymer routes every record to ONE owner; unlike the aggregated
+    # path there is no pre-RLE, so the single owner's record share blows the
+    # fixed capacity and the overflow must surface as an error.
+    k = 21
+    flat = _flat(["A" * 60000])
+    with pytest.raises(OverflowError):
+        bucketed.count_bucket_sharded_super(flat, k, False, mesh8)
+
+
+def test_superkmer_compression_ratio(make_dna, mesh8):
+    # The design target (SURVEY.md §5 / STATUS roadmap): >= 2.5x less ICI
+    # volume than the raw word exchange on random sequence (analytically
+    # ~5.4x at k=31/m=7; slack for run-density variance on small shards).
+    k, m = 31, 7
+    flat = _flat([make_dna(8000)])
+    shards, n_own = bucketed.shard_stream_with_halo(flat, k, mesh8)
+    planes, meta, ov = bucketed.exchange_superkmers_bucket_sharded(
+        jnp.asarray(shards), jnp.asarray(n_own), k, mesh8, minimizer_m=m
+    )
+    assert not bool(ov)
+    n_records = int((np.asarray(meta) > 0).sum())
+    n_windows = int(np.asarray(n_own).sum())
+    skmax, W = bucketed.superkmer_geometry(k, m)
+    bytes_super = n_records * (W + 1) * 4
+    bytes_raw = n_windows * 8  # (u32, u32) split words at k=31
+    assert bytes_super * 2.5 < bytes_raw, (bytes_super, bytes_raw)
+
+
+def test_superkmer_all_invalid_and_empty(mesh8):
+    # All-N input: no valid windows, empty table (no crash on zero records).
+    k = 21
+    flat = np.full(300, codec.INVALID_BASE, np.uint8)
+    codes, counts = bucketed.count_bucket_sharded_super(flat, k, False, mesh8)
+    assert codes.size == 0 and counts.size == 0
