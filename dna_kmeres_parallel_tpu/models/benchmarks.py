@@ -368,9 +368,39 @@ def run_sparse_bench(
             @jax.jit
             def prog(xs, salt0):
                 def body(acc, i):
+                    # Rotating salt (advances once per full pass over the
+                    # distinct inputs): (input, salt mod 4) pairs repeat
+                    # only every 4*n_distinct iterations.
+                    salt = salt0.astype(jnp.int32) + i // n_distinct
+                    if pallas is not None:
+                        # The production device program EXACTLY: read the
+                        # u8 stream, write the word planes. The data salt
+                        # and the [n_valid | signature] reduction are fused
+                        # INTO the encode kernel (zero extra HBM traffic);
+                        # the kernel's plane writes cannot be elided — the
+                        # sig output is consumed and a Pallas custom call
+                        # runs whole. The previous bench salted the input
+                        # and re-read both planes in XLA passes, paying
+                        # ~2.3x the production program's memory volume
+                        # (~240 vs ~112 MB per 16M-base batch at k=21).
+                        from dna_kmeres_parallel_tpu.ops.encode_pallas import (
+                            rolling_codes_split_pallas,
+                        )
+
+                        *_, sig = rolling_codes_split_pallas(
+                            xs[i % n_distinct],
+                            n_own,
+                            k,
+                            canonical,
+                            interpret=(pallas == "interpret"),
+                            salt=salt,
+                            want_sig=True,
+                        )
+                        n_valid = jnp.sum(sig[:, :128], dtype=jnp.int32)
+                        sg = jnp.sum(sig[:, 128:], dtype=jnp.int32)
+                        return acc + jnp.stack([n_valid, sg]), None
                     x = (
-                        xs[i % n_distinct]
-                        + (salt0 + i // n_distinct).astype(jnp.uint8)
+                        xs[i % n_distinct] + salt.astype(jnp.uint8)
                     ) & jnp.uint8(3)
                     words = sparse_ops._encode_words(
                         x, n_own, k, canonical, pallas

@@ -225,6 +225,11 @@ int main() {
       printf("lsd_radix 34b/32K:      %7.1f Melem/s\n", BL / best / 1e6);
       // Digit-width sweep for the in-bucket LSD: fewer dst streams keep
       // the scatter's store lines L1-resident at the cost of more passes.
+      // MEASURED DEAD END (2026-08-19, bucket-size sweep 32K..8M u64):
+      // digits 9-11 win only at L2-resident bucket sizes and only by ~5%
+      // (within this VM's noise); at >= 256K elements the 12-bit 3-pass
+      // choice wins by 10-40% (DRAM sweeps dominate, fewer passes win).
+      // RadixTraits' 12-bit default stands; no adaptive digit needed.
       for (int dig : {7, 8, 9, 10, 11}) {
         auto lsd_d = [&](uint64_t* buf, uint64_t* s, int64_t n, int bits) {
           std::vector<uint32_t> cnt(1 << dig);

@@ -46,23 +46,46 @@ def _rev16_digits(x):
 
 
 def _make_encode_kernel(
-    k: int, canonical: bool, chunk: int, single: bool, hi16: bool
+    k: int,
+    canonical: bool,
+    chunk: int,
+    single: bool,
+    hi16: bool,
+    with_salt: bool,
+    want_sig: bool,
 ):
     nlo = _lo_bases(k)
     nhi = k - nlo
 
-    def kernel(bases_ref, n_own_ref, *out_refs):
+    def kernel(bases_ref, halo_ref, n_own_ref, *rest):
+        if with_salt:
+            salt_ref, rest = rest[0], rest[1:]
+        out_refs = rest
+        if want_sig:
+            sig_ref, out_refs = out_refs[-1], out_refs[:-1]
         lo_ref = out_refs[-1]
         hi_ref = None if single else out_refs[0]
-        # Vectorized over the whole [8, row_w] block (per-row processing
+        # Vectorized over the whole [8, chunk+128] block (per-row processing
         # wastes 7/8 of the VPU sublanes): each row is a contiguous stream
-        # span with its own halo tail, so window s of every row is the
-        # column slice at offset s — realized as a lane roll so widths stay
-        # constant (wrapped tail lanes are garbage beyond the halo and are
-        # cropped by the final [:, :chunk] store).
+        # span, and its (k-1)-base halo tail is the next row's 128-lane head
+        # (shipped as the tiny `halo` input — the old design materialized a
+        # whole overlapped-rows copy of the stream in an XLA pre-pass).
+        # Window s of every row is the column slice at offset s — realized
+        # as a lane roll so widths stay constant (wrapped tail lanes are
+        # garbage beyond the halo and are cropped by the final [:, :chunk]
+        # store).
         t = pl.program_id(0)
         n_own = n_own_ref[0, 0]
-        w = bases_ref[:].astype(jnp.int32)  # int32 compare domain (Mosaic)
+        w = jnp.concatenate(
+            [bases_ref[:].astype(jnp.int32), halo_ref[:].astype(jnp.int32)],
+            axis=1,
+        )  # int32 compare domain (Mosaic)
+        if with_salt:
+            # Benchmark-only data rotation (distinct window codes per scan
+            # iteration at zero extra HBM traffic): valid bases rotate
+            # through the alphabet, invalid stay invalid.
+            s = salt_ref[0, 0]
+            w = jnp.where(w < 4, (w + s) & 3, w)
         row_w = w.shape[1]
 
         def lroll(a, off):  # a[:, i + off] at column i
@@ -139,6 +162,43 @@ def _make_encode_kernel(
         sent_i = jnp.int32(-1)  # 0xFFFFFFFF
         lo_i = jax.lax.bitcast_convert_type(lo, jnp.int32)
         lo_ref[:] = jnp.where(valid, lo_i, sent_i)
+        if want_sig:
+            # Fused benchmark reduction: per-block [valid-count | signature]
+            # partials accumulated across grid steps into one [8, 256]
+            # output (cols 0:128 = n_valid, 128:256 = an order- AND value-
+            # dependent mix of both word planes). Computing this here costs
+            # a few VPU ops per element and ZERO extra HBM traffic — the
+            # old bench re-read the full word planes (96 MB per 16M bases
+            # at k=21) just to build this signature, paying ~2x the
+            # production program's memory volume. int32 adds wrap mod 2^32;
+            # consumers compare wrapped.
+            valid_i = valid.astype(jnp.int32)
+            hi_i32 = (
+                jax.lax.bitcast_convert_type(hi, jnp.int32)
+                if not single
+                else jnp.int32(0)
+            )
+            mix = jnp.where(
+                valid,
+                ((lo_i & 0x7FFF) + (hi_i32 & 0x7FFF)) * (pos | 1),
+                0,
+            )
+            nv = jnp.zeros((8, 128), jnp.int32)
+            sg = jnp.zeros((8, 128), jnp.int32)
+            for j in range(chunk // 128):
+                sl = (slice(None), slice(j * 128, (j + 1) * 128))
+                nv = nv + valid_i[sl]
+                sg = sg + mix[sl]
+            blk = jnp.concatenate([nv, sg], axis=1)
+
+            @pl.when(t == 0)
+            def _():
+                sig_ref[:] = blk
+
+            @pl.when(t != 0)
+            def _():
+                sig_ref[:] = sig_ref[:] + blk
+
         if hi_ref is not None and hi16:
             # The 16 <= k <= 23 band: hi fits 14 bits, so the kernel emits
             # the int16 plane DIRECTLY (sentinel 0xFFFF = -1) — half the
@@ -156,7 +216,7 @@ def _make_encode_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "canonical", "interpret")
+    jax.jit, static_argnames=("k", "canonical", "interpret", "want_sig")
 )
 def rolling_codes_split_pallas(
     bases: jax.Array,
@@ -164,6 +224,8 @@ def rolling_codes_split_pallas(
     k: int,
     canonical: bool = False,
     interpret: bool = False,
+    salt: jax.Array | None = None,
+    want_sig: bool = False,
 ):
     """[T] uint8 stream -> (hi, lo) window codes [Tp] (sentinel all-ones
     where invalid / beyond n_own; Tp = T rounded up to the tile span — the
@@ -172,7 +234,15 @@ def rolling_codes_split_pallas(
     For k <= 15 the full code fits lo, so hi is None and the kernel writes
     a single output plane (half the HBM store traffic). For 16 <= k <= 23
     hi is emitted as uint16 directly (sentinel 0xFFFF); above that, uint32
-    (sentinel 0xFFFFFFFF)."""
+    (sentinel 0xFFFFFFFF).
+
+    Benchmark hooks (zero cost when unused): `salt` rotates valid bases
+    through the alphabet inside the kernel (distinct data per scan
+    iteration without an XLA pre-pass); `want_sig=True` appends a third
+    return value, an [8, 256] int32 block of fused partial reductions
+    (cols 0:128 sum to the valid-window count, 128:256 to an order- and
+    value-dependent signature), letting benches consume the kernel without
+    re-reading the word planes."""
     if not (1 <= k <= MAX_SPARSE_K):
         raise ValueError(f"k must be in [1, {MAX_SPARSE_K}]")
     single = k <= MAX_SINGLE_WORD_K
@@ -194,44 +264,67 @@ def rolling_codes_split_pallas(
         raise ValueError(
             f"KMER_TPU_ENC_CHUNK must be a positive multiple of 128, got {chunk}"
         )
-    halo = k - 1
-    # Lane-aligned row width (non-128-multiple block widths crash Mosaic).
-    row_w = _round_up(chunk + halo, 128)
     span = 8 * chunk
     Tp = _round_up(max(T, span), span)
     n_tiles = Tp // span
     n_rows = n_tiles * 8
-    from dna_kmeres_parallel_tpu.ops.histogram_pallas import _overlapped_rows
+    # The stream lays out as [n_rows, chunk] row spans — a FREE reshape
+    # when T is already span-aligned (one pad pass otherwise). Each row's
+    # (k-1)-base halo is the head of the NEXT row, shipped as a tiny
+    # [n_rows, 128] side input (k <= 31 -> halo <= 30 < 128) and
+    # concatenated in-kernel; the old _overlapped_rows pre-pass copied the
+    # whole stream through HBM once more per dispatch.
+    if T == Tp:
+        main = bases.reshape(n_rows, chunk)
+    else:
+        padded = jnp.full((Tp,), INVALID, jnp.uint8).at[:T].set(bases)
+        main = padded.reshape(n_rows, chunk)
+    halos = jnp.concatenate(
+        [main[1:, :128], jnp.full((1, 128), INVALID, jnp.uint8)], axis=0
+    )
 
-    rows = _overlapped_rows(bases, T, Tp, n_rows, chunk, row_w)
-
-    kernel = _make_encode_kernel(k, canonical, chunk, single, hi16)
+    kernel = _make_encode_kernel(
+        k, canonical, chunk, single, hi16, salt is not None, want_sig
+    )
     n_out = 1 if single else 2
     out_dtypes = ([jnp.int16] if hi16 else [jnp.int32])[: n_out - 1] + [
         jnp.int32
     ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_rows, chunk), dt) for dt in out_dtypes
+    ]
+    out_specs = [
+        pl.BlockSpec((8, chunk), lambda t: (t, 0), memory_space=pltpu.VMEM)
+        for _ in range(n_out)
+    ]
+    if want_sig:
+        out_shapes.append(jax.ShapeDtypeStruct((8, 256), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec((8, 256), lambda t: (0, 0), memory_space=pltpu.VMEM)
+        )
+    in_specs = [
+        pl.BlockSpec((8, chunk), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, 128), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+    ]
+    args = [main, halos, jnp.asarray(n_own, dtype=jnp.int32).reshape(1, 1)]
+    if salt is not None:
+        in_specs.append(pl.BlockSpec((1, 1), memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(salt, dtype=jnp.int32).reshape(1, 1))
     out = pl.pallas_call(
         kernel,
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((n_rows, chunk), dt) for dt in out_dtypes
-        ),
+        out_shape=tuple(out_shapes),
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(
-                (8, row_w), lambda t: (t, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
-        ],
-        out_specs=tuple(
-            pl.BlockSpec((8, chunk), lambda t: (t, 0), memory_space=pltpu.VMEM)
-            for _ in range(n_out)
-        ),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
         interpret=interpret,
-    )(rows, jnp.asarray(n_own, dtype=jnp.int32).reshape(1, 1))
-    lo = jax.lax.bitcast_convert_type(out[-1].reshape(-1), jnp.uint32)
+    )(*args)
+    sig = out[-1] if want_sig else None
+    planes = out[:-1] if want_sig else out
+    lo = jax.lax.bitcast_convert_type(planes[-1].reshape(-1), jnp.uint32)
     if single:
-        return None, lo
+        return (None, lo, sig) if want_sig else (None, lo)
     hi = jax.lax.bitcast_convert_type(
-        out[0].reshape(-1), jnp.uint16 if hi16 else jnp.uint32
+        planes[0].reshape(-1), jnp.uint16 if hi16 else jnp.uint32
     )
-    return hi, lo
+    return (hi, lo, sig) if want_sig else (hi, lo)

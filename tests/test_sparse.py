@@ -402,3 +402,67 @@ def test_sparse_engine_packed_feed(make_dna):
     assert np.array_equal(a.codes, b.codes)
     assert np.array_equal(a.counts, b.counts)
     assert a.table() == oracle.count_table_any_k(seqs, k)
+
+
+@pytest.mark.parametrize("k", [13, 21, 31])
+def test_encoder_fused_sig_and_salt(make_dna, k):
+    """The in-kernel bench hooks: want_sig's [8, 256] block must reduce to
+    the exact valid-window count and to the same order/value-dependent
+    signature recomputed from the returned planes; salt must equal an
+    alphabet rotation of the input applied before encoding."""
+    from dna_kmeres_parallel_tpu.ops.encode_pallas import (
+        rolling_codes_split_pallas,
+    )
+
+    s = make_dna(900, invalid_frac=0.04)
+    bases = np.asarray(codec.encode_bases(s))
+    n_own = len(s) - k + 1
+    hi, lo, sig = rolling_codes_split_pallas(
+        jnp.asarray(bases),
+        jnp.int32(n_own),
+        k,
+        want_sig=True,
+        salt=jnp.int32(0),
+        interpret=True,
+    )
+    ref_hi, ref_lo = rolling_codes_split_pallas(
+        jnp.asarray(bases), jnp.int32(n_own), k, interpret=True
+    )
+    if ref_hi is not None:
+        assert np.array_equal(np.asarray(hi), np.asarray(ref_hi))
+    assert np.array_equal(np.asarray(lo), np.asarray(ref_lo))
+
+    lo_np = np.asarray(lo).astype(np.int64)
+    major = np.asarray(hi if hi is not None else lo)
+    sent = np.iinfo(major.dtype).max
+    valid = major != sent
+    sig_np = np.asarray(sig, dtype=np.int64)
+    assert int(sig_np[:, :128].sum()) % (1 << 32) == int(valid.sum())
+    pos = np.arange(lo_np.size, dtype=np.int64)
+    hi_np = (
+        np.asarray(hi).astype(np.int64) if hi is not None else np.zeros_like(pos)
+    )
+    mix = np.where(
+        valid, ((lo_np & 0x7FFF) + (hi_np & 0x7FFF)) * (pos | 1), 0
+    )
+    assert int(sig_np[:, 128:].sum()) % (1 << 32) == int(mix.sum()) % (1 << 32)
+
+    # Salt = alphabet rotation of valid bases before encoding.
+    rot = np.where(bases < 4, (bases + 3) & 3, bases).astype(np.uint8)
+    hi_s, lo_s, sig_s = rolling_codes_split_pallas(
+        jnp.asarray(bases),
+        jnp.int32(n_own),
+        k,
+        want_sig=True,
+        salt=jnp.int32(3),
+        interpret=True,
+    )
+    ref_hi2, ref_lo2 = rolling_codes_split_pallas(
+        jnp.asarray(rot), jnp.int32(n_own), k, interpret=True
+    )
+    if ref_hi2 is not None:
+        assert np.array_equal(np.asarray(hi_s), np.asarray(ref_hi2))
+    assert np.array_equal(np.asarray(lo_s), np.asarray(ref_lo2))
+    assert int(np.asarray(sig_s, dtype=np.int64)[:, :128].sum()) % (
+        1 << 32
+    ) == int(valid.sum())
