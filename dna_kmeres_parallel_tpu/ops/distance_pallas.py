@@ -12,9 +12,12 @@ one-query-per-launch kernels (/root/reference/main.cu:327-335, kernels.h:85-109)
 Integer in, integer out: the float distance formula is applied downstream by
 ops.distance.finish_distances for bit-exact parity (SURVEY.md §2.4.4).
 
-B (padded bins) is static and must be modest (<= 512: unrolled loop); this
-covers the reference workload k=3/4 (64/256 bins). Larger-k distances route
-to the jnp path in ops/distance.py.
+Bins beyond the per-step unroll budget (512) are TILED over an extra grid
+dimension: the output tile stays resident in VMEM while consecutive grid
+steps accumulate one 512-bin slab each, so any bins <= _MAX_BINS (64K =
+k <= 8, the dense-distance regime) runs in one fused program. Larger-k
+distances route to the jnp path in ops/distance.py (and beyond dense, the
+sparse-table engine).
 """
 
 from __future__ import annotations
@@ -29,26 +32,64 @@ from jax.experimental.pallas import tpu as pltpu
 _TI = 256
 _TJ = 256
 _MAX_UNROLL_B = 512
+#: bins cap for the fused kernels (bins-tiled accumulation; 4^8 = 64K
+#: covers every dense-histogram k — larger k is the sparse engine's regime)
+_MAX_BINS = 65536
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _min_sum_kernel(a_ref, ct_ref, out_ref, n_bins: int | None = None):
-    """a_ref: [TI, B] int32; ct_ref: [B, TJ] int32; out_ref: [TI, TJ] int32.
+def _bin_tiling(B: int) -> tuple[int, int, int]:
+    """(Bp, bt, nb): lane-padded bins, bin-tile width, number of bin tiles."""
+    if B > _MAX_BINS:
+        raise ValueError(
+            f"pallas min-sum kernel supports bins <= {_MAX_BINS}, got {B}"
+        )
+    Bp = _round_up(B, 128)
+    bt = min(Bp, _MAX_UNROLL_B)
+    Bp = _round_up(Bp, bt)
+    return Bp, bt, Bp // bt
 
-    n_bins: REAL bin count — the arrays are lane-padded to a 128 multiple,
-    and padding bins are all-zero (min(0,0)=0 contributes nothing), so the
-    loop skips them: at k=3 (64 bins padded to 128) that halves the
-    kernel's work."""
-    B = a_ref.shape[1] if n_bins is None else n_bins
-    acc = jnp.zeros(out_ref.shape, jnp.int32)
-    for b in range(B):  # static unroll; B <= _MAX_UNROLL_B
+
+def _min_sum_slab(a_ref, ct_ref, unroll: int):
+    """One [TI, bt] x [bt, TJ] (min,+) slab -> [TI, TJ] partial sums.
+
+    unroll: REAL bins in this slab — arrays are lane-padded to a 128
+    multiple and padding bins are all-zero (min(0,0)=0 contributes
+    nothing), so a single-slab call skips them: at k=3 (64 bins padded to
+    128) that halves the kernel's work.
+    """
+    acc = None
+    for b in range(unroll):  # static unroll; unroll <= _MAX_UNROLL_B
         col = a_ref[:, b : b + 1]  # [TI, 1] broadcast over lanes
         row = ct_ref[b : b + 1, :]  # [1, TJ] broadcast over sublanes
-        acc = acc + jnp.minimum(col, row)
-    out_ref[:] = acc
+        term = jnp.minimum(col, row)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _min_sum_kernel(a_ref, ct_ref, out_ref, n_bins: int | None = None):
+    """Single-slab variant (bins fit one unroll): [TI, B] x [B, TJ]."""
+    B = a_ref.shape[1] if n_bins is None else n_bins
+    out_ref[:] = _min_sum_slab(a_ref, ct_ref, B)
+
+
+def _min_sum_kernel_tiled(a_ref, ct_ref, out_ref, bt: int, bin_dim: int):
+    """Bins-tiled variant: grid dim ``bin_dim`` walks bin slabs (fastest
+    axis, so the out block stays resident and accumulates across steps)."""
+    b_idx = pl.program_id(bin_dim)
+
+    slab = _min_sum_slab(a_ref, ct_ref, bt)
+
+    @pl.when(b_idx == 0)
+    def _():
+        out_ref[:] = slab
+
+    @pl.when(b_idx != 0)
+    def _():
+        out_ref[:] = out_ref[:] + slab
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -67,31 +108,33 @@ def min_sum_matrix_pallas_tri(
     comment-only "read i <= j" contract for consumers to violate).
     """
     S, B = counts.shape
-    if B > _MAX_UNROLL_B:
-        raise ValueError(
-            f"pallas min-sum kernel supports bins <= {_MAX_UNROLL_B}, got {B}"
-        )
     T = 256
     Sp = _round_up(max(S, 8), T)
-    Bp = _round_up(B, 128)
+    Bp, bt, nb = _bin_tiling(B)
     padded = jnp.zeros((Sp, Bp), jnp.int32).at[:S, :B].set(counts)
     transposed = padded.T
     nt = Sp // T
     coords = [(i, j) for i in range(nt) for j in range(i, nt)]
     ti = jnp.asarray([c[0] for c in coords], jnp.int32)
     tj = jnp.asarray([c[1] for c in coords], jnp.int32)
+    # Bin slabs are the FASTEST grid axis: the out block index is constant
+    # across them, so the accumulator tile stays resident in VMEM.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(len(coords),),
+        grid=(len(coords), nb),
         in_specs=[
-            pl.BlockSpec((T, Bp), lambda t, ti, tj: (ti[t], 0)),
-            pl.BlockSpec((Bp, T), lambda t, ti, tj: (0, tj[t])),
+            pl.BlockSpec((T, bt), lambda t, b, ti, tj: (ti[t], b)),
+            pl.BlockSpec((bt, T), lambda t, b, ti, tj: (b, tj[t])),
         ],
-        out_specs=pl.BlockSpec((T, T), lambda t, ti, tj: (ti[t], tj[t])),
+        out_specs=pl.BlockSpec((T, T), lambda t, b, ti, tj: (ti[t], tj[t])),
     )
+
     def kernel(ti_ref, tj_ref, a_ref, ct_ref, out_ref):
         del ti_ref, tj_ref  # consumed by the index maps only
-        _min_sum_kernel(a_ref, ct_ref, out_ref, n_bins=B)
+        if nb == 1:
+            _min_sum_kernel(a_ref, ct_ref, out_ref, n_bins=B)
+        else:
+            _min_sum_kernel_tiled(a_ref, ct_ref, out_ref, bt, bin_dim=1)
 
     out = pl.pallas_call(
         kernel,
@@ -126,32 +169,35 @@ def min_sum_matrix_pallas(
     other = counts if counts_other is None else counts_other
     S, B = counts.shape
     S2 = other.shape[0]
-    if B > _MAX_UNROLL_B:
-        raise ValueError(
-            f"pallas min-sum kernel supports bins <= {_MAX_UNROLL_B}, got {B}"
-        )
     Sp = _round_up(max(S, 8), _TI)
     S2p = _round_up(max(S2, 8), _TJ)
-    Bp = _round_up(B, 128)
+    Bp, bt, nb = _bin_tiling(B)
     padded = jnp.zeros((Sp, Bp), jnp.int32).at[:S, :B].set(counts)
     other_p = jnp.zeros((S2p, Bp), jnp.int32).at[:S2, :B].set(other)
     transposed = other_p.T  # [Bp, S2p]
 
-    grid = (Sp // _TI, S2p // _TJ)
+    if nb == 1:
+        kernel = functools.partial(_min_sum_kernel, n_bins=B)
+    else:
+        kernel = functools.partial(
+            _min_sum_kernel_tiled, bt=bt, bin_dim=2
+        )
+    # Bin slabs innermost: the out block accumulates in VMEM across them.
+    grid = (Sp // _TI, S2p // _TJ, nb)
     out = pl.pallas_call(
-        functools.partial(_min_sum_kernel, n_bins=B),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((Sp, S2p), jnp.int32),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (_TI, Bp), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                (_TI, bt), lambda i, j, b: (i, b), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (Bp, _TJ), lambda i, j: (0, j), memory_space=pltpu.VMEM
+                (bt, _TJ), lambda i, j, b: (b, j), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (_TI, _TJ), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            (_TI, _TJ), lambda i, j, b: (i, j), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Sp * S2p * Bp,

@@ -269,6 +269,154 @@ def _make_hist2d_fused_kernel(
     return kernel
 
 
+# ---------------------------------------------------------------------------
+# Flat histogram: bit-plane agreement matmul (small/medium bins)
+# ---------------------------------------------------------------------------
+
+#: total agreement planes (2k code bits + 1 validity + constant padding).
+#: Fixed at 16 so the match test is branch-free: dot in [-16, 16] and
+#: match <=> dot == 16 <=> (dot + 16) >> 5 == 1.
+_BP_PLANES = 16
+#: bins cap for the bit-plane kernel: 2k + 1 <= 16 planes => k <= 7, and
+#: the [W, chunk] agreement plane must fit VMEM.
+_BP_MAX_BINS = 16384
+
+
+def _make_hist_bitplane_kernel(k: int, canonical: bool, chunk: int, W: int):
+    """uint8 bases (halo rows) -> rolling codes -> bit-plane +-1 matrix ->
+    ONE int8 MXU matmul per row against the static bin-pattern matrix ->
+    branch-free match extraction -> [W, 128] lane-parallel accumulators.
+
+    Why this beats the compare-based one-hot (the H=1 branch of the
+    two-level kernel): that path pays a [1, chunk] -> [chunk, 1] relayout
+    per row (lane->sublane transpose) and a cross-SUBLANE reduction of the
+    [chunk, W] one-hot, both poorly shaped for the VPU. Here every VPU op
+    is a natural [W, chunk] lane op: bins live on sublanes, windows on
+    lanes, the one-hot never changes layout, and the reduction over
+    windows is 128-lane-wide adds into a [W, 128] accumulator (folded to
+    [W] once, outside the kernel). The MXU builds the one-hot: code bits
+    as +-1 planes, agree[w, t] = sum_i A[w, i] * B[i, t] == 16 iff window
+    t's code == w (validity rides as plane 2k: invalid windows agree at
+    most 14).
+    """
+
+    def kernel(bases_ref, n_own_ref, a_ref, out_ref):
+        t = pl.program_id(0)
+        n_own = n_own_ref[0, 0]
+
+        code = jnp.zeros((8, chunk), jnp.int32)
+        valid = jnp.ones((8, chunk), jnp.bool_)
+        for s in range(k):  # static unroll: rolling code (rows carry their
+            # k-1 halo in the tail columns — see _overlapped_rows)
+            w = jax.lax.slice_in_dim(bases_ref[:], s, s + chunk, axis=1).astype(
+                jnp.int32
+            )
+            valid = valid & (w < 4)
+            code = (code << 2) | (w & 3)
+        if canonical:
+            rc = jnp.zeros_like(code)
+            c = code
+            for _ in range(k):
+                rc = (rc << 2) | ((c & 3) ^ 3)
+                c = c >> 2
+            code = jnp.minimum(code, rc)
+        pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (8, chunk), 1)
+            + (jax.lax.broadcasted_iota(jnp.int32, (8, chunk), 0) + t * 8)
+            * chunk
+        )
+        valid_i = (valid & (pos < n_own)).astype(jnp.int32)
+
+        @pl.when(t == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        acc = out_ref[:]
+        a_mat = a_ref[:]  # [W, 16] int8 static bin patterns
+        for r in range(8):
+            rows = []
+            for i in range(2 * k):  # code bit planes, +-1
+                rows.append(((code[r : r + 1, :] >> i) & 1) * 2 - 1)
+            rows.append(valid_i[r : r + 1, :] * 2 - 1)  # validity plane
+            for _ in range(_BP_PLANES - 2 * k - 1):  # constant +1 padding
+                rows.append(jnp.ones((1, chunk), jnp.int32))
+            b_mat = jnp.concatenate(rows, axis=0).astype(jnp.int8)
+            agree = jnp.dot(a_mat, b_mat, preferred_element_type=jnp.int32)
+            oh = (agree + _BP_PLANES) >> 5  # 1 iff agree == 16, else 0
+            for j in range(chunk // 128):
+                acc = acc + oh[:, j * 128 : (j + 1) * 128]
+        out_ref[:] = acc
+
+    return kernel
+
+
+def _bitplane_patterns(k: int, W: int, bins: int):
+    """Static [W, 16] int8 bin-pattern matrix: row w holds bin w's 2k code
+    bits as +-1, a +1 validity plane, then +1 padding planes; rows past
+    ``bins`` hold -1 in the validity plane so they can never match."""
+    import numpy as np
+
+    a = np.ones((W, _BP_PLANES), np.int8)
+    w_ids = np.arange(W, dtype=np.int64)
+    for i in range(2 * k):
+        a[:, i] = (((w_ids >> i) & 1) * 2 - 1).astype(np.int8)
+    a[bins:, 2 * k] = -1  # padding bins: validity plane mismatch
+    return a
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "bins", "canonical", "interpret")
+)
+def histogram_bitplane_pallas(
+    bases: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    bins: int,
+    canonical: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flat [T] uint8 base stream -> [bins] int32 histogram via the
+    bit-plane agreement matmul (see _make_hist_bitplane_kernel). Exact;
+    bins <= _BP_MAX_BINS (k <= 7)."""
+    if bins > _BP_MAX_BINS:
+        raise ValueError(
+            f"bit-plane histogram supports bins <= {_BP_MAX_BINS}, got {bins}"
+        )
+    T = bases.shape[0]
+    W = _round_up(bins, 128)
+    chunk = int(os.environ.get("KMER_TPU_HIST_CHUNK", "512"))
+    halo = k - 1
+    row_w = _round_up(chunk + halo, 128)
+    span = chunk * 8
+    Tp = _round_up(max(T, span), span)
+    n_tiles = Tp // span
+    rows = _overlapped_rows(bases, T, Tp, n_tiles * 8, chunk, row_w)
+    a_mat = jnp.asarray(_bitplane_patterns(k, W, bins))
+
+    kernel = _make_hist_bitplane_kernel(k, canonical, chunk, W)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((W, 128), jnp.int32),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, row_w), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (W, _BP_PLANES), lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (W, 128), lambda t: (0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(
+        rows,
+        jnp.asarray(n_own, dtype=jnp.int32).reshape(1, 1),
+        a_mat,
+    )
+    return jnp.sum(out, axis=1)[:bins]
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "bins", "canonical", "interpret")
 )

@@ -117,6 +117,17 @@ def _route_owner(b, hi, lo, valid, k, D, owner_mode, minimizer_m,
         mini = window_minimizers(b, k, minimizer_m)
         h32 = mini.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
         owner = (((h32 >> 16) * jnp.uint32(D)) >> 16).astype(jnp.int32)
+        if owner.shape[0] < valid.shape[0]:
+            # Pallas-encoded planes carry a tile-padding tail past T-k+1;
+            # those entries are invalid (sentinels) and route to D.
+            owner = jnp.concatenate(
+                [
+                    owner,
+                    jnp.full(
+                        (valid.shape[0] - owner.shape[0],), D, jnp.int32
+                    ),
+                ]
+            )
     else:
         owner_src = hi if use_hi else lo
         top = (owner_src >> shift).astype(jnp.uint32)
@@ -124,8 +135,30 @@ def _route_owner(b, hi, lo, valid, k, D, owner_mode, minimizer_m,
     return jnp.where(valid, owner, jnp.int32(D))
 
 
+def _encode_shard_words(b, n_own, k, canonical, pallas):
+    """One shard's encode for the bucketed exchanges: the SAME program as
+    the single-chip path (ops/sparse._encode_words — Pallas fused encoder
+    when pallas is set), so every chip of the mesh runs the fast encode.
+
+    Returns (hi, lo, valid): hi in its native width (None for k <= 15,
+    uint16 for 16 <= k <= 23, else uint32), lo uint32, both holding
+    all-ones sentinels at invalid/unowned windows; valid is the mask.
+    Plane length is T-k+1 on the XLA path and T rounded up to the encoder
+    tile span on the Pallas path (the padding tail is sentinels)."""
+    words = sparse_ops._encode_words(b, n_own, k, canonical, pallas)
+    if len(words) == 1:
+        lo = words[0]
+        # k <= 15: codes < 2^30, so the sentinel cannot collide with a code.
+        return None, lo, lo != _SENTINEL
+    hi, lo = words
+    return hi, lo, hi != sparse_ops.word_sentinel(hi.dtype)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "canonical", "mesh", "axis", "owner_mode", "minimizer_m")
+    jax.jit,
+    static_argnames=(
+        "k", "canonical", "mesh", "axis", "owner_mode", "minimizer_m", "pallas"
+    ),
 )
 def count_bucket_sharded(
     bases: jax.Array,
@@ -136,6 +169,7 @@ def count_bucket_sharded(
     axis: str = DATA_AXIS,
     owner_mode: str = "prefix",
     minimizer_m: int = 7,
+    pallas: str | None = None,
 ):
     """Bucket-sharded sparse count of a sharded base stream.
 
@@ -146,6 +180,8 @@ def count_bucket_sharded(
       concatenate globally sorted); 'minimizer' routes by a multiplicative
       hash of the window's minimizer m-mer (KMC-style; smoother load under
       skew, tables merged by the host gather).
+    pallas: 'compiled'/'interpret' routes each shard's encode through the
+      fused Pallas kernel (same program as the single-chip path).
 
     Returns (hi, lo, counts, starts, overflow):
       hi/lo/counts/starts: [D, cap * D] masked RLE sub-tables, device d
@@ -189,12 +225,16 @@ def count_bucket_sharded(
     def shard_fn(b, n_own):
         b = b.reshape(-1)
         n_own = n_own.reshape(())
-        (hi, lo), valid = sparse_ops.rolling_codes_split(b, k)
+        hi_n, lo, valid = _encode_shard_words(b, n_own, k, canonical, pallas)
+        # This path's sorts and searchsorted edges work in u32 hi space;
+        # widen the native-width plane (sentinel-preserving).
+        if hi_n is None:
+            hi = jnp.where(valid, jnp.uint32(0), _SENTINEL)
+        elif hi_n.dtype == jnp.uint16:
+            hi = jnp.where(valid, hi_n.astype(jnp.uint32), _SENTINEL)
+        else:
+            hi = hi_n
         n = hi.shape[0]
-        pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-        valid = valid & (pos < n_own)
-        if canonical:
-            hi, lo = sparse_ops.canonicalize_split(hi, lo, k)
 
         # In prefix mode with owner = the TOP bits of hi, owner order is
         # monotone in the (hi, lo) sort key, so the owner word need not be
@@ -205,8 +245,6 @@ def count_bucket_sharded(
 
         owner = _route_owner(b, hi, lo, valid, k, D, owner_mode,
                              minimizer_m, shift, t_bits, use_hi)
-        hi = jnp.where(valid, hi, _SENTINEL)
-        lo = jnp.where(valid, lo, _SENTINEL)
 
         # Local pre-aggregation: group by (owner, code) and collapse
         # duplicates, so only DISTINCT (code, count) pairs travel over ICI.
@@ -307,7 +345,9 @@ def count_bucket_sharded(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "canonical", "mesh", "axis", "owner_mode", "minimizer_m"),
+    static_argnames=(
+        "k", "canonical", "mesh", "axis", "owner_mode", "minimizer_m", "pallas"
+    ),
 )
 def exchange_words_bucket_sharded(
     bases: jax.Array,
@@ -318,6 +358,7 @@ def exchange_words_bucket_sharded(
     axis: str = DATA_AXIS,
     owner_mode: str = "prefix",
     minimizer_m: int = 7,
+    pallas: str | None = None,
 ):
     """RAW-exchange variant of count_bucket_sharded for the no-device-sort
     era: each chip sorts its windows by OWNER ONLY (one sort key + the
@@ -350,33 +391,22 @@ def exchange_words_bucket_sharded(
     def shard_fn(b, n_own):
         b = b.reshape(-1)
         n_own = n_own.reshape(())
-        (hi, lo), valid = sparse_ops.rolling_codes_split(b, k)
-        n = hi.shape[0]
-        pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-        valid = valid & (pos < n_own)
-        if canonical:
-            hi, lo = sparse_ops.canonicalize_split(hi, lo, k)
+        # Native-width planes (hi u16 for 16 <= k <= 23 — already narrowed
+        # by _encode_words, halving both the sort payload and ICI volume).
+        hi, lo, valid = _encode_shard_words(b, n_own, k, canonical, pallas)
 
         owner = _route_owner(b, hi, lo, valid, k, D, owner_mode,
                              minimizer_m, shift, t_bits, use_hi)
-        hi = jnp.where(valid, hi, _SENTINEL)
-        lo = jnp.where(valid, lo, _SENTINEL)
 
         # ONE owner-key sort; words travel as payload operands (invalid
         # windows route to pseudo-owner D past every real segment). For
-        # single-word k the hi plane is all-zeros: drop it from the sort
-        # (each extra 32-bit operand costs ~28%) and from the exchange.
+        # single-word k the hi plane is absent entirely — dropped from the
+        # sort (each extra 32-bit operand costs ~28%) and the exchange.
         if single:
             owner_s, lo_s = jax.lax.sort((owner, lo), num_keys=1)
             hi_s = lo_s  # placeholder; never shipped nor read
         else:
             owner_s, hi_s, lo_s = jax.lax.sort((owner, hi, lo), num_keys=1)
-        if narrow16:
-            # 16 <= k <= 23: hi fits 14 bits — narrow BEFORE the exchange
-            # so the hi plane's ICI volume halves (sentinel -> 0xFFFF).
-            hi_s = jnp.where(
-                hi_s == _SENTINEL, jnp.uint16(0xFFFF), hi_s.astype(jnp.uint16)
-            )
         targets = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0).squeeze(-1)
         starts = jnp.searchsorted(owner_s, targets)
         ends = jnp.searchsorted(owner_s, targets, side="right")
@@ -431,17 +461,23 @@ def count_bucket_sharded_raw(
     owner_mode: str = "prefix",
     minimizer_m: int = 7,
     total_own=None,
+    pallas: str | None = "auto",
 ):
     """Host-driver convenience for the raw exchange: shard with halos,
     exchange unsorted words, radix-compact each device's plane on host,
     merge. Raises on send-capacity overflow (see
-    exchange_words_bucket_sharded for the skew trade-off)."""
+    exchange_words_bucket_sharded for the skew trade-off).
+    pallas: 'auto' resolves per backend (fused Pallas encoder on TPU)."""
     from dna_kmeres_parallel_tpu.models.sparse_engine import (
         compact_unsorted,
         fetch_words,
         merge_sparse_tables,
     )
 
+    if pallas == "auto":
+        from dna_kmeres_parallel_tpu.ops import runtime
+
+        pallas = runtime.pallas_mode()
     shards, n_own = shard_stream_with_halo(flat, k, mesh, axis, total_own)
     words, overflow = exchange_words_bucket_sharded(
         jnp.asarray(shards),
@@ -452,6 +488,7 @@ def count_bucket_sharded_raw(
         axis,
         owner_mode,
         minimizer_m,
+        pallas=pallas,
     )
     if bool(overflow):
         raise OverflowError(
@@ -465,6 +502,73 @@ def count_bucket_sharded_raw(
         compact_unsorted(tuple(w[d] for w in words), k) for d in range(D)
     ]
     return merge_sparse_tables(tables)
+
+
+def count_bucket_auto(
+    flat,
+    k: int,
+    canonical: bool,
+    mesh: jax.sharding.Mesh,
+    axis: str = DATA_AXIS,
+    owner_mode: str = "prefix",
+    minimizer_m: int = 7,
+    total_own=None,
+    exchange: str = "auto",
+    pallas: str | None = "auto",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Policy driver for the bucket-sharded count (the EP analogue,
+    SURVEY.md §2.5): route through the cheapest exchange that fits.
+
+    exchange='auto' (default) runs the DE-SORTED raw exchange — one
+    owner-key device sort + host radix compaction, the same no-device-sort
+    design that won 13x on the single-chip path — and falls back to the
+    AGGREGATED exchange (two multi-key sorts but local RLE pre-aggregation,
+    so send capacity is in DISTINCT codes: skew-proof on duplicated data
+    like homopolymers) if any raw send bucket overflows. 'raw', 'agg' and
+    'super' force one exchange (super = compressed minimizer-run records,
+    the lowest ICI volume; raises on pathological run density).
+    """
+    if exchange not in ("auto", "raw", "agg", "super"):
+        raise ValueError(f"unknown exchange {exchange!r}")
+    if pallas == "auto":
+        from dna_kmeres_parallel_tpu.ops import runtime
+
+        pallas = runtime.pallas_mode()
+    if exchange == "super":
+        return count_bucket_sharded_super(
+            flat, k, canonical, mesh, axis, minimizer_m, total_own
+        )
+    if exchange in ("auto", "raw"):
+        try:
+            return count_bucket_sharded_raw(
+                flat, k, canonical, mesh, axis, owner_mode, minimizer_m,
+                total_own, pallas=pallas,
+            )
+        except OverflowError:
+            if exchange == "raw":
+                raise
+    # Aggregated fallback (or exchange='agg'): RLE pre-aggregation bounds
+    # any owner's share by its DISTINCT codes, which the skewed inputs that
+    # overflow the raw path (few distinct codes, many copies) cannot exceed.
+    shards, n_own = shard_stream_with_halo(flat, k, mesh, axis, total_own)
+    hi, lo, counts, starts, overflow = count_bucket_sharded(
+        jnp.asarray(shards),
+        jnp.asarray(n_own),
+        k,
+        canonical,
+        mesh,
+        axis,
+        owner_mode,
+        minimizer_m,
+        pallas=pallas,
+    )
+    if bool(overflow):
+        raise OverflowError(
+            "bucketed aggregated exchange: an owner's distinct-code share "
+            "exceeded the send capacity — split the stream into smaller "
+            "batches (capacity scales with windows per shard)"
+        )
+    return gather_table(hi, lo, counts, starts)
 
 
 def superkmer_geometry(k: int, m: int) -> tuple[int, int]:

@@ -175,11 +175,15 @@ def count_file_multihost(path: str, config, mesh, axis: str = "data"):
 
     from dna_kmeres_parallel_tpu.parallel import sharded_count as sc
 
+    from dna_kmeres_parallel_tpu.ops import runtime
+
     ranges = split_fasta_byte_ranges(path, jax.process_count())
     start, end = ranges[jax.process_index() % len(ranges)]
     flat, total_bases, n_seqs = encode_range_stream(path, start, end)
     stream = make_global_stream(flat, mesh, axis)
+    pallas = runtime.pallas_mode() if getattr(config, "use_pallas", True) else None
     hist = sc.count_sharded(
-        stream, config.k, config.bins, config.canonical, mesh, axis
+        stream, config.k, config.bins, config.canonical, mesh, axis,
+        pallas=pallas,
     )
     return np.asarray(hist, dtype=np.int64), total_bases, n_seqs

@@ -36,8 +36,26 @@ from dna_kmeres_parallel_tpu.ops import histogram as hist_ops
 from dna_kmeres_parallel_tpu.parallel.mesh import DATA_AXIS
 
 
-def _count_shard(bases: jax.Array, n_own, k: int, bins: int, canonical: bool):
-    """Count windows starting at positions < n_own of one shard. [T]->[bins]."""
+def _count_shard(
+    bases: jax.Array,
+    n_own,
+    k: int,
+    bins: int,
+    canonical: bool,
+    pallas: str | None = None,
+):
+    """Count windows starting at positions < n_own of one shard. [T]->[bins].
+
+    pallas='compiled'/'interpret' runs the fused Pallas encode+histogram
+    kernel (ops/histogram_pallas.py) — the same single-chip device program
+    on every chip of the mesh; None is the portable XLA path."""
+    if pallas is not None:
+        from dna_kmeres_parallel_tpu.ops import histogram_pallas
+
+        return histogram_pallas.histogram_pallas(
+            bases, n_own, k, bins, canonical,
+            interpret=(pallas == "interpret"),
+        )
     codes, valid = encode_ops.rolling_codes(bases, k)
     n = codes.shape[0]
     own = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1) < n_own
@@ -66,7 +84,7 @@ def halo_exchange(bases_sharded: jax.Array, k: int, axis: str = DATA_AXIS):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "bins", "canonical", "mesh", "axis")
+    jax.jit, static_argnames=("k", "bins", "canonical", "mesh", "axis", "pallas")
 )
 def count_sharded(
     bases: jax.Array,
@@ -77,6 +95,7 @@ def count_sharded(
     axis: str = DATA_AXIS,
     n_own=None,
     acc=None,
+    pallas: str | None = None,
 ) -> jax.Array:
     """Flat base stream [D*T] -> merged dense histogram [bins] (replicated).
 
@@ -90,6 +109,8 @@ def count_sharded(
     acc (optional, traced): running histogram added INSIDE this program —
     a separate tiny add program costs ~100 ms/dispatch on the tunneled dev
     TPU (see models/engine._count_batch_acc).
+    pallas (static): 'compiled'/'interpret' runs the fused Pallas
+    encode+histogram per shard (the single-chip kernel on every chip).
     """
     n_dev = mesh.shape[axis]
     T = bases.shape[0]
@@ -104,7 +125,7 @@ def count_sharded(
             start = jax.lax.axis_index(axis).astype(jnp.int32) * shard_len
             own = jnp.minimum(own, jnp.maximum(limit.reshape(()) - start, 0))
         with_halo = halo_exchange(b, k, axis)
-        h = _count_shard(with_halo, own, k, bins, canonical)
+        h = _count_shard(with_halo, own, k, bins, canonical, pallas)
         return jax.lax.psum(h, axis)
 
     if n_own is None:

@@ -33,7 +33,7 @@ from dna_kmeres_parallel_tpu.parallel.mesh import DATA_AXIS
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "canonical", "mesh", "axis", "row_len"),
+    static_argnames=("k", "canonical", "mesh", "axis", "row_len", "pallas"),
 )
 def sort_words_rows_sharded(
     bases: jax.Array,
@@ -43,6 +43,7 @@ def sort_words_rows_sharded(
     mesh: jax.sharding.Mesh,
     axis: str = DATA_AXIS,
     row_len: int = 2048,
+    pallas: str | None = None,
 ):
     """[D, T + k - 1] halo-carrying stream shards -> per-device row-sorted
     word planes [D, rows, row_len] (see ops/sparse.sort_words_rows).
@@ -51,6 +52,11 @@ def sort_words_rows_sharded(
     happens on host (count_sparse_sharded). Shards carry their k-1 halo and
     n_own_per_shard[d] owned windows, so every window is counted exactly
     once (halo rule, SURVEY.md §5).
+
+    pallas='compiled'/'interpret' routes each shard's encode through the
+    fused Pallas kernel (ops/encode_pallas.py) — the same ~10x-faster
+    encode the single-chip path runs; every chip of the mesh must run the
+    fast program, not the XLA fallback.
     """
 
     def shard_fn(b, n_own):
@@ -60,7 +66,7 @@ def sort_words_rows_sharded(
         # one implementation, so the DP-sparse table stays bit-identical to
         # a single-device count at any device count.
         out = sparse_ops._encode_and_sort_rows(
-            b, n_own, k, canonical, None, row_len
+            b, n_own, k, canonical, pallas, row_len
         )
         return tuple(o[None] for o in out)
 
@@ -77,7 +83,7 @@ def sort_words_rows_sharded(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "canonical", "mesh", "axis"),
+    static_argnames=("k", "canonical", "mesh", "axis", "pallas"),
 )
 def encode_words_sharded(
     bases: jax.Array,
@@ -86,17 +92,24 @@ def encode_words_sharded(
     canonical: bool,
     mesh: jax.sharding.Mesh,
     axis: str = DATA_AXIS,
+    pallas: str | None = None,
 ):
     """[D, T + k - 1] halo-carrying stream shards -> per-device UNSORTED
     word planes [D, N] — the no-device-sort DP variant: each device runs
     the encode kernel alone and the host radix compactor
     (sparse_engine.compact_unsorted) absorbs each plane. See
-    KmerConfig.device_sort."""
+    KmerConfig.device_sort.
+
+    pallas='compiled' runs the fused Pallas encoder per shard (the
+    production mode on TPU: encode-only at the HBM streaming bound on
+    every chip); 'interpret' for CI; None falls back to the XLA encode.
+    N is T-k+1 on the XLA path, T rounded up to the encoder tile span on
+    the Pallas path (sentinel tail, ignored by the host compactor)."""
 
     def shard_fn(b, n_own):
         b = b.reshape(-1)
         n_own = n_own.reshape(())
-        out = sparse_ops._encode_words(b, n_own, k, canonical, None)
+        out = sparse_ops._encode_words(b, n_own, k, canonical, pallas)
         return tuple(o[None] for o in out)
 
     n_words = 1 if k <= sparse_ops.MAX_SINGLE_WORD_K else 2
@@ -119,11 +132,14 @@ def count_sparse_sharded(
     row_len: int = 2048,
     total_own=None,
     device_sort: bool = True,
+    pallas: str | None = "auto",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Flat encoded stream -> exact sorted (codes_u64, counts_i64) table,
     counted data-parallel across the mesh (one shard per device).
     total_own: see shard_stream_with_halo (streaming batch-overlap rule).
-    device_sort=False runs encode-only shards + the host radix compactor."""
+    device_sort=False runs encode-only shards + the host radix compactor.
+    pallas: 'auto' resolves per backend (compiled on TPU — the fused
+    encoder runs on every chip); pass None/'interpret' to override."""
     from dna_kmeres_parallel_tpu.models.sparse_engine import (
         compact_table,
         compact_unsorted,
@@ -132,6 +148,10 @@ def count_sparse_sharded(
     )
     from dna_kmeres_parallel_tpu.parallel.bucketed import shard_stream_with_halo
 
+    if pallas == "auto":
+        from dna_kmeres_parallel_tpu.ops import runtime
+
+        pallas = runtime.pallas_mode()
     shards, n_own = shard_stream_with_halo(flat, k, mesh, axis, total_own)
     if device_sort:
         words = sort_words_rows_sharded(
@@ -142,10 +162,17 @@ def count_sparse_sharded(
             mesh,
             axis,
             row_len,
+            pallas=pallas,
         )
     else:
         words = encode_words_sharded(
-            jnp.asarray(shards), jnp.asarray(n_own), k, canonical, mesh, axis
+            jnp.asarray(shards),
+            jnp.asarray(n_own),
+            k,
+            canonical,
+            mesh,
+            axis,
+            pallas=pallas,
         )
     words = fetch_words(words)
     D = words[-1].shape[0]

@@ -381,3 +381,33 @@ def test_superkmer_all_invalid_and_empty(mesh8):
     flat = np.full(300, codec.INVALID_BASE, np.uint8)
     codes, counts = bucketed.count_bucket_sharded_super(flat, k, False, mesh8)
     assert codes.size == 0 and counts.size == 0
+
+
+@pytest.mark.parametrize("exchange", ["auto", "raw", "agg", "super"])
+def test_bucket_auto_matches_oracle(make_dna, mesh8, exchange):
+    from dna_kmeres_parallel_tpu.models.oracle import count_table_any_k
+
+    k = 21
+    seqs = [make_dna(160 + 13 * i, invalid_frac=0.02) for i in range(4)]
+    flat = _flat(seqs)
+    codes, cnts = bucketed.count_bucket_auto(
+        flat, k, False, mesh8, exchange=exchange, pallas=None
+    )
+    want = count_table_any_k(seqs, k, False)
+    got = {codec.code_to_kmer(int(c), k): int(n) for c, n in zip(codes, cnts)}
+    assert got == want
+
+
+def test_bucket_auto_falls_back_on_skew(mesh8):
+    # A homopolymer overflows the raw exchange's window-denominated send
+    # capacity (every window shares one owner); 'auto' must fall back to
+    # the RLE-aggregated exchange and still produce the exact table.
+    k = 21
+    flat = codec.encode_bases("A" * 4096)
+    with pytest.raises(OverflowError):
+        bucketed.count_bucket_sharded_raw(flat, k, False, mesh8, pallas=None)
+    codes, cnts = bucketed.count_bucket_auto(
+        flat, k, False, mesh8, pallas=None
+    )
+    assert codes.tolist() == [0]
+    assert cnts.tolist() == [4096 - k + 1]

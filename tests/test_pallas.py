@@ -177,3 +177,96 @@ def test_min_sum_tri_matches_full_on_triangle():
     # the tri variant mirrors the upper triangle, so the FULL matrix must
     # match (no partial-validity contract)
     assert np.array_equal(tri, full)
+
+
+@pytest.mark.parametrize("B", [640, 1024, 4096])
+def test_min_sum_pallas_bins_tiled(B):
+    """Bins past the 512 unroll budget run via the bins-tiled grid axis
+    (out tile resident in VMEM, one 512-bin slab per step) — exact."""
+    rng = np.random.default_rng(7)
+    S = 40
+    counts = jnp.asarray(rng.integers(0, 300, (S, B), dtype=np.int32))
+    got = np.asarray(
+        distance_pallas.min_sum_matrix_pallas(counts, interpret=True)
+    )
+    want = np.asarray(dist_ops.min_sum_matrix(counts, row_block=8))
+    assert np.array_equal(got, want)
+
+
+def test_min_sum_tri_bins_tiled():
+    rng = np.random.default_rng(8)
+    S, B = 300, 1024
+    counts = jnp.asarray(rng.integers(0, 500, (S, B), dtype=np.int32))
+    full = np.asarray(
+        distance_pallas.min_sum_matrix_pallas(counts, interpret=True)
+    )
+    tri = np.asarray(
+        distance_pallas.min_sum_matrix_pallas_tri(counts, interpret=True)
+    )
+    assert np.array_equal(tri, full)
+
+
+def test_min_sum_pallas_k8_distances_exact(make_dna):
+    # k=8 (64K bins) engages the tiled kernel through the engine gate; the
+    # distances must stay bit-exact vs the oracle. Keep S tiny: interpret
+    # mode walks 128 slabs per tile pair.
+    k, B = 6, 4096
+    seqs = [make_dna(200 + 7 * i, invalid_frac=0.02) for i in range(6)]
+    counts = oracle.counts_matrix(seqs, k).astype(np.int32)
+    lengths = np.array([len(s) for s in seqs], dtype=np.int64)
+    sums = np.asarray(
+        distance_pallas.min_sum_matrix_pallas_tri(
+            jnp.asarray(counts), interpret=True
+        )
+    )
+    sq = dist_ops.finish_distances(sums, lengths, k)
+    rows, cols = np.triu_indices(len(seqs), k=1)
+    want = oracle.distance_matrix_packed(seqs, k)
+    assert np.array_equal(sq[rows, cols], want)
+
+
+@pytest.mark.parametrize("k,canonical", [(3, False), (4, False), (4, True), (7, False)])
+def test_histogram_bitplane_matches_oracle(make_dna, k, canonical):
+    from dna_kmeres_parallel_tpu.ops.histogram_pallas import (
+        histogram_bitplane_pallas,
+    )
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    s = make_dna(1500, invalid_frac=0.03)
+    bases = jnp.asarray(codec.encode_bases(s))
+    got = np.asarray(
+        histogram_bitplane_pallas(
+            bases,
+            jnp.int32(len(s) - k + 1),
+            k,
+            codec.num_bins(k),
+            canonical=canonical,
+            interpret=True,
+        ),
+        dtype=np.int64,
+    )
+    want = oracle.count_vector(s, k, canonical=canonical)
+    assert np.array_equal(got, want)
+
+
+def test_histogram_bitplane_n_own_mask(make_dna):
+    # Windows starting at positions >= n_own must not count (the streaming
+    # batch-overlap rule); the invalid-window/padding-bin corner (both
+    # validity planes -1 agree) is cropped by the [:bins] slice.
+    from dna_kmeres_parallel_tpu.ops.histogram_pallas import (
+        histogram_bitplane_pallas,
+    )
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    k = 4
+    s = make_dna(800)
+    bases = jnp.asarray(codec.encode_bases(s))
+    n_own = 300
+    got = np.asarray(
+        histogram_bitplane_pallas(
+            bases, jnp.int32(n_own), k, 256, interpret=True
+        )
+    )
+    assert got.sum() == n_own
+    want = oracle.count_vector(s[: n_own + k - 1], k)
+    assert np.array_equal(got.astype(np.int64), want)
