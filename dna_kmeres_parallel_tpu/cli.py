@@ -87,6 +87,15 @@ def _add_common(p: argparse.ArgumentParser):
         "auto (default) skips the device sort when the native radix "
         "compactor is available (encode kernel alone on device)",
     )
+    p.add_argument(
+        "--compact",
+        choices=("auto", "device", "host"),
+        default="auto",
+        help="sparse streamed path: build batch tables from device-shipped "
+        "words ('device'), from the host-resident stream with the native "
+        "engine — zero D2H, for degraded links ('host'), or race the two "
+        "on the first batches and finish with the winner ('auto')",
+    )
 
 
 def _build_config(args):
@@ -100,6 +109,7 @@ def _build_config(args):
         parser_variant=args.parser,
         mesh_shape=(args.mesh,) if getattr(args, "mesh", None) else (),
         device_sort=None if ds == "auto" else ds == "on",
+        compact=getattr(args, "compact", "auto"),
     )
 
 

@@ -431,7 +431,7 @@ class KmerEngine:
         counts = self.counts_matrix(seqs)
         lengths = np.array([len(s) for s in seqs], dtype=np.int64)
         pallas = self._pallas()
-        if pallas is not None and cfg.bins <= distance_pallas._MAX_UNROLL_B:
+        if pallas is not None and cfg.bins <= distance_pallas._MAX_BINS:
             # Triangle-only grid: ~2x fewer tiles than the full matrix
             # (min is symmetric); only i < j entries are read below.
             sums = np.asarray(
@@ -475,6 +475,8 @@ class KmerEngine:
         CSV in reference format. Handles the reference's design-target
         scale (54K sequences -> 1.46G pairs) in bounded memory.
         """
+        from dna_kmeres_parallel_tpu import native
+
         cfg = self.config
         t0 = time.perf_counter()
         S = len(seqs)
@@ -482,27 +484,45 @@ class KmerEngine:
         lengths = np.array([len(s) for s in seqs], dtype=np.int64)
         pallas = self._pallas()
         n_pairs = 0
-        with open(output_path, "w", encoding="ascii") as f:
+        # Shape discipline: every panel is padded to [panel_rows, bins] and
+        # the partner matrix to a power-of-two-ish column bucket, so the
+        # whole run compiles a HANDFUL of device programs (a naive
+        # counts[r0:] trim would trace a fresh program per panel — ~30
+        # remote compiles at the 54K design scale). The trim itself stays:
+        # only columns >= r0 are computed/fetched, halving both the (min,+)
+        # work and the D2H volume across the run.
+        col_bucket = max(panel_rows, 16384)
+        counts_p = jnp.pad(counts, ((0, panel_rows), (0, 0)))
+        with open(output_path, "wb") as f:
             for r0 in range(0, S - 1, panel_rows):
                 r1 = min(r0 + panel_rows, S)
-                panel = counts[r0:r1]
-                if pallas is not None and cfg.bins <= distance_pallas._MAX_UNROLL_B:
+                rp = r1 - r0
+                panel = counts_p[r0 : r0 + panel_rows]
+                n_cols = min(_round_up(S - r0, col_bucket), S)
+                other = counts[S - n_cols :]
+                base = S - n_cols  # first column's sequence index
+                if pallas is not None and cfg.bins <= distance_pallas._MAX_BINS:
                     sums = np.asarray(
                         distance_pallas.min_sum_matrix_pallas(
-                            panel, counts, interpret=(pallas == "interpret")
+                            panel, other, interpret=(pallas == "interpret")
                         )
-                    )
+                    )[:rp]
                 else:
                     sums = np.asarray(
-                        dist_ops.min_sum_matrix(panel, counts_other=counts)
-                    )
+                        dist_ops.min_sum_matrix(panel, counts_other=other)
+                    )[:rp]
                 d = dist_ops.finish_distances_panel(
-                    sums, lengths[r0:r1], lengths, cfg.k
+                    sums, lengths[r0:r1], lengths[base:], cfg.k
                 )
-                for i in range(r0, r1):
-                    row = d[i - r0, i + 1 :]
-                    f.write("".join("%f\n" % v for v in row))
-                    n_pairs += row.shape[0]
+                # Pack the panel's strict-upper-triangle entries (row i
+                # keeps columns i+1..S) into one flat array, then format
+                # once through the native multithreaded %f writer.
+                rows = [
+                    d[i - r0, (i - base) + 1 :] for i in range(r0, r1)
+                ]
+                flat = np.concatenate(rows) if rows else np.empty(0, np.float32)
+                f.write(native.format_f6(flat))
+                n_pairs += flat.shape[0]
         return {
             "n_seqs": S,
             "n_pairs": n_pairs,

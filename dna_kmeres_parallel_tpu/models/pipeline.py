@@ -313,7 +313,7 @@ class StreamingCounter:
                     acc = self._with_retry(
                         lambda: count_sharded(
                             staged, cfg.k, cfg.bins, cfg.canonical, mesh,
-                            n_own=n_own, acc=prev,
+                            n_own=n_own, acc=prev, pallas=pallas,
                         )
                     )
                 elif cfg.pack_input:
@@ -379,6 +379,28 @@ class StreamingCounter:
             elapsed_s=time.perf_counter() - t0,
         )
 
+    def _resolve_compact(self, mesh) -> bool | None:
+        """KmerConfig.compact -> host_mode: True = host-resident native
+        counting (ZERO D2H — re-deriving a window's words from the resident
+        bases is always cheaper than shipping them over a degraded link),
+        False = device words + host radix, None = undecided ('auto': race
+        the first batches and finish with the winner)."""
+        from dna_kmeres_parallel_tpu import native
+
+        cfg = self.config
+        if cfg.compact == "host":
+            if not native.available():
+                raise RuntimeError(
+                    "compact='host' needs the native engine (build "
+                    "dna_kmeres_parallel_tpu/native); it is unavailable"
+                )
+            return True
+        if cfg.compact == "device" or mesh is not None or not native.available():
+            # mesh streams exist to use every chip; racing them against one
+            # host core is not meaningful.
+            return False
+        return None
+
     def _run_sparse(self, flat, total_bases, n_seqs, t0) -> SparseCountResult:
         cfg = self.config
         total = flat.shape[0]
@@ -395,8 +417,20 @@ class StreamingCounter:
         stopped = False
 
         mesh = self._mesh()
+        host_mode = self._resolve_compact(mesh)
+        # 'auto' race bookkeeping: drain walls of device batches 2..3
+        # (batch 1 pays compiles) vs one host-counted batch 4; decided
+        # before batch 5. Shorter streams just finish on device.
+        race_device_walls: list[tuple[int, float]] = []
+        race_host: tuple[int, float] | None = None
 
         def prep(bounds):
+            if host_mode is True:
+                # Host-resident counting: nothing to pad or ship. (Closure
+                # reads the CURRENT mode: the prefetch thread may still
+                # stage 1-2 device batches around an 'auto' switch —
+                # harmless, they are simply never dispatched.)
+                return None
             start, end, T, overlap = bounds
             seg = flat[start : min(end + overlap, total)]
             padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
@@ -438,11 +472,22 @@ class StreamingCounter:
         # Software pipelining: batch t's host compaction (D2H fetch + native
         # compactor) runs only after batch t+1 has been dispatched, so the
         # device sorts t+1 while the host drains t.
-        pending = None  # (words, batch_start, batch_end)
+        pending = None  # (words, batch_start, batch_end, batch_idx)
+
+        def book(p_start, p_end):
+            nonlocal since_ckpt
+            self.metrics.count("bases", p_end - p_start)
+            self.metrics.count("batches")
+            since_ckpt += p_end - p_start
+            if since_ckpt >= self.checkpoint_every_bases:
+                with self.metrics.phase("merge"):
+                    tables[:] = [merge_sparse_tables(tables)]
+                self._save(p_end, total_bases, sparse=tables[0])
+                since_ckpt = 0
 
         def drain(p):
-            nonlocal since_ckpt
-            words, p_start, p_end = p
+            words, p_start, p_end, p_idx = p
+            t_d = time.perf_counter()
             with self.metrics.phase("compact"):
                 if mesh is not None:
                     # [D, ...] planes: one table per device's shard.
@@ -458,14 +503,15 @@ class StreamingCounter:
                     tables.append(compact_table(words))
                 else:
                     tables.append(compact_unsorted(words, cfg.k))
-            self.metrics.count("bases", p_end - p_start)
-            self.metrics.count("batches")
-            since_ckpt += p_end - p_start
-            if since_ckpt >= self.checkpoint_every_bases:
-                with self.metrics.phase("merge"):
-                    tables[:] = [merge_sparse_tables(tables)]
-                self._save(p_end, total_bases, sparse=tables[0])
-                since_ckpt = 0
+            if host_mode is None and p_idx >= 2:
+                # 'auto' race: this wall covers device exec + D2H fetch +
+                # host compaction — the full per-batch cost of the device
+                # route in the pipelined steady state (batch 1 pays the
+                # compiles and is excluded).
+                race_device_walls.append(
+                    (p_end - p_start, time.perf_counter() - t_d)
+                )
+            book(p_start, p_end)
 
         for (start, end, T, overlap), staged in _prefetched(
             self._batches(total, cursor), prep
@@ -480,6 +526,38 @@ class StreamingCounter:
                 stopped = True
                 break
             done_batches += 1
+            use_host = host_mode is True or (
+                host_mode is None and done_batches == 4
+            )
+            if use_host:
+                # ZERO-D2H route: count the batch straight off the
+                # host-resident stream with the fused native engine (the
+                # same halo rule — the segment carries k-1 tail bases, so
+                # it owns exactly the windows starting in [start, end)).
+                from dna_kmeres_parallel_tpu import native
+
+                if pending is not None:
+                    drain(pending)
+                    pending = None
+                seg = flat[start : min(end + overlap, total)]
+                t_h = time.perf_counter()
+                with self.metrics.phase("host_count"):
+                    tables.append(
+                        native.count_sparse_host_native(
+                            seg, cfg.k, cfg.canonical
+                        )
+                    )
+                if host_mode is None:
+                    race_host = (end - start, time.perf_counter() - t_h)
+                book(start, end)
+                if host_mode is None and race_device_walls:
+                    d_rate = max(b / max(w, 1e-9) for b, w in race_device_walls)
+                    h_rate = race_host[0] / max(race_host[1], 1e-9)
+                    host_mode = h_rate > d_rate
+                    self.metrics.count(
+                        "compact_host_selected", int(host_mode)
+                    )
+                continue
             with self.metrics.phase("device"):
                 pallas = runtime.pallas_mode() if cfg.use_pallas else None
                 n_own = jnp.int32(end - start)
@@ -495,12 +573,14 @@ class StreamingCounter:
                             lambda: sort_words_rows_sharded(
                                 shards_g, n_own_g, cfg.k, cfg.canonical, mesh,
                                 row_len=cfg.sort_row_len or 2048,
+                                pallas=pallas,
                             )
                         )
                     else:
                         words = self._with_retry(
                             lambda: encode_words_sharded(
-                                shards_g, n_own_g, cfg.k, cfg.canonical, mesh
+                                shards_g, n_own_g, cfg.k, cfg.canonical, mesh,
+                                pallas=pallas,
                             )
                         )
                 elif not dev_sort and cfg.pack_input:
@@ -543,7 +623,7 @@ class StreamingCounter:
                     )
             if pending is not None:
                 drain(pending)
-            pending = (words, start, end)
+            pending = (words, start, end, done_batches)
         if pending is not None:
             drain(pending)
         with self.metrics.phase("merge"):

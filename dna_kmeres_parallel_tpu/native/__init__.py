@@ -136,6 +136,13 @@ def _load():
         u64p,
         i64p,
     ]
+    lib.kp_format_f6.restype = ctypes.c_int64
+    lib.kp_format_f6.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_char_p,
+        ctypes.c_int64,
+    ]
     _lib = lib
     return _lib
 
@@ -459,6 +466,27 @@ def count_sparse_host_native(
         raise MemoryError("native radix compactor: scratch allocation failed")
     assert w <= cap, (w, cap)
     return out_code[:w].copy(), out_cnt[:w].copy()
+
+
+def format_f6(values: np.ndarray) -> bytes:
+    """float32 values -> the reference's one-float-per-line CSV bytes
+    ("%f\\n" each, main.cu:199-202) via the multithreaded native snprintf
+    formatter — same libc %f digits as the Python "%f" loop it replaces
+    (byte-parity preserved), ~10x faster at design scale (1.46G pairs).
+    """
+    lib = _load()
+    values = np.ascontiguousarray(values, dtype=np.float32)
+    if lib is None:
+        return ("".join("%f\n" % v for v in values)).encode("ascii")
+    n = values.shape[0]
+    if n == 0:
+        return b""
+    buf = ctypes.create_string_buffer(16 * n)
+    m = lib.kp_format_f6(
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, buf, 16 * n
+    )
+    assert m >= 0
+    return buf.raw[:m]
 
 
 def compact_unsorted_native(

@@ -1806,4 +1806,49 @@ int64_t kp_merge_tables(int64_t m, const uint64_t* const* codes,
   return w;
 }
 
+// Format n float32 values as the reference's one-float-per-line CSV body
+// ("%f\n" per value, /root/reference/main.cu:199-202 and 355-358) into
+// out. snprintf does the digits, so the bytes match the C library's %f
+// exactly (byte-parity with the oracle CSVs is a framework invariant);
+// threads format disjoint ranges into their own slab of out (16 bytes per
+// value is enough for any distance value, which lives in [0, 1]) and the
+// slabs are compacted in parallel afterwards. Returns bytes written, or
+// -1 if out_cap < 16 * n. The Python "%f\n" loop this replaces measured
+// ~500 ns/value — the 54K-sequence design-scale run (1.46G pairs,
+// main.cu:29) would spend 12 minutes formatting.
+int64_t kp_format_f6(const float* v, int64_t n, char* out, int64_t out_cap) {
+  if (n <= 0) return 0;
+  if (out_cap < 16 * n) return -1;
+  const int nt = num_threads(n, 1 << 18);
+  std::vector<int64_t> begin(nt + 1), len(nt, 0);
+  for (int t = 0; t <= nt; t++) begin[t] = n * t / nt;
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; t++)
+      ths.emplace_back([&, t] {
+        char* p = out + 16 * begin[t];
+        char* q = p;
+        for (int64_t i = begin[t]; i < begin[t + 1]; i++) {
+          int m = snprintf(q, 16, "%f\n", static_cast<double>(v[i]));
+          // %f of a finite float is at most 15 chars here (distances are
+          // in [0, 1]; even garbage inputs clamp at the buffer).
+          q += (m > 0 && m < 16) ? m : 0;
+        }
+        len[t] = q - p;
+      });
+    for (auto& th : ths) th.join();
+  }
+  // Compact slabs left-to-right, serially: slab t's target end
+  // (off[t] + len[t] <= 15 * begin[t+1]) always precedes slab t+1's
+  // source start (16 * begin[t+1]), so each move only touches bytes the
+  // later moves no longer need. (A parallel compaction would race: slab
+  // t's target can overlap slab t-1's source tail.)
+  int64_t w = len.empty() ? 0 : len[0];
+  for (int t = 1; t < nt; t++) {
+    memmove(out + w, out + 16 * begin[t], len[t]);
+    w += len[t];
+  }
+  return w;
+}
+
 }  // extern "C"

@@ -51,6 +51,19 @@ class KmerConfig:
          sorted input buys it nothing and the device runs the encode
          kernel alone — ~2x device throughput at k=21); sort on device
          when only the NumPy fallback compactor exists. True/False force.
+      compact: sparse path: where each batch's table is built.
+         'device' ships encoded window words D2H (6-8 B/window) into the
+         host radix compactor — right when the link is fast (the host is
+         spared the encode and feeds the radix directly). 'host' never
+         touches the device: each batch is counted from the HOST-resident
+         stream by the fused native engine (count_sparse_host_native) —
+         ZERO bytes D2H/H2D, the optimal route on degraded links (a
+         window's words always cost more to ship than to re-derive from
+         the resident bases, which the host holds anyway). 'auto'
+         (default) RACES the two on the first batches of a multi-batch
+         stream and finishes with the winner (self-calibrating: no link
+         or CPU model needed; single-chip streams only — mesh runs are
+         link-bound by design and stay on device).
     """
 
     k: int = 3
@@ -66,6 +79,7 @@ class KmerConfig:
     pack_input: bool = True
     sort_row_len: int = 2048
     device_sort: bool | None = None
+    compact: str = "auto"
 
     def __post_init__(self):
         if not (1 <= self.k <= 31):
@@ -74,6 +88,8 @@ class KmerConfig:
             raise ValueError(f"k must be in [1, 31], got {self.k}")
         if self.parser_variant not in ("modern", "blank_line", "no_blank_line"):
             raise ValueError(f"bad parser_variant {self.parser_variant!r}")
+        if self.compact not in ("auto", "device", "host"):
+            raise ValueError(f"bad compact {self.compact!r}")
 
     @property
     def bins(self) -> int:

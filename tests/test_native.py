@@ -450,3 +450,26 @@ def test_parse_fasta_native_max_seqs_zero(tmp_path):
     assert parsed.n_seqs == 0 and parsed.total_bases == 0
     full = native.parse_fasta_native(str(p))
     assert full.n_seqs == 2
+
+
+def test_format_f6_byte_parity():
+    """Native %f formatter must produce byte-identical CSV bytes to the
+    Python '%f' loop it replaces (reference format, main.cu:199-202) —
+    including edge values and values outside [0, 1]."""
+    from dna_kmeres_parallel_tpu import native
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate(
+        [
+            rng.random(50000, dtype=np.float32),
+            np.array(
+                [0.0, 1.0, 0.5, 0.9999995, 1e-7, 0.1234565, 2.5, -0.25,
+                 123456.78],
+                np.float32,
+            ),
+        ]
+    )
+    got = native.format_f6(vals)
+    want = ("".join("%f\n" % v for v in vals)).encode("ascii")
+    assert got == want
+    assert native.format_f6(np.empty(0, np.float32)) == b""

@@ -167,3 +167,62 @@ def test_stream_mesh_dp_matches_single(tmp_path, make_dna, k):
     else:
         assert np.array_equal(single.codes, dp.codes)
         assert np.array_equal(single.counts, dp.counts)
+
+
+@pytest.mark.parametrize("compact", ["host", "device"])
+def test_sparse_compact_modes_match_oracle(fasta_file, compact):
+    path, seqs = fasta_file
+    pytest.importorskip("dna_kmeres_parallel_tpu.native")
+    from dna_kmeres_parallel_tpu import native
+
+    if compact == "host" and not native.available():
+        pytest.skip("native engine unavailable")
+    result = StreamingCounter(
+        KmerConfig(k=21, batch_bases=512, compact=compact)
+    ).run(path)
+    assert result.table() == oracle.count_table_any_k(seqs, 21)
+
+
+def test_sparse_compact_auto_races_and_decides(fasta_file):
+    """'auto' must host-count exactly one probe batch, record a decision,
+    and stay exact (the decided mode is host- and load-dependent)."""
+    from dna_kmeres_parallel_tpu import native
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    path, seqs = fasta_file
+    sc = StreamingCounter(KmerConfig(k=21, batch_bases=256, compact="auto"))
+    result = sc.run(path)
+    assert result.table() == oracle.count_table_any_k(seqs, 21)
+    rep = sc.metrics.report()
+    assert rep["counters"]["batches"] >= 5
+    assert "compact_host_selected" in rep["counters"]
+    assert rep["phase_seconds"].get("host_count", 0) > 0
+
+
+def test_sparse_compact_auto_switches_to_host_when_device_slow(
+    fasta_file, monkeypatch
+):
+    """Force the race verdict: a delayed fetch_words makes the device route
+    lose, so every post-decision batch must go through host_count and the
+    table must stay exact."""
+    import time as _time
+
+    from dna_kmeres_parallel_tpu import native
+    from dna_kmeres_parallel_tpu.models import sparse_engine
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    real_fetch = sparse_engine.fetch_words
+
+    def slow_fetch(words):
+        _time.sleep(0.05)
+        return real_fetch(words)
+
+    monkeypatch.setattr(sparse_engine, "fetch_words", slow_fetch)
+    path, seqs = fasta_file
+    sc = StreamingCounter(KmerConfig(k=21, batch_bases=128, compact="auto"))
+    result = sc.run(path)
+    assert result.table() == oracle.count_table_any_k(seqs, 21)
+    rep = sc.metrics.report()
+    assert rep["counters"]["compact_host_selected"] == 1
