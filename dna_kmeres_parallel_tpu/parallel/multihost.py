@@ -165,6 +165,144 @@ def make_global_stream(local_flat: np.ndarray, mesh, axis: str = "data"):
     )
 
 
+def _ckpt_file(base: str, rank: int, gen: int) -> str:
+    return f"{base}.p{rank}.g{gen}.npz"
+
+
+def count_file_multihost_resumable(
+    path: str,
+    config,
+    mesh,
+    axis: str = "data",
+    checkpoint_path: str | None = None,
+    batch_bases: int | None = None,
+    max_steps: int | None = None,
+):
+    """Batched, checkpointed multi-host dense count (SURVEY.md §5's
+    "jax.distributed restart with resume-from-last-merged-histogram").
+
+    Every process executes the SAME globally-agreed number of steps
+    (ceil(max range length / batch)): step s slices the local range
+    [s*batch, s*batch + batch + k - 1) — the k-1 tail is the halo, so a
+    step owns exactly the windows STARTING inside its batch — pads it into
+    a fixed INVALID-guarded slab, and psum-merges the step histogram over
+    the mesh. After each step every process atomically saves (steps_done,
+    merged hist) to its own TWO-GENERATION checkpoint file; a restart
+    resumes from the newest step EVERY process has on disk (a kill can
+    interleave saves across processes by at most one step, and the older
+    generation covers the rollback). Integer adds make the resumed result
+    bit-identical to a single-shot run at any device count.
+
+    max_steps: stop after N steps this call (checkpointing progress) —
+    kill/preemption simulation for tests. Returns (hist, total_bases,
+    n_seqs, steps_done, n_steps).
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dna_kmeres_parallel_tpu.ops import runtime
+    from dna_kmeres_parallel_tpu.ops.encode import INVALID
+    from dna_kmeres_parallel_tpu.parallel import sharded_count as sc
+    from dna_kmeres_parallel_tpu.utils import checkpoint as ckpt_mod
+
+    if not config.dense:
+        raise ValueError(
+            "count_file_multihost_resumable is the dense-histogram path "
+            "(config 4's psum merge); bucket-sharded sparse counting is "
+            "parallel/bucketed.py"
+        )
+    k, bins = config.k, config.bins
+    batch = int(batch_bases or getattr(config, "batch_bases", 1 << 24))
+    pcount = jax.process_count()
+    rank = jax.process_index()
+    ranges = split_fasta_byte_ranges(path, pcount)
+    start, end = ranges[rank % len(ranges)]
+    flat, total_bases, n_seqs = encode_range_stream(path, start, end)
+
+    if pcount > 1:
+        from jax.experimental import multihost_utils
+
+        lengths = multihost_utils.process_allgather(
+            np.array([flat.shape[0]], dtype=np.int64)
+        )
+        max_len = int(np.max(lengths))
+    else:
+        max_len = int(flat.shape[0])
+    n_steps = max(-(-max_len // batch), 1)
+    n_local = max(mesh.shape[axis] // max(pcount, 1), 1)
+    slab = batch + k  # + (k-1) halo + >=1 guaranteed trailing INVALID
+    slab += (-slab) % n_local
+    sharding = NamedSharding(mesh, P(axis))
+    pallas = runtime.pallas_mode() if getattr(config, "use_pallas", True) else None
+
+    # ---- resume: newest step every process has a valid checkpoint for ---
+    hist = np.zeros(bins, dtype=np.int64)
+    first_step = 0
+    if checkpoint_path:
+        mine = {}
+        for gen in (0, 1):
+            try:
+                ck = ckpt_mod.load_checkpoint(_ckpt_file(checkpoint_path, rank, gen))
+            except Exception:
+                continue
+            # cursor is in BASES (steps_done * batch at save time), so a
+            # resume with a different batch size is accepted only when it
+            # divides the saved progress cleanly.
+            if ck.dense and ck.k == k and ck.canonical == config.canonical and (
+                ck.total_bases == max_len and ck.cursor % batch == 0
+            ):
+                mine[ck.cursor] = ck
+        have = np.zeros(2, dtype=np.int64)
+        for i, s in enumerate(sorted(mine, reverse=True)[:2]):
+            have[i] = s
+        if pcount > 1:
+            from jax.experimental import multihost_utils
+
+            all_have = multihost_utils.process_allgather(have)
+        else:
+            all_have = have[None, :]
+        common = 0
+        for s in sorted(mine, reverse=True):
+            if s and all(s in set(row.tolist()) for row in np.atleast_2d(all_have)):
+                common = s
+                break
+        if common:
+            hist = mine[common].hist.astype(np.int64)
+            first_step = common // batch
+
+    steps_done = first_step
+    for step in range(first_step, n_steps):
+        if max_steps is not None and steps_done - first_step >= max_steps:
+            break
+        lo = step * batch
+        seg = flat[lo : lo + batch + k - 1]
+        buf = np.full(slab, INVALID, dtype=np.uint8)
+        buf[: seg.shape[0]] = seg
+        if pcount == 1:
+            garr = jax.device_put(buf, sharding)
+        else:
+            garr = jax.make_array_from_process_local_data(
+                sharding, buf, (slab * pcount,)
+            )
+        h = sc.count_sharded(
+            garr, k, bins, config.canonical, mesh, axis, pallas=pallas
+        )
+        hist += np.asarray(h, dtype=np.int64)
+        steps_done = step + 1
+        if checkpoint_path:
+            ckpt_mod.save_checkpoint(
+                _ckpt_file(checkpoint_path, rank, steps_done % 2),
+                ckpt_mod.CountCheckpoint(
+                    k=k,
+                    canonical=config.canonical,
+                    cursor=steps_done * batch,
+                    total_bases=max_len,
+                    hist=hist,
+                ),
+            )
+    return hist, total_bases, n_seqs, steps_done, n_steps
+
+
 def count_file_multihost(path: str, config, mesh, axis: str = "data"):
     """Each host counts its record-aligned range; psum merges over the mesh.
 

@@ -82,6 +82,9 @@ def main():
         "bitplane": lambda b, n, k, bins: hp.histogram_bitplane_pallas(
             b, n, k, bins
         ),
+        "bitplane_wide": lambda b, n, k, bins: hp.histogram_bitplane_pallas(
+            b, n, k, bins, wide=True
+        ),
     }
     inner_hi, inner_lo = 24, 6
     for k in ks:
@@ -92,7 +95,7 @@ def main():
             hp.histogram_pallas.clear_cache()
             hp.histogram_bitplane_pallas.clear_cache()
             for name, fn in impls.items():
-                if name == "bitplane" and bins > hp._BP_MAX_BINS:
+                if name.startswith("bitplane") and bins > hp._BP_MAX_BINS:
                     continue
                 try:
                     # fresh closures per chunk so jit keys differ

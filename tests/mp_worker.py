@@ -45,6 +45,35 @@ def main() -> int:
         np.savez(out_path, hist=hist, total_bases=total_bases, n_seqs=n_seqs)
         return 0
 
+    if mode.startswith("resumable"):
+        # Checkpointed multi-host dense count. "resumable:<ckpt>:<batch>"
+        # runs to completion; "resumable_kill:<ckpt>:<batch>:<steps>" stops
+        # after <steps> steps (preemption simulation) — a later
+        # "resumable" invocation must pick up from the common checkpoint
+        # and produce the identical histogram.
+        parts = mode.split(":")
+        ckpt, batch = parts[1], int(parts[2])
+        max_steps = int(parts[3]) if len(parts) > 3 else None
+        hist, total_bases, n_seqs, steps_done, n_steps = (
+            multihost.count_file_multihost_resumable(
+                fasta_path,
+                KmerConfig(k=k),
+                mesh,
+                checkpoint_path=ckpt,
+                batch_bases=batch,
+                max_steps=max_steps,
+            )
+        )
+        np.savez(
+            out_path,
+            hist=hist,
+            total_bases=total_bases,
+            n_seqs=n_seqs,
+            steps_done=steps_done,
+            n_steps=n_steps,
+        )
+        return 0
+
     # mode == "bucketed": the config-5 all_to_all path over the
     # cross-process mesh. Every process parses the whole (small) file and
     # contributes its device's stream shard; per-device sub-tables are

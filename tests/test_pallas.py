@@ -226,7 +226,8 @@ def test_min_sum_pallas_k8_distances_exact(make_dna):
 
 
 @pytest.mark.parametrize("k,canonical", [(3, False), (4, False), (4, True), (7, False)])
-def test_histogram_bitplane_matches_oracle(make_dna, k, canonical):
+@pytest.mark.parametrize("wide", [False, True])
+def test_histogram_bitplane_matches_oracle(make_dna, k, canonical, wide):
     from dna_kmeres_parallel_tpu.ops.histogram_pallas import (
         histogram_bitplane_pallas,
     )
@@ -242,6 +243,7 @@ def test_histogram_bitplane_matches_oracle(make_dna, k, canonical):
             codec.num_bins(k),
             canonical=canonical,
             interpret=True,
+            wide=wide,
         ),
         dtype=np.int64,
     )
