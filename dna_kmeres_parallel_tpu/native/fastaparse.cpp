@@ -950,18 +950,40 @@ T* lsd_radix(T* buf, T* scr, int64_t n, int bits) {
   if (n <= 1 || bits <= 0) return buf;
   int passes = (bits + RadixTraits<T>::kMaxDigit - 1) / RadixTraits<T>::kMaxDigit;
   int digit = (bits + passes - 1) / passes;  // even-ish split
-  // u64 counters: a single MSD bucket can exceed 2^32 elements on
-  // repeat-skewed multi-Gbase inputs, and wrapped u32 counts would emit a
-  // silently wrong table.
-  uint64_t cnt[1 << RadixTraits<T>::kMaxDigit];
+  // EVERY pass's digit histogram in ONE read of the data: the per-pass
+  // count loop re-read src from DRAM each time (at 3 passes that is 2
+  // extra full passes over the bucket — the LSD phase is bandwidth-bound,
+  // measured ~180 ms/16M u64 on the dev VM). passes * 4K u64 counters
+  // stay cache-resident. u64 counters: a single MSD bucket can exceed
+  // 2^32 elements on repeat-skewed multi-Gbase inputs, and wrapped u32
+  // counts would emit a silently wrong table.
+  constexpr int kMaxB = 1 << RadixTraits<T>::kMaxDigit;
+  std::vector<uint64_t> cnt_all(static_cast<size_t>(passes) * kMaxB, 0);
+  {
+    // Per-pass EXACT masks: the last pass's digit is narrower, and the
+    // bits above `bits` (the constant MSD bucket id of every element in
+    // this bucket) must not leak into its slots.
+    T mask_p[8];
+    for (int p = 0; p < passes; p++) {
+      const int d = std::min(digit, bits - p * digit);
+      mask_p[p] = (T(1) << d) - 1;
+    }
+    uint64_t* c0 = cnt_all.data();
+    for (int64_t i = 0; i < n; i++) {
+      const T v = buf[i];
+      for (int p = 0; p < passes; p++)
+        c0[(static_cast<size_t>(p) << RadixTraits<T>::kMaxDigit) +
+           (static_cast<size_t>((v >> (p * digit)) & mask_p[p]))]++;
+    }
+  }
   T* src = buf;
   T* dst = scr;
-  for (int shift = 0; shift < bits; shift += digit) {
+  int pass = 0;
+  for (int shift = 0; shift < bits; shift += digit, pass++) {
     const int d = std::min(digit, bits - shift);
     const T mask = (T(1) << d) - 1;
     const int64_t B = int64_t(1) << d;
-    memset(cnt, 0, B * sizeof(uint64_t));
-    for (int64_t i = 0; i < n; i++) cnt[(src[i] >> shift) & mask]++;
+    uint64_t* cnt = cnt_all.data() + (static_cast<size_t>(pass) << RadixTraits<T>::kMaxDigit);
     uint64_t acc = 0;
     for (int64_t b = 0; b < B; b++) {
       uint64_t c = cnt[b];
