@@ -295,6 +295,43 @@ def cmd_distance(args) -> int:
     records = _load_records(args)
     seqs = [r.seq for r in records]
     t0 = time.perf_counter()
+    from dna_kmeres_parallel_tpu.ops.encode import MAX_DENSE_K
+
+    if args.k > MAX_DENSE_K:
+        # Sparse-table distances (k > 15): per-sequence sorted tables +
+        # host pairwise intersection min-sums — beyond the reference's
+        # dense-vector design (kernels.h:85-109), completing distance
+        # coverage for every k the counting engines support.
+        from dna_kmeres_parallel_tpu.models import sparse_engine
+        from dna_kmeres_parallel_tpu.utils import io as io_mod
+
+        if args.engine == "oracle":
+            packed = oracle.distance_matrix_packed_sparse(
+                seqs, args.k, args.canonical
+            )
+        else:
+            packed = sparse_engine.distance_sparse_packed(
+                seqs, args.k, args.canonical
+            )
+        elapsed = time.perf_counter() - t0
+        if args.output:
+            io_mod.write_distances_csv(args.output, packed)
+        if args.tsv:
+            io_mod.write_min_distances_tsv(args.tsv, packed, len(seqs))
+        print(
+            json.dumps(
+                {
+                    "k": args.k,
+                    "engine": ("oracle" if args.engine == "oracle"
+                               else "host/sparse"),
+                    "n_seqs": len(seqs),
+                    "n_pairs": int(packed.shape[0]),
+                    "elapsed_s": round(elapsed, 4),
+                    "output": args.output,
+                }
+            )
+        )
+        return 0
     if args.engine != "oracle" and args.stream_panel and args.output:
         # Big-S path: the distance matrix never materializes; panels of
         # packed rows append to the CSV directly.
@@ -391,8 +428,23 @@ def cmd_selftest(args) -> int:
             "n_seqs": len(seqs),
             "total_kmers": sum(want.values()),
         }
+        if args.k > 15 and len(seqs) >= 2:
+            # Sparse-table distance differential (host engine vs oracle).
+            from dna_kmeres_parallel_tpu.models import sparse_engine
+
+            d_got = sparse_engine.distance_sparse_packed(
+                seqs, args.k, args.canonical
+            )
+            d_want = oracle.distance_matrix_packed_sparse(
+                seqs, args.k, args.canonical
+            )
+            verdict["distances_equal"] = bool(np.array_equal(d_got, d_want))
         print(json.dumps(verdict))
-        ok = verdict["counts_equal"] and verdict["native_counts_equal"] is not False
+        ok = (
+            verdict["counts_equal"]
+            and verdict["native_counts_equal"] is not False
+            and verdict.get("distances_equal", True)
+        )
         return 0 if ok else 1
     engine = KmerEngine(_build_config(args))
     verdict = engine.verify_against_oracle(seqs)
@@ -766,16 +818,11 @@ def main(argv=None) -> int:
 
     args = parser.parse_args(argv)
     if hasattr(args, "k"):
-        kmax = 15 if args.command == "distance" else 31
+        kmax = 31
         if not (1 <= args.k <= kmax):
             parser.error(
                 f"--k {args.k} out of range for '{args.command}': "
                 f"supported 1 <= k <= {kmax}"
-                + (
-                    ""
-                    if kmax == 31
-                    else " (pairwise distances use dense 4^k count vectors)"
-                )
             )
     from dna_kmeres_parallel_tpu.ops.runtime import apply_platform_env
 

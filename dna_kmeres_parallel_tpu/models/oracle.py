@@ -118,3 +118,27 @@ def naive_count_vector(seq: str, k: int) -> np.ndarray:
             continue
         hist[codec.kmer_to_code(window)] += 1
     return hist
+
+
+def distance_matrix_packed_sparse(
+    seqs: list[str], k: int, canonical: bool = False
+) -> np.ndarray:
+    """Packed float32 distance vector for ANY k via per-sequence dict
+    tables (the oracle twin of sparse_engine.distance_sparse_packed —
+    k > 15 where the dense counts matrix of distance_matrix_packed is
+    impossible). Same float32 finish as contract point 4."""
+    n = len(seqs)
+    tables = [count_table_any_k([s], k, canonical) for s in seqs]
+    lengths = [len(s) for s in seqs]
+    out = np.zeros(packed_size(n), dtype=np.float32)
+    w = 0
+    for i in range(n - 1):
+        ti = tables[i]
+        for j in range(i + 1, n):
+            tj = tables[j]
+            small, big = (ti, tj) if len(ti) <= len(tj) else (tj, ti)
+            s = sum(min(c, big.get(km, 0)) for km, c in small.items())
+            denom = min(lengths[i], lengths[j]) - k + 1
+            out[w] = np.float32(1.0) - np.float32(s) / np.float32(denom)
+            w += 1
+    return out

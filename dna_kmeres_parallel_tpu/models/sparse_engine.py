@@ -420,3 +420,95 @@ class SparseKmerEngine:
                 max_seqs=self.config.max_seqs,
             )
         return self.count_sequences([r.seq for r in records])
+
+
+def min_sum_pairs_python(codes, counts, offs) -> np.ndarray:
+    """Pure-NumPy fallback of native.min_sum_pairs_native (sorted-table
+    pairwise intersection min-sums); exact, for native-less hosts."""
+    S = offs.shape[0] - 1
+    out = np.zeros(max(S * (S - 1) // 2, 1), dtype=np.int64)
+    w = 0
+    for i in range(S - 1):
+        ci = codes[offs[i] : offs[i + 1]]
+        ni = counts[offs[i] : offs[i + 1]]
+        for j in range(i + 1, S):
+            cj = codes[offs[j] : offs[j + 1]]
+            nj = counts[offs[j] : offs[j + 1]]
+            _, ia, ib = np.intersect1d(
+                ci, cj, assume_unique=True, return_indices=True
+            )
+            out[w] = np.minimum(ni[ia], nj[ib]).sum()
+            w += 1
+    return out[: S * (S - 1) // 2]
+
+
+def distance_sparse_packed(
+    seqs: list[str], k: int, canonical: bool = False
+) -> np.ndarray:
+    """Pairwise k-mer distances over SPARSE per-sequence tables — the
+    k > 15 regime where the reference's dense [4^k] count vectors
+    (/root/reference/kernels.h:85-109) cannot exist. Completes the
+    framework's distance capability for every k its counting supports.
+
+    TPU-first placement: the pairwise sorted-table intersection is an
+    irregular two-pointer merge (data-dependent advance, no MXU shape) —
+    it runs on the host (native kp_min_sum_pairs, threaded) next to the
+    radix compactor that builds the tables; the float32 finish follows
+    contract point 4 (SURVEY.md §2.4.4: host IEEE division).
+
+    Returns the packed strict-upper-triangle float32 distance vector
+    (same layout/format as the dense engine's, contract point 5).
+    """
+    from dna_kmeres_parallel_tpu import native
+
+    S = len(seqs)
+    lengths = np.array([len(s) for s in seqs], dtype=np.int64)
+    code_parts: list[np.ndarray] = []
+    count_parts: list[np.ndarray] = []
+    offs = np.zeros(S + 1, dtype=np.int64)
+    use_native = native.available()
+    for i, s in enumerate(seqs):
+        if use_native:
+            c, n = native.count_sparse_host_native(
+                codec.encode_bases(s), k, canonical
+            )
+        else:
+            from dna_kmeres_parallel_tpu.models.oracle import count_table_any_k
+
+            table = count_table_any_k([s], k, canonical)
+            c = np.sort(
+                np.array(
+                    [codec.kmer_to_code(w) for w in table], dtype=np.uint64
+                )
+            )
+            n = np.array(
+                [table[codec.code_to_kmer(int(x), k)] for x in c],
+                dtype=np.int64,
+            )
+        code_parts.append(c)
+        count_parts.append(n)
+        offs[i + 1] = offs[i] + c.shape[0]
+    codes = (
+        np.concatenate(code_parts) if code_parts else np.zeros(0, np.uint64)
+    )
+    cnts = (
+        np.concatenate(count_parts) if count_parts else np.zeros(0, np.int64)
+    )
+    if use_native:
+        sums = native.min_sum_pairs_native(codes, cnts, offs)
+    else:
+        sums = min_sum_pairs_python(codes, cnts, offs)
+    # float32 finish, one row at a time (contract point 4; bounded memory
+    # at large S — no [S, S] materialization).
+    out = np.zeros(sums.shape[0], dtype=np.float32)
+    w = 0
+    for i in range(S - 1):
+        m = S - 1 - i
+        denom = (np.minimum(lengths[i], lengths[i + 1 :]) - k + 1).astype(
+            np.float32
+        )
+        out[w : w + m] = (
+            np.float32(1.0) - sums[w : w + m].astype(np.float32) / denom
+        )
+        w += m
+    return out

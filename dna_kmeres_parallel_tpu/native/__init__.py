@@ -143,6 +143,8 @@ def _load():
         ctypes.c_char_p,
         ctypes.c_int64,
     ]
+    lib.kp_min_sum_pairs.restype = ctypes.c_int64
+    lib.kp_min_sum_pairs.argtypes = [u64p, i64p, i64p, ctypes.c_int64, i64p]
     _lib = lib
     return _lib
 
@@ -466,6 +468,33 @@ def count_sparse_host_native(
         raise MemoryError("native radix compactor: scratch allocation failed")
     assert w <= cap, (w, cap)
     return out_code[:w].copy(), out_cnt[:w].copy()
+
+
+def min_sum_pairs_native(
+    codes: np.ndarray, counts: np.ndarray, offs: np.ndarray
+) -> np.ndarray:
+    """Per-sequence sorted sparse tables -> packed strict-upper-triangle
+    pairwise min-sums (the k >= 16 distance core; see kp_min_sum_pairs).
+
+    codes/counts: concatenated per-sequence sorted-unique tables;
+    offs: int64 [S+1] fences. Returns int64 [S*(S-1)/2]."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {_build_error}")
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    codes = np.ascontiguousarray(codes, dtype=np.uint64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    S = offs.shape[0] - 1
+    out = np.zeros(max(S * (S - 1) // 2, 1), dtype=np.int64)
+    w = lib.kp_min_sum_pairs(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        counts.ctypes.data_as(i64p),
+        offs.ctypes.data_as(i64p),
+        S,
+        out.ctypes.data_as(i64p),
+    )
+    return out[: max(w, 0)]
 
 
 def format_f6(values: np.ndarray) -> bytes:

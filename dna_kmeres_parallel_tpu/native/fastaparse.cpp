@@ -1828,6 +1828,61 @@ int64_t kp_merge_tables(int64_t m, const uint64_t* const* codes,
   return w;
 }
 
+// Pairwise (min,+) over per-sequence SPARSE k-mer tables — the k >= 16
+// distance engine's core, where 4^k rules out the dense counts matrix
+// the reference's minKmeres2 kernel assumes (/root/reference/
+// kernels.h:85-109). Tables are sorted-unique (code, count) runs
+// concatenated in codes/counts with offs[S+1] fences (offs[i]..offs[i+1]
+// = sequence i's table). For every pair i < j the min-sum
+// sum_p min(cnt_i[p], cnt_j[p]) is a two-pointer sorted intersection;
+// out_sums is the packed strict-upper-triangle row-major layout
+// (SURVEY.md §2.4.5). Threads claim rows dynamically (later rows have
+// fewer partners). Returns the number of pairs written.
+//
+// Placement rationale (TPU-first): the intersection is an irregular
+// sorted-merge — branchy, data-dependent advance, no MXU shape. The
+// device's leverage is producing the per-sequence tables (encode kernel
+// at the HBM streaming bound); the merge belongs on the host next to the
+// radix compactor that already owns the tables.
+int64_t kp_min_sum_pairs(const uint64_t* codes, const int64_t* counts,
+                         const int64_t* offs, int64_t S, int64_t* out_sums) {
+  if (S < 2) return 0;
+  const int64_t n_pairs = S * (S - 1) / 2;
+  const int nt = num_threads(n_pairs, 1 << 12);
+  std::atomic<int64_t> next{0};
+  std::vector<std::thread> ths;
+  for (int t = 0; t < nt; t++)
+    ths.emplace_back([&] {
+      for (;;) {
+        const int64_t i = next.fetch_add(1);
+        if (i >= S - 1) break;
+        // packed row start: sum_{r<i} (S-1-r)
+        int64_t w = i * (S - 1) - i * (i - 1) / 2;
+        const int64_t ia = offs[i], ib = offs[i + 1];
+        for (int64_t j = i + 1; j < S; j++, w++) {
+          int64_t a = ia, b = offs[j];
+          const int64_t bb = offs[j + 1];
+          int64_t sum = 0;
+          while (a < ib && b < bb) {
+            const uint64_t ca = codes[a], cb = codes[b];
+            if (ca == cb) {
+              sum += std::min(counts[a], counts[b]);
+              a++;
+              b++;
+            } else if (ca < cb) {
+              a++;
+            } else {
+              b++;
+            }
+          }
+          out_sums[w] = sum;
+        }
+      }
+    });
+  for (auto& th : ths) th.join();
+  return n_pairs;
+}
+
 // Format n float32 values as the reference's one-float-per-line CSV body
 // ("%f\n" per value, /root/reference/main.cu:199-202 and 355-358) into
 // out. snprintf does the digits, so the bytes match the C library's %f

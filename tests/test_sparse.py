@@ -466,3 +466,60 @@ def test_encoder_fused_sig_and_salt(make_dna, k):
     assert int(np.asarray(sig_s, dtype=np.int64)[:, :128].sum()) % (
         1 << 32
     ) == int(valid.sum())
+
+
+# --------------------------------------------------------------------------
+# Sparse-table pairwise distances (k > 15)
+# --------------------------------------------------------------------------
+
+
+def test_distance_sparse_matches_oracle_k21(make_dna):
+    from dna_kmeres_parallel_tpu.models import oracle, sparse_engine
+
+    seqs = [make_dna(140 + 33 * i, invalid_frac=0.02) for i in range(7)]
+    got = sparse_engine.distance_sparse_packed(seqs, 21)
+    want = oracle.distance_matrix_packed_sparse(seqs, 21)
+    assert got.dtype == np.float32
+    assert np.array_equal(got, want)
+
+
+def test_distance_sparse_canonical_matches_oracle(make_dna):
+    from dna_kmeres_parallel_tpu.models import oracle, sparse_engine
+
+    seqs = [make_dna(120 + 17 * i) for i in range(5)]
+    got = sparse_engine.distance_sparse_packed(seqs, 19, canonical=True)
+    want = oracle.distance_matrix_packed_sparse(seqs, 19, canonical=True)
+    assert np.array_equal(got, want)
+
+
+def test_distance_sparse_crosschecks_dense_engine(make_dna):
+    # k=12 lives in BOTH regimes: the sparse-table path must reproduce the
+    # dense oracle's float32 distances bit-for-bit (same finish formula).
+    from dna_kmeres_parallel_tpu.models import oracle, sparse_engine
+
+    seqs = [make_dna(200 + 11 * i, invalid_frac=0.01) for i in range(6)]
+    got = sparse_engine.distance_sparse_packed(seqs, 12)
+    want = oracle.distance_matrix_packed(seqs, 12)
+    assert np.array_equal(got, want)
+
+
+def test_min_sum_pairs_python_matches_native(make_dna):
+    from dna_kmeres_parallel_tpu import native
+    from dna_kmeres_parallel_tpu.models import sparse_engine
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    seqs = [make_dna(100 + 29 * i) for i in range(5)]
+    parts, offs = [], np.zeros(6, np.int64)
+    cnts = []
+    for i, s in enumerate(seqs):
+        c, n = native.count_sparse_host_native(codec.encode_bases(s), 21, False)
+        parts.append(c)
+        cnts.append(n)
+        offs[i + 1] = offs[i] + c.shape[0]
+    codes = np.concatenate(parts)
+    counts = np.concatenate(cnts)
+    a = native.min_sum_pairs_native(codes, counts, offs)
+    b = sparse_engine.min_sum_pairs_python(codes, counts, offs)
+    assert np.array_equal(a, b)
