@@ -89,12 +89,15 @@ def _add_common(p: argparse.ArgumentParser):
     )
     p.add_argument(
         "--compact",
-        choices=("auto", "device", "host"),
+        choices=("auto", "device", "host", "device-rle"),
         default="auto",
         help="sparse streamed path: build batch tables from device-shipped "
         "words ('device'), from the host-resident stream with the native "
-        "engine — zero D2H, for degraded links ('host'), or race the two "
-        "on the first batches and finish with the winner ('auto')",
+        "engine — zero D2H, for degraded links ('host'), race the two on "
+        "the first batches and finish with the winner ('auto'), or have "
+        "the device sort+RLE-collapse runs and ship only distinct "
+        "(code, count) pairs — for high-coverage/duplicated inputs "
+        "('device-rle')",
     )
 
 

@@ -395,6 +395,14 @@ class StreamingCounter:
                     "dna_kmeres_parallel_tpu/native); it is unavailable"
                 )
             return True
+        if cfg.compact == "device-rle":
+            if mesh is not None:
+                raise ValueError(
+                    "compact='device-rle' is a single-chip D2H mode; mesh "
+                    "streams route distinct codes over ICI instead "
+                    "(parallel/bucketed.py aggregated exchange)"
+                )
+            return False
         if cfg.compact == "device" or mesh is not None or not native.available():
             # mesh streams exist to use every chip; racing them against one
             # host core is not meaningful.
@@ -418,6 +426,7 @@ class StreamingCounter:
 
         mesh = self._mesh()
         host_mode = self._resolve_compact(mesh)
+        rle = cfg.compact == "device-rle"
         # 'auto' race bookkeeping: drain walls of device batches 2..3
         # (batch 1 pays compiles) vs one host-counted batch 4; decided
         # before batch 5. Shorter streams just finish on device.
@@ -435,6 +444,9 @@ class StreamingCounter:
             seg = flat[start : min(end + overlap, total)]
             padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
             padded[: seg.shape[0]] = seg
+            if rle:
+                # sort_words_rle consumes the raw base stream.
+                return stage_batch(padded, False)
             if mesh is not None:
                 # Multi-chip DP-sparse: host-side halo shards (fixed shapes
                 # every batch), staged sharded across the mesh.
@@ -489,7 +501,13 @@ class StreamingCounter:
             words, p_start, p_end, p_idx = p
             t_d = time.perf_counter()
             with self.metrics.phase("compact"):
-                if mesh is not None:
+                if rle:
+                    from dna_kmeres_parallel_tpu.models.sparse_engine import (
+                        table_from_rle,
+                    )
+
+                    tables.append(table_from_rle(*words))
+                elif mesh is not None:
                     # [D, ...] planes: one table per device's shard.
                     planes = fetch_words(words)
                     for d in range(planes[-1].shape[0]):
@@ -561,7 +579,16 @@ class StreamingCounter:
             with self.metrics.phase("device"):
                 pallas = runtime.pallas_mode() if cfg.use_pallas else None
                 n_own = jnp.int32(end - start)
-                if mesh is not None:
+                if rle:
+                    # Device sort + RLE: only DISTINCT (code, count) pairs
+                    # come down (drain -> table_from_rle).
+                    words = self._with_retry(
+                        lambda: sparse_ops.sort_words_rle(
+                            staged, n_own, cfg.k, cfg.canonical,
+                            pallas=pallas,
+                        )
+                    )
+                elif mesh is not None:
                     from dna_kmeres_parallel_tpu.parallel.sharded_sparse import (
                         encode_words_sharded,
                         sort_words_rows_sharded,

@@ -422,6 +422,34 @@ class SparseKmerEngine:
         return self.count_sequences([r.seq for r in records])
 
 
+def table_from_rle(
+    words_c, counts, n_distinct
+) -> tuple[np.ndarray, np.ndarray]:
+    """Device-RLE output -> sorted-unique (codes_u64, counts_i64) table.
+
+    Fetches ONLY the distinct prefix (the whole point of the mode): the
+    distinct count comes down as one scalar, the prefix length is rounded
+    up to a power-of-two bucket so the slice programs compile a bounded
+    number of shapes, and uint16 hi planes ride the u32-bitcast fast path
+    (fetch_words). No host radix — the table is already sorted-unique.
+    """
+    m = int(np.asarray(n_distinct))
+    if m == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    n = int(counts.shape[0])
+    mp = 1 << (m - 1).bit_length()  # shape bucket
+    mp = min(max(mp, 128), n)
+    planes = fetch_words(tuple(w[:mp] for w in words_c) + (counts[:mp],))
+    cnt = planes[-1][:m].astype(np.int64)
+    ws = planes[:-1]
+    if len(ws) == 1:
+        codes = ws[0][:m].astype(np.uint64)
+    else:
+        hi = ws[0][:m].astype(np.uint64)
+        codes = (hi << np.uint64(32)) | ws[1][:m].astype(np.uint64)
+    return codes, cnt
+
+
 def min_sum_pairs_python(codes, counts, offs) -> np.ndarray:
     """Pure-NumPy fallback of native.min_sum_pairs_native (sorted-table
     pairwise intersection min-sums); exact, for native-less hosts."""

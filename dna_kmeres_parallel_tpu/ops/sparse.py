@@ -476,3 +476,49 @@ def merged_code64(hi, lo):
     return (np.asarray(hi, dtype=np.uint64) << np.uint64(32)) | np.asarray(
         lo, dtype=np.uint64
     )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "canonical", "pallas"))
+def sort_words_rle(
+    bases: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    canonical: bool = False,
+    pallas: str | None = None,
+):
+    """Device sort + RLE compaction to DISTINCT (code, count) pairs — the
+    high-duplication D2H mode (KmerConfig.compact='device-rle').
+
+    Sequencing reads carry 30-50x coverage: most windows are duplicates.
+    The words paths ship every window (6-8 B each) and leave dedup to the
+    host radix (~50 Melem/s); here the device collapses runs after its
+    sort, so D2H and host work scale with DISTINCT codes — ~(10/dup)
+    B/window — and the host merge consumes already-sorted-unique tables
+    through the two-pointer ladder (~100 Melem/s), with no radix pass.
+
+    Device cost: the usual multi-key sort plus ONE extra single-key sort
+    (the distinct-first compaction permutes run starts to the front by
+    their stream position, which is code order). Low-duplication inputs
+    should prefer the no-sort encode path — the device sort only pays
+    when dup is high.
+
+    Returns (words_compact, counts_i32, n_distinct_i32): entries past
+    n_distinct are sentinel garbage; counts[j] is the j-th distinct
+    code's multiplicity.
+    """
+    words, starts = sort_unique_starts(bases, n_own, k, canonical, pallas)
+    n = words[-1].shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    key = jnp.where(starts, idx, jnp.int32(n))
+    parts = jax.lax.sort((key, *words), num_keys=1)
+    pos = parts[0]
+    words_c = parts[1:]
+    n_distinct = jnp.sum(starts.astype(jnp.int32))
+    major = words[0]
+    major_sent = jnp.asarray(
+        0xFFFF if major.dtype == jnp.uint16 else 0xFFFFFFFF, major.dtype
+    )
+    n_valid = jnp.sum((major != major_sent).astype(jnp.int32))
+    nxt = jnp.concatenate([pos[1:], jnp.full((1,), n, jnp.int32)])
+    counts = jnp.where(nxt == n, n_valid, nxt) - pos
+    return words_c, counts, n_distinct

@@ -63,7 +63,13 @@ class KmerConfig:
          (default) RACES the two on the first batches of a multi-batch
          stream and finishes with the winner (self-calibrating: no link
          or CPU model needed; single-chip streams only — mesh runs are
-         link-bound by design and stay on device).
+         link-bound by design and stay on device). 'device-rle' is the
+         HIGH-DUPLICATION mode: the device sorts and RLE-collapses runs,
+         shipping only DISTINCT (code, count) pairs — D2H and host work
+         scale with distinct codes (~10/dup B per window; sequencing
+         reads carry 30-50x coverage) and the host merges already-sorted
+         tables with no radix pass. Explicit opt-in: at dup ~1 the
+         device sort costs more than it saves.
     """
 
     k: int = 3
@@ -88,7 +94,7 @@ class KmerConfig:
             raise ValueError(f"k must be in [1, 31], got {self.k}")
         if self.parser_variant not in ("modern", "blank_line", "no_blank_line"):
             raise ValueError(f"bad parser_variant {self.parser_variant!r}")
-        if self.compact not in ("auto", "device", "host"):
+        if self.compact not in ("auto", "device", "host", "device-rle"):
             raise ValueError(f"bad compact {self.compact!r}")
 
     @property

@@ -523,3 +523,62 @@ def test_min_sum_pairs_python_matches_native(make_dna):
     a = native.min_sum_pairs_native(codes, counts, offs)
     b = sparse_engine.min_sum_pairs_python(codes, counts, offs)
     assert np.array_equal(a, b)
+
+
+# --------------------------------------------------------------------------
+# Device sort + RLE compaction (compact='device-rle')
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("k,canonical", [(13, False), (21, False), (21, True)])
+def test_sort_words_rle_matches_oracle(make_dna, k, canonical):
+    from dna_kmeres_parallel_tpu.models.oracle import count_table_any_k
+    from dna_kmeres_parallel_tpu.models.sparse_engine import table_from_rle
+    from dna_kmeres_parallel_tpu.ops import sparse as sparse_ops
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    # High duplication on purpose: one read repeated + noise.
+    core = make_dna(90)
+    seqs = [core] * 9 + [make_dna(140, invalid_frac=0.02)]
+    flat = codec.concat_with_sentinels(seqs)
+    n_own = jnp.int32(flat.shape[0])
+    words, counts, n_distinct = sparse_ops.sort_words_rle(
+        jnp.asarray(flat), n_own, k, canonical
+    )
+    codes, cnts = table_from_rle(words, counts, n_distinct)
+    got = {
+        codec.code_to_kmer(int(c), k): int(n) for c, n in zip(codes, cnts)
+    }
+    want = count_table_any_k(seqs, k, canonical)
+    assert got == want
+    # the dedup actually bit: distinct << windows
+    assert int(n_distinct) < sum(len(s) for s in seqs) - len(seqs) * (k - 1)
+
+
+def test_sort_words_rle_all_invalid():
+    from dna_kmeres_parallel_tpu.models.sparse_engine import table_from_rle
+    from dna_kmeres_parallel_tpu.ops import sparse as sparse_ops
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    flat = np.full(300, codec.INVALID_BASE, np.uint8)
+    words, counts, n_distinct = sparse_ops.sort_words_rle(
+        jnp.asarray(flat), jnp.int32(300), 21, False
+    )
+    codes, cnts = table_from_rle(words, counts, n_distinct)
+    assert codes.size == 0 and cnts.size == 0
+
+
+def test_stream_device_rle_matches_oracle(tmp_path, make_dna):
+    from dna_kmeres_parallel_tpu.models.oracle import count_table_any_k
+    from dna_kmeres_parallel_tpu.models.pipeline import StreamingCounter
+    from dna_kmeres_parallel_tpu.utils import fasta
+    from dna_kmeres_parallel_tpu.utils.config import KmerConfig
+
+    core = make_dna(200)
+    records = [(f">r{i}", core) for i in range(6)] + [(">x", make_dna(333))]
+    path = tmp_path / "dup.fasta"
+    fasta.write_fasta(path, records)
+    result = StreamingCounter(
+        KmerConfig(k=21, batch_bases=512, compact="device-rle")
+    ).run(str(path))
+    assert result.table() == count_table_any_k([s for _, s in records], 21)
