@@ -39,6 +39,10 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from dna_kmeres_parallel_tpu.ops.runtime import apply_platform_env
+
+    apply_platform_env()  # sitecustomize force-registers the TPU backend;
+    # honor KMER_TPU_PLATFORM/JAX_PLATFORMS=cpu for off-device smoke runs
     import numpy as np
 
     from dna_kmeres_parallel_tpu.models.engine import KmerEngine
