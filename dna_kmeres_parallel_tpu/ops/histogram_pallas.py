@@ -451,6 +451,14 @@ def histogram_bitplane_pallas(
     return jnp.sum(out, axis=1)[:bins]
 
 
+#: bins cap for ROUTING the bit-plane kernel (<= 2048 = k <= 5, W <= 2048:
+#: the [W, chunk] agreement plane stays comfortably inside VMEM at a chunk
+#: big enough to amortize tile overheads). Measured on v5e at k=4:
+#: bit-plane 4.52 Gbase/s vs two-level 1.63-1.68 (2.8x), exact — the
+#: reference's own workload band (k=3, kernels.h:14).
+_BP_ROUTE_MAX_BINS = 2048
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "bins", "canonical", "interpret")
 )
@@ -465,8 +473,19 @@ def histogram_pallas(
     """Flat [T] uint8 base stream -> [bins] int32 histogram of windows
     starting at positions < n_own. Fully fused: the kernel reads raw uint8
     bases (VMEM) and does rolling-code encode + canonicalization + the
-    two-level MXU histogram in one pass — no intermediate code arrays in
-    HBM."""
+    histogram in one pass — no intermediate code arrays in HBM.
+
+    Routing: small bins (<= _BP_ROUTE_MAX_BINS) take the bit-plane
+    agreement-matmul kernel (2.8x the compare-based path at k=4,
+    measured); larger bins take the two-level MXU outer product.
+    KMER_TPU_HIST_IMPL=twolevel forces the old route (escape hatch)."""
+    if (
+        bins <= _BP_ROUTE_MAX_BINS
+        and os.environ.get("KMER_TPU_HIST_IMPL") != "twolevel"
+    ):
+        return histogram_bitplane_pallas(
+            bases, n_own, k, bins, canonical, interpret
+        )
     T = bases.shape[0]
     H, W = _split_hw(bins)
     chunk = int(os.environ.get("KMER_TPU_HIST_CHUNK", "512"))
