@@ -282,9 +282,7 @@ _BP_PLANES = 16
 _BP_MAX_BINS = 16384
 
 
-def _make_hist_bitplane_kernel(
-    k: int, canonical: bool, chunk: int, W: int, wide: bool = False
-):
+def _make_hist_bitplane_kernel(k: int, canonical: bool, chunk: int, W: int):
     """uint8 bases (halo rows) -> rolling codes -> bit-plane +-1 matrix ->
     ONE int8 MXU matmul per row against the static bin-pattern matrix ->
     branch-free match extraction -> [W, 128] lane-parallel accumulators.
@@ -335,43 +333,23 @@ def _make_hist_bitplane_kernel(
 
         acc = out_ref[:]
         a_mat = a_ref[:]  # [W, 16] int8 static bin patterns
-        if wide:
-            # Build every plane on the full [8, chunk] block (full-sublane
-            # VPU ops) and contract ONE [W,16] x [16, 8, chunk] dot_general
-            # — versus 8 small matmuls each fed by 16 single-sublane plane
-            # builds below.
-            planes = []
-            for i in range(2 * k):
-                planes.append(((code >> i) & 1) * 2 - 1)
-            planes.append(valid_i * 2 - 1)
-            for _ in range(_BP_PLANES - 2 * k - 1):
-                planes.append(jnp.ones((8, chunk), jnp.int32))
-            b = jnp.stack(planes, axis=0).astype(jnp.int8)  # [16, 8, chunk]
-            agree = jax.lax.dot_general(
-                a_mat,
-                b,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )  # [W, 8, chunk]
-            oh = (agree + _BP_PLANES) >> 5
-            for r in range(8):
-                for j in range(chunk // 128):
-                    acc = acc + oh[:, r, j * 128 : (j + 1) * 128]
-        else:
-            for r in range(8):
-                rows = []
-                for i in range(2 * k):  # code bit planes, +-1
-                    rows.append(((code[r : r + 1, :] >> i) & 1) * 2 - 1)
-                rows.append(valid_i[r : r + 1, :] * 2 - 1)  # validity plane
-                for _ in range(_BP_PLANES - 2 * k - 1):  # constant +1 pad
-                    rows.append(jnp.ones((1, chunk), jnp.int32))
-                b_mat = jnp.concatenate(rows, axis=0).astype(jnp.int8)
-                agree = jnp.dot(
-                    a_mat, b_mat, preferred_element_type=jnp.int32
-                )
-                oh = (agree + _BP_PLANES) >> 5  # 1 iff agree == 16, else 0
-                for j in range(chunk // 128):
-                    acc = acc + oh[:, j * 128 : (j + 1) * 128]
+        # NOTE: a "wide" variant contracting all 8 rows in ONE 3-D
+        # dot_general ([W,16] x [16,8,chunk]) fails the remote Mosaic
+        # compile (HTTP 500) — kernel matmuls must stay 2-D (CLAUDE.md).
+        for r in range(8):
+            rows = []
+            for i in range(2 * k):  # code bit planes, +-1
+                rows.append(((code[r : r + 1, :] >> i) & 1) * 2 - 1)
+            rows.append(valid_i[r : r + 1, :] * 2 - 1)  # validity plane
+            for _ in range(_BP_PLANES - 2 * k - 1):  # constant +1 pad
+                rows.append(jnp.ones((1, chunk), jnp.int32))
+            b_mat = jnp.concatenate(rows, axis=0).astype(jnp.int8)
+            agree = jnp.dot(
+                a_mat, b_mat, preferred_element_type=jnp.int32
+            )
+            oh = (agree + _BP_PLANES) >> 5  # 1 iff agree == 16, else 0
+            for j in range(chunk // 128):
+                acc = acc + oh[:, j * 128 : (j + 1) * 128]
         out_ref[:] = acc
 
     return kernel
@@ -392,7 +370,7 @@ def _bitplane_patterns(k: int, W: int, bins: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "bins", "canonical", "interpret", "wide")
+    jax.jit, static_argnames=("k", "bins", "canonical", "interpret")
 )
 def histogram_bitplane_pallas(
     bases: jax.Array,
@@ -401,7 +379,6 @@ def histogram_bitplane_pallas(
     bins: int,
     canonical: bool = False,
     interpret: bool = False,
-    wide: bool = False,
 ) -> jax.Array:
     """Flat [T] uint8 base stream -> [bins] int32 histogram via the
     bit-plane agreement matmul (see _make_hist_bitplane_kernel). Exact;
@@ -427,7 +404,7 @@ def histogram_bitplane_pallas(
     rows = _overlapped_rows(bases, T, Tp, n_tiles * 8, chunk, row_w)
     a_mat = jnp.asarray(_bitplane_patterns(k, W, bins))
 
-    kernel = _make_hist_bitplane_kernel(k, canonical, chunk, W, wide)
+    kernel = _make_hist_bitplane_kernel(k, canonical, chunk, W)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((W, 128), jnp.int32),

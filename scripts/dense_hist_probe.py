@@ -86,9 +86,6 @@ def main():
         "bitplane": lambda b, n, k, bins: hp.histogram_bitplane_pallas(
             b, n, k, bins
         ),
-        "bitplane_wide": lambda b, n, k, bins: hp.histogram_bitplane_pallas(
-            b, n, k, bins, wide=True
-        ),
     }
     inner_hi, inner_lo = 24, 6
     for k in ks:

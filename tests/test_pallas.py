@@ -226,8 +226,7 @@ def test_min_sum_pallas_k8_distances_exact(make_dna):
 
 
 @pytest.mark.parametrize("k,canonical", [(3, False), (4, False), (4, True), (7, False)])
-@pytest.mark.parametrize("wide", [False, True])
-def test_histogram_bitplane_matches_oracle(make_dna, k, canonical, wide):
+def test_histogram_bitplane_matches_oracle(make_dna, k, canonical):
     from dna_kmeres_parallel_tpu.ops.histogram_pallas import (
         histogram_bitplane_pallas,
     )
@@ -243,7 +242,6 @@ def test_histogram_bitplane_matches_oracle(make_dna, k, canonical, wide):
             codec.num_bins(k),
             canonical=canonical,
             interpret=True,
-            wide=wide,
         ),
         dtype=np.int64,
     )
