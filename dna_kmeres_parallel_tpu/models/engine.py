@@ -397,7 +397,12 @@ class KmerEngine:
             buckets.setdefault(Lp, []).append(i)
         pallas = self._pallas()
         for Lp, idxs in buckets.items():
-            grid = np.full((len(idxs), Lp), codec.INVALID_BASE, dtype=np.uint8)
+            # Row counts are power-of-two bucketed too: a data-dependent
+            # row count would compile a fresh device program per call
+            # (expensive on the remote-compile tunnel); INVALID rows
+            # produce all-zero counts and are sliced off below.
+            rows_p = max(_pow2_bucket(len(idxs)), histogram_pallas._SEQ_TILE)
+            grid = np.full((rows_p, Lp), codec.INVALID_BASE, dtype=np.uint8)
             for row, i in enumerate(idxs):
                 grid[row, : len(seqs[i])] = codec.encode_bases(seqs[i])
             try:
@@ -419,7 +424,7 @@ class KmerEngine:
                         jnp.asarray(grid), cfg.k, cfg.bins, cfg.canonical, None
                     )
                 )
-            out[np.asarray(idxs)] = counts
+            out[np.asarray(idxs)] = counts[: len(idxs)]
         return out
 
     def distance_sequences(

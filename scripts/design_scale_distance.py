@@ -72,6 +72,19 @@ def main():
     )
 
     eng = KmerEngine(KmerConfig(k=k))
+    t_c = time.perf_counter()
+    counts = eng.counts_matrix(seqs)  # warms the per-bucket count programs
+    print(
+        json.dumps(
+            {
+                "phase": "counts_matrix",
+                "shape": list(counts.shape),
+                "elapsed_s": round(time.perf_counter() - t_c, 2),
+            }
+        ),
+        flush=True,
+    )
+    del counts
     report = eng.distance_stream_to_csv(seqs, args.out, panel_rows=args.panel_rows)
     n_pairs = report["n_pairs"]
     report["phase"] = "distance_stream"
