@@ -428,6 +428,234 @@ def histogram_bitplane_pallas(
     return jnp.sum(out, axis=1)[:bins]
 
 
+# ---------------------------------------------------------------------------
+# Flat histogram: two-level bit-plane outer product (medium bins, k = 6..8)
+# ---------------------------------------------------------------------------
+
+#: shared plane count for the two-level bit-plane kernel: up to 2k code
+#: bit planes (k <= 8 -> 16) + 1 validity + constant +1 padding. 32 keeps
+#: the exact-match test branch-free for BOTH pattern matrices against ONE
+#: shared B: agree + (32 - match) == 32 iff all cared planes agree.
+_BP2_PLANES = 32
+#: bins cap: the [H, W] accumulator and the two [*, chunk] agreement
+#: planes must fit VMEM; 4^8 = 65536 covers the whole dense band.
+_BP2_MAX_BINS = 65536
+
+
+def _bp2_patterns(n_bits: int, shift: int, rows: int, count: int, k: int):
+    """Static [rows, 32] int8 pattern matrix: row w matches codes whose bit
+    field [shift, shift + n_bits) equals w. Planes: i < 2k = code bit i as
+    +-1 (0 on the don't-care side), 2k = validity, rest constant +1; rows
+    past ``count`` get -1 in the validity plane so they can never match."""
+    import numpy as np
+
+    a = np.zeros((rows, _BP2_PLANES), np.int8)
+    w_ids = np.arange(rows, dtype=np.int64)
+    for i in range(n_bits):
+        a[:, shift + i] = (((w_ids >> i) & 1) * 2 - 1).astype(np.int8)
+    a[:, 2 * k] = 1
+    a[count:, 2 * k] = -1
+    a[:, 2 * k + 1 :] = 1
+    return a
+
+
+def _make_hist_bp2_kernel(
+    k: int, canonical: bool, chunk: int, w_bits: int, mode: str = "planes"
+):
+    """uint8 bases (halo rows) -> rolling codes -> ONE shared +-1 plane
+    matrix B [32, chunk] -> TWO int8 pattern matmuls build the hi one-hot
+    [H, chunk] and lo one-hot [W, chunk] in natural lane layout -> the
+    histogram tile accumulates as a THIRD int8 matmul contracting the
+    window axis of both: hist[H, W] += oh_hi . oh_lo^T.
+
+    Why this beats the compare-based two-level kernel (H > 1 branch of
+    _make_hist2d_fused_kernel): that path pays a [1, chunk] -> [chunk, 1]
+    relayout per row to materialize oh_lo [chunk, W] for the outer
+    product, plus H + W VPU compares per window. Here NOTHING ever leaves
+    lane layout — the one-hots are built on the MXU from bit planes (the
+    r2 item-3 trick, generalized two-level), and the window contraction
+    runs as a dot_general((1,), (1,)) so the lo one-hot is consumed
+    directly in its [W, chunk] layout. Per-window cost is
+    (H + W) * 32 + H * W int8 MACs — MXU-bound, not relayout-bound.
+
+    Exact-match extraction: with don't-care planes at 0 in A, a side with
+    n cared bit planes has agree <= match = 32 - 2k + n (validity + pads
+    included) and agree + (32 - match) == 32 iff the window's field AND
+    validity match — (agree + 32 - match) >> 5 is the one-hot, never
+    negative for n <= 15.
+    """
+    h_bits = 2 * k - w_bits
+    off_hi = 2 * k - h_bits  # 32 - match_hi
+    off_lo = 2 * k - w_bits
+    # Diagnostic-only (probe scripts): "noouter" skips the NT outer-product
+    # matmul, "noplanes" skips the agreement matmuls/thresholds — both
+    # produce WRONG histograms; they exist to time the stages separately.
+    diag = os.environ.get("KMER_TPU_BP2_DIAG", "")
+
+    def kernel(bases_ref, n_own_ref, ahi_ref, alo_ref, out_ref):
+        t = pl.program_id(0)
+        n_own = n_own_ref[0, 0]
+
+        code = jnp.zeros((8, chunk), jnp.int32)
+        valid = jnp.ones((8, chunk), jnp.bool_)
+        for s in range(k):  # static unroll: rolling code over halo rows
+            w = jax.lax.slice_in_dim(bases_ref[:], s, s + chunk, axis=1).astype(
+                jnp.int32
+            )
+            valid = valid & (w < 4)
+            code = (code << 2) | (w & 3)
+        if canonical:
+            rc = jnp.zeros_like(code)
+            c = code
+            for _ in range(k):
+                rc = (rc << 2) | ((c & 3) ^ 3)
+                c = c >> 2
+            code = jnp.minimum(code, rc)
+        pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (8, chunk), 1)
+            + (jax.lax.broadcasted_iota(jnp.int32, (8, chunk), 0) + t * 8)
+            * chunk
+        )
+        valid_i = (valid & (pos < n_own)).astype(jnp.int32)
+
+        @pl.when(t == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        acc = out_ref[:]
+        ahi = ahi_ref[:]  # [H, 32] int8 static hi-field patterns
+        alo = alo_ref[:]  # [W, 32] int8 static lo-field patterns
+        Hp = ahi.shape[0]
+        Wp = alo.shape[0]
+        if mode == "cmp":
+            # Compare-built one-hots, both in natural lane layout (bins on
+            # sublanes, windows on lanes) — 2 VPU ops per element vs the
+            # plane matmul + threshold. Invalid windows get sentinel code
+            # bins = H*W: its hi field H matches no live hi_ids row (or
+            # only a padded row, cropped by the wrapper's [:H] slice).
+            sent = jnp.where(
+                valid_i > 0, code, (1 << w_bits) * (1 << (2 * k - w_bits))
+            )
+            hi_ids = jax.lax.broadcasted_iota(jnp.int32, (Hp, 1), 0)
+            lo_ids = jax.lax.broadcasted_iota(jnp.int32, (Wp, 1), 0)
+            for r in range(8):
+                hi_r = sent[r : r + 1, :] >> w_bits  # [1, chunk]
+                lo_r = sent[r : r + 1, :] & ((1 << w_bits) - 1)
+                oh_hi = (hi_ids == hi_r).astype(jnp.int8)  # [Hp, chunk]
+                oh_lo = (lo_ids == lo_r).astype(jnp.int8)  # [Wp, chunk]
+                acc = acc + jax.lax.dot_general(
+                    oh_hi,
+                    oh_lo,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+            out_ref[:] = acc
+            return
+        for r in range(8):
+            rows = []
+            for i in range(2 * k):  # code bit planes, +-1
+                rows.append(((code[r : r + 1, :] >> i) & 1) * 2 - 1)
+            rows.append(valid_i[r : r + 1, :] * 2 - 1)  # validity plane
+            for _ in range(_BP2_PLANES - 2 * k - 1):  # constant +1 pad
+                rows.append(jnp.ones((1, chunk), jnp.int32))
+            b = jnp.concatenate(rows, axis=0).astype(jnp.int8)  # [32, chunk]
+            if diag == "noplanes":
+                oh_hi = jnp.broadcast_to(b[0:1, :], (ahi.shape[0], chunk))
+                oh_lo = jnp.broadcast_to(b[1:2, :], (alo.shape[0], chunk))
+            else:
+                agree_hi = jnp.dot(ahi, b, preferred_element_type=jnp.int32)
+                agree_lo = jnp.dot(alo, b, preferred_element_type=jnp.int32)
+                oh_hi = ((agree_hi + off_hi) >> 5).astype(jnp.int8)
+                oh_lo = ((agree_lo + off_lo) >> 5).astype(jnp.int8)
+            if diag == "noouter":
+                acc = acc + (
+                    oh_hi[:, : acc.shape[1]].astype(jnp.int32)
+                    + oh_lo[: acc.shape[0], : acc.shape[1]].astype(jnp.int32)
+                )
+            else:
+                acc = acc + jax.lax.dot_general(
+                    oh_hi,
+                    oh_lo,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+        out_ref[:] = acc
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "bins", "canonical", "interpret", "mode")
+)
+def histogram_bp2_pallas(
+    bases: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    bins: int,
+    canonical: bool = False,
+    interpret: bool = False,
+    mode: str = "planes",
+) -> jax.Array:
+    """Flat [T] uint8 base stream -> [bins] int32 histogram via the
+    two-level outer product with NT (window-axis) contraction (see
+    _make_hist_bp2_kernel). mode="planes" builds the hi/lo one-hots on
+    the MXU from +-1 bit planes; mode="cmp" builds them with natural-
+    layout VPU compares (2 ops/element). Exact; bins <= _BP2_MAX_BINS
+    (k <= 8)."""
+    if bins > _BP2_MAX_BINS:
+        raise ValueError(
+            f"bp2 histogram supports bins <= {_BP2_MAX_BINS}, got {bins}"
+        )
+    T = bases.shape[0]
+    W = min(128, _round_up(bins, 4))
+    while W * W < bins:
+        W *= 2
+    H = max(bins // W, 1)
+    Wp = _round_up(W, 128)
+    Hp = _round_up(H, 8)
+    # Both [H, chunk] and [W, chunk] int32 agreement planes live at once;
+    # keep their sum under ~8 MB (VMEM also holds the double-buffered
+    # input rows, the int8 one-hots, and the [H, W] accumulator).
+    chunk = int(os.environ.get("KMER_TPU_HIST_CHUNK_BP2", "2048"))
+    chunk = max(128, min(chunk, ((1 << 23) // (4 * (Hp + Wp))) // 128 * 128))
+    halo = k - 1
+    row_w = _round_up(chunk + halo, 128)
+    span = chunk * 8
+    Tp = _round_up(max(T, span), span)
+    n_tiles = Tp // span
+    rows = _overlapped_rows(bases, T, Tp, n_tiles * 8, chunk, row_w)
+    w_bits = W.bit_length() - 1
+    a_hi = jnp.asarray(_bp2_patterns(2 * k - w_bits, w_bits, Hp, H, k))
+    a_lo = jnp.asarray(_bp2_patterns(w_bits, 0, Wp, W, k))
+
+    kernel = _make_hist_bp2_kernel(k, canonical, chunk, w_bits, mode)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, row_w), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (Hp, _BP2_PLANES), lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (Wp, _BP2_PLANES), lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (Hp, Wp), lambda t: (0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(
+        rows,
+        jnp.asarray(n_own, dtype=jnp.int32).reshape(1, 1),
+        a_hi,
+        a_lo,
+    )
+    return out[:H, :W].reshape(-1)[:bins]
+
+
 #: bins cap for ROUTING the bit-plane kernel (<= 2048 = k <= 5, W <= 2048:
 #: the [W, chunk] agreement plane stays comfortably inside VMEM at a chunk
 #: big enough to amortize tile overheads). Measured on v5e at k=4:
@@ -454,15 +682,22 @@ def histogram_pallas(
 
     Routing: small bins (<= _BP_ROUTE_MAX_BINS) take the bit-plane
     agreement-matmul kernel (2.8x the compare-based path at k=4,
-    measured); larger bins take the two-level MXU outer product.
-    KMER_TPU_HIST_IMPL=twolevel forces the old route (escape hatch)."""
-    if (
-        bins <= _BP_ROUTE_MAX_BINS
-        and os.environ.get("KMER_TPU_HIST_IMPL") != "twolevel"
-    ):
-        return histogram_bitplane_pallas(
-            bases, n_own, k, bins, canonical, interpret
-        )
+    measured); medium bins (<= 65536, k = 6..8) take the two-level NT
+    outer product with compare-built one-hots (v5e, 16M-base batches:
+    k=6 6.38 / k=7 4.34 / k=8 2.08 Gbase/s vs ~1.5-1.7 two-level);
+    larger bins take the compare-based two-level MXU outer product.
+    KMER_TPU_HIST_IMPL=twolevel|bitplane|bp2 forces a route (escape
+    hatch)."""
+    impl = os.environ.get("KMER_TPU_HIST_IMPL", "")
+    if impl != "twolevel":
+        if bins <= _BP_ROUTE_MAX_BINS and impl != "bp2":
+            return histogram_bitplane_pallas(
+                bases, n_own, k, bins, canonical, interpret
+            )
+        if bins <= _BP2_MAX_BINS:
+            return histogram_bp2_pallas(
+                bases, n_own, k, bins, canonical, interpret, mode="cmp"
+            )
     T = bases.shape[0]
     H, W = _split_hw(bins)
     chunk = int(os.environ.get("KMER_TPU_HIST_CHUNK", "512"))

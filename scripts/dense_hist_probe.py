@@ -29,6 +29,7 @@ def main():
     ap.add_argument("ks", nargs="*", type=int, default=None)
     ap.add_argument("--chunks", default="512,1024")
     ap.add_argument("--mbases", type=int, default=16, help="bases per batch (M)")
+    ap.add_argument("--impls", default="", help="comma list; empty = all")
     args = ap.parse_args()
     ks = args.ks or [3, 4, 6, 7]
     chunks = [int(c) for c in args.chunks.split(",")]
@@ -86,17 +87,29 @@ def main():
         "bitplane": lambda b, n, k, bins: hp.histogram_bitplane_pallas(
             b, n, k, bins
         ),
+        "bp2": lambda b, n, k, bins: hp.histogram_bp2_pallas(b, n, k, bins),
+        "bp2cmp": lambda b, n, k, bins: hp.histogram_bp2_pallas(
+            b, n, k, bins, mode="cmp"
+        ),
     }
     inner_hi, inner_lo = 24, 6
     for k in ks:
         bins = codec.num_bins(k)
         for chunk in chunks:
             os.environ["KMER_TPU_HIST_CHUNK"] = str(chunk)
+            os.environ["KMER_TPU_HIST_CHUNK_BP"] = str(chunk)
+            os.environ["KMER_TPU_HIST_CHUNK_BP2"] = str(chunk)
             # chunk is read at trace time — drop cached traces so it bites
             hp.histogram_pallas.clear_cache()
             hp.histogram_bitplane_pallas.clear_cache()
+            hp.histogram_bp2_pallas.clear_cache()
+            only = [s for s in args.impls.split(",") if s]
             for name, fn in impls.items():
+                if only and name not in only:
+                    continue
                 if name.startswith("bitplane") and bins > hp._BP_MAX_BINS:
+                    continue
+                if name.startswith("bp2") and bins > hp._BP2_MAX_BINS:
                     continue
                 try:
                     # fresh closures per chunk so jit keys differ

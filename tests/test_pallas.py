@@ -249,6 +249,54 @@ def test_histogram_bitplane_matches_oracle(make_dna, k, canonical):
     assert np.array_equal(got, want)
 
 
+@pytest.mark.parametrize("mode", ["planes", "cmp"])
+@pytest.mark.parametrize(
+    "k,canonical",
+    [(3, False), (6, False), (6, True), (7, False), (8, False), (8, True)],
+)
+def test_histogram_bp2_matches_oracle(make_dna, k, canonical, mode):
+    from dna_kmeres_parallel_tpu.ops.histogram_pallas import (
+        histogram_bp2_pallas,
+    )
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    s = make_dna(1500, invalid_frac=0.03)
+    bases = jnp.asarray(codec.encode_bases(s))
+    got = np.asarray(
+        histogram_bp2_pallas(
+            bases,
+            jnp.int32(len(s) - k + 1),
+            k,
+            codec.num_bins(k),
+            canonical=canonical,
+            interpret=True,
+            mode=mode,
+        ),
+        dtype=np.int64,
+    )
+    want = oracle.count_vector(s, k, canonical=canonical)
+    assert np.array_equal(got, want)
+
+
+def test_histogram_bp2_n_own_mask(make_dna):
+    from dna_kmeres_parallel_tpu.ops.histogram_pallas import (
+        histogram_bp2_pallas,
+    )
+
+    k = 6
+    s = make_dna(900)
+    bases = jnp.asarray(codec.encode_bases(s))
+    for n_own in (0, 1, 300):
+        got = np.asarray(
+            histogram_bp2_pallas(
+                bases, jnp.int32(n_own), k, 4096, interpret=True
+            )
+        )
+        assert got.sum() == n_own
+        want = oracle.count_vector(s[: n_own + k - 1] if n_own else "", k)
+        assert np.array_equal(got.astype(np.int64), want)
+
+
 def test_histogram_bitplane_n_own_mask(make_dna):
     # Windows starting at positions >= n_own must not count (the streaming
     # batch-overlap rule); the invalid-window/padding-bin corner (both
