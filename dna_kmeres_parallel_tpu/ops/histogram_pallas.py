@@ -487,10 +487,13 @@ def _make_hist_bp2_kernel(
     h_bits = 2 * k - w_bits
     off_hi = 2 * k - h_bits  # 32 - match_hi
     off_lo = 2 * k - w_bits
-    # Diagnostic-only (probe scripts): "noouter" skips the NT outer-product
-    # matmul, "noplanes" skips the agreement matmuls/thresholds — both
-    # produce WRONG histograms; they exist to time the stages separately.
-    diag = os.environ.get("KMER_TPU_BP2_DIAG", "")
+    # Diagnostic-only (probe scripts pass mode="planes+noouter" /
+    # "planes+noplanes"): "noouter" skips the NT outer-product matmul,
+    # "noplanes" skips the agreement matmuls/thresholds — both produce
+    # WRONG histograms; they exist to time the stages separately. The diag
+    # selector is an explicit function argument, never an ambient env read
+    # (an env read at trace time silently poisons cached production traces).
+    mode, _, diag = mode.partition("+")
 
     def kernel(bases_ref, n_own_ref, ahi_ref, alo_ref, out_ref):
         t = pl.program_id(0)
@@ -600,11 +603,19 @@ def histogram_bp2_pallas(
     two-level outer product with NT (window-axis) contraction (see
     _make_hist_bp2_kernel). mode="planes" builds the hi/lo one-hots on
     the MXU from +-1 bit planes; mode="cmp" builds them with natural-
-    layout VPU compares (2 ops/element). Exact; bins <= _BP2_MAX_BINS
-    (k <= 8)."""
+    layout VPU compares (2 ops/element); a "+noouter"/"+noplanes" suffix
+    selects a WRONG-result stage-timing diagnostic (probe scripts only).
+    Exact; bins <= _BP2_MAX_BINS (k <= 8), power of two (the H x W field
+    split assumes it — every caller passes 4**k)."""
     if bins > _BP2_MAX_BINS:
         raise ValueError(
             f"bp2 histogram supports bins <= {_BP2_MAX_BINS}, got {bins}"
+        )
+    if bins & (bins - 1):
+        # Non-power-of-two bins would make H*W < bins (silently dropping
+        # high bins) and break the w_bits field math below.
+        raise ValueError(
+            f"bp2 histogram requires power-of-two bins, got {bins}"
         )
     T = bases.shape[0]
     W = min(128, _round_up(bins, 4))
@@ -656,12 +667,12 @@ def histogram_bp2_pallas(
     return out[:H, :W].reshape(-1)[:bins]
 
 
-#: bins cap for ROUTING the bit-plane kernel (<= 2048 = k <= 5, W <= 2048:
-#: the [W, chunk] agreement plane stays comfortably inside VMEM at a chunk
-#: big enough to amortize tile overheads). Measured on v5e at k=4:
-#: bit-plane 4.52 Gbase/s vs two-level 1.63-1.68 (2.8x), exact — the
-#: reference's own workload band (k=3, kernels.h:14).
-_BP_ROUTE_MAX_BINS = 2048
+#: bins cap for ROUTING the bit-plane kernel: <= 64 (k <= 3 — the
+#: reference's own workload band, kernels.h:14), where the bp2 NT matmul
+#: would be MXU-latency-bound at H=1 tiny-M. From 256 bins up the bp2
+#: compare kernel wins (measured v5e: k=4 7.16 vs bit-plane 4.52 vs
+#: two-level 1.63-1.68 Gbase/s; k=5 7.04), so bp2 owns 256..65536.
+_BP_ROUTE_MAX_BINS = 64
 
 
 @functools.partial(
@@ -680,17 +691,26 @@ def histogram_pallas(
     bases (VMEM) and does rolling-code encode + canonicalization + the
     histogram in one pass — no intermediate code arrays in HBM.
 
-    Routing: small bins (<= _BP_ROUTE_MAX_BINS) take the bit-plane
-    agreement-matmul kernel (2.8x the compare-based path at k=4,
-    measured); medium bins (<= 65536, k = 6..8) take the two-level NT
-    outer product with compare-built one-hots (v5e, 16M-base batches:
-    k=6 6.38 / k=7 4.34 / k=8 2.08 Gbase/s vs ~1.5-1.7 two-level);
-    larger bins take the compare-based two-level MXU outer product.
+    Routing: tiny bins (<= _BP_ROUTE_MAX_BINS = 64, k <= 3) take the
+    bit-plane agreement-matmul kernel (the bp2 NT matmul is MXU-latency-
+    bound at H=1 there); 256 <= bins <= 65536 (k = 4..8) take the
+    two-level NT outer product with compare-built one-hots (v5e,
+    16M-base batches: k=4 7.16 / k=5 7.04 / k=6 6.38 / k=7 4.34 /
+    k=8 2.08 Gbase/s — all above both alternatives); larger bins take
+    the compare-based two-level MXU outer product.
     KMER_TPU_HIST_IMPL=twolevel|bitplane|bp2 forces a route (escape
-    hatch)."""
+    hatch; each within its own bins cap)."""
     impl = os.environ.get("KMER_TPU_HIST_IMPL", "")
-    if impl != "twolevel":
-        if bins <= _BP_ROUTE_MAX_BINS and impl != "bp2":
+    if impl == "bitplane" and bins <= _BP_MAX_BINS:
+        return histogram_bitplane_pallas(
+            bases, n_own, k, bins, canonical, interpret
+        )
+    if impl == "bp2" and bins <= _BP2_MAX_BINS:
+        return histogram_bp2_pallas(
+            bases, n_own, k, bins, canonical, interpret, mode="cmp"
+        )
+    if impl not in ("twolevel", "bitplane", "bp2"):
+        if bins <= _BP_ROUTE_MAX_BINS:
             return histogram_bitplane_pallas(
                 bases, n_own, k, bins, canonical, interpret
             )
