@@ -300,11 +300,20 @@ def cmd_distance(args) -> int:
     t0 = time.perf_counter()
     from dna_kmeres_parallel_tpu.ops.encode import MAX_DENSE_K
 
-    if args.k > MAX_DENSE_K:
-        # Sparse-table distances (k > 15): per-sequence sorted tables +
-        # host pairwise intersection min-sums — beyond the reference's
+    from dna_kmeres_parallel_tpu.models.sparse_engine import (
+        dense_distance_feasible,
+    )
+
+    if args.k > MAX_DENSE_K or not dense_distance_feasible(
+        len(seqs), args.k
+    ):
+        # Sparse-table distances: per-sequence sorted tables + host
+        # pairwise intersection min-sums — beyond the reference's
         # dense-vector design (kernels.h:85-109), completing distance
-        # coverage for every k the counting engines support.
+        # coverage for every k the counting engines support. Routes here
+        # for every k > 15 AND for mid-k (9..15) whenever the dense
+        # [S, 4^k] counts matrix would overflow the memory budget
+        # (KMER_TPU_DENSE_DIST_BUDGET; 4^13 is 268 MB per sequence).
         from dna_kmeres_parallel_tpu.models import sparse_engine
         from dna_kmeres_parallel_tpu.utils import io as io_mod
 
@@ -431,8 +440,10 @@ def cmd_selftest(args) -> int:
             "n_seqs": len(seqs),
             "total_kmers": sum(want.values()),
         }
-        if args.k > 15 and len(seqs) >= 2:
-            # Sparse-table distance differential (host engine vs oracle).
+        if len(seqs) >= 2:
+            # Sparse-table distance differential (host engine vs oracle)
+            # — the production distance route for this k band (k=13..15
+            # dense vectors are infeasible; see dense_distance_feasible).
             from dna_kmeres_parallel_tpu.models import sparse_engine
 
             d_got = sparse_engine.distance_sparse_packed(

@@ -450,6 +450,48 @@ def table_from_rle(
     return codes, cnt
 
 
+#: per-sequence length above which the TPU sparse engine builds the
+#: per-sequence distance table (below it the host rolling counter wins;
+#: above it the device encoder + radix compactor amortize their dispatch
+#: overhead and the host counter becomes the bottleneck).
+_TPU_TABLE_MIN_BASES = 4 << 20
+
+
+def dense_distance_feasible(
+    n_seqs: int, k: int, budget_bytes: int | None = None
+) -> bool:
+    """Whether the dense distance path's [S, 4^k] int32 counts matrix fits
+    the memory budget (KMER_TPU_DENSE_DIST_BUDGET bytes, default 2 GiB).
+
+    The reference's distance design (/root/reference/kernels.h:85-109)
+    assumes 4^k is tiny (64 bins at k=3). Mid-k (9..15) dense vectors
+    overflow host RAM and HBM at moderate S — 4^13 bins is 268 MB per
+    sequence — so distances route through per-sequence sparse tables
+    (distance_sparse_packed) whenever the dense matrix would not fit.
+    The gate is a memory budget, NOT a k threshold: small-S mid-k jobs
+    keep the fast dense (min,+) path, large-S jobs degrade gracefully.
+
+    Two engine realities are modeled, not just S * 4^k * 4:
+    - the counts-matrix builder pads the row count to power-of-two
+      buckets with a 128-row floor (engine.counts_matrix shape
+      discipline), so tiny S does not shrink the device allocation;
+    - the scatter path's overflow bucket indexes at S_padded * bins,
+      which must stay below 2^31 (int32 indices) — this alone rules the
+      dense path out for k >= 12 at any S.
+    """
+    import os
+
+    if budget_bytes is None:
+        budget_bytes = int(
+            os.environ.get("KMER_TPU_DENSE_DIST_BUDGET", str(2 << 30))
+        )
+    bins = 4**k
+    s_padded = max(128, 1 << max(int(n_seqs) - 1, 0).bit_length())
+    if s_padded * bins >= 1 << 31:
+        return False
+    return max(n_seqs, 128) * bins * 4 <= budget_bytes
+
+
 def min_sum_pairs_python(codes, counts, offs) -> np.ndarray:
     """Pure-NumPy fallback of native.min_sum_pairs_native (sorted-table
     pairwise intersection min-sums); exact, for native-less hosts."""
@@ -474,15 +516,20 @@ def distance_sparse_packed(
     seqs: list[str], k: int, canonical: bool = False
 ) -> np.ndarray:
     """Pairwise k-mer distances over SPARSE per-sequence tables — the
-    k > 15 regime where the reference's dense [4^k] count vectors
-    (/root/reference/kernels.h:85-109) cannot exist. Completes the
-    framework's distance capability for every k its counting supports.
+    regime where the reference's dense [4^k] count vectors
+    (/root/reference/kernels.h:85-109) cannot exist: every k > 15, and
+    mid-k (9..15) whenever [S, 4^k] overflows the memory budget (see
+    dense_distance_feasible). Completes the framework's distance
+    capability for every k its counting supports.
 
     TPU-first placement: the pairwise sorted-table intersection is an
     irregular two-pointer merge (data-dependent advance, no MXU shape) —
     it runs on the host (native kp_min_sum_pairs, threaded) next to the
     radix compactor that builds the tables; the float32 finish follows
-    contract point 4 (SURVEY.md §2.4.4: host IEEE division).
+    contract point 4 (SURVEY.md §2.4.4: host IEEE division). Table
+    building routes like counting does: the host rolling counter for
+    short sequences, the TPU sparse engine for sequences past
+    _TPU_TABLE_MIN_BASES (where the device encoder amortizes).
 
     Returns the packed strict-upper-triangle float32 distance vector
     (same layout/format as the dense engine's, contract point 5).
@@ -495,8 +542,17 @@ def distance_sparse_packed(
     count_parts: list[np.ndarray] = []
     offs = np.zeros(S + 1, dtype=np.int64)
     use_native = native.available()
+    tpu_engine = None
     for i, s in enumerate(seqs):
-        if use_native:
+        if len(s) >= _TPU_TABLE_MIN_BASES:
+            if tpu_engine is None:
+                tpu_engine = SparseKmerEngine(
+                    KmerConfig(k=k, canonical=canonical)
+                )
+            sp = tpu_engine.count_sequences([s])
+            c = sp.codes
+            n = sp.counts
+        elif use_native:
             c, n = native.count_sparse_host_native(
                 codec.encode_bases(s), k, canonical
             )
