@@ -36,8 +36,46 @@ def main() -> int:
 
     from dna_kmeres_parallel_tpu.models.benchmarks import (
         run_count_bench,
+        run_distance_bench,
         run_sparse_bench,
     )
+
+    # BENCH_METRIC=distance: pairwise-distance throughput (the reference's
+    # step-2, kernels.h:85-109, as one tiled (min,+) program). BENCH_K
+    # selects the band (k=8 = 64K bins, the Pallas bins-tiled kernel's
+    # upper routing edge; k<=8 routes Pallas on TPU, larger k routes jnp).
+    # BENCH_DIST_IMPL=jnp|pallas forces a path for A/B. vs_baseline is
+    # value / 1e6 pairs/s — an indicative denominator (the reference's own
+    # per-query-launch step 2 is launch-latency-bound; it publishes no
+    # pairs/s).
+    if os.environ.get("BENCH_METRIC") == "distance":
+        k = int(os.environ.get("BENCH_K", "8"))
+        n_seqs = int(os.environ.get("BENCH_DIST_SEQS", "2048"))
+        seq_len = int(os.environ.get("BENCH_DIST_LEN", "1024"))
+        impl = os.environ.get("BENCH_DIST_IMPL", "auto")
+        # In-program scan reps scale inversely with per-rep (min,+) volume
+        # (pairs x bins): k=3 amortizes dispatch over 8 reps, k=8's 137G-op
+        # rep is its own amortization.
+        n_pairs = n_seqs * (n_seqs - 1) // 2
+        reps = int(os.environ.get("BENCH_DIST_REPS", "0")) or max(
+            1, min(8, (2 << 30) // max(n_pairs * (4**k), 1))
+        )
+        report = run_distance_bench(
+            n_seqs=n_seqs, seq_len=seq_len, k=k, impl=impl, reps=reps
+        )
+        print(json.dumps(report), file=sys.stderr)
+        value = report["pairs_per_sec"]
+        print(
+            json.dumps(
+                {
+                    "metric": f"distance_pairs_k{k}",
+                    "value": value,
+                    "unit": "pairs/s",
+                    "vs_baseline": round(value / 1e6, 4),
+                }
+            )
+        )
+        return 0
 
     # Programs for the default shapes are pre-warmed into the persistent
     # compile cache so the bench runs even when the remote compile service

@@ -364,6 +364,105 @@ def run_sparse_bench(
         inner_lo = max(inner_hi // 4, 1)
         stack = jnp.stack(inputs[:n_distinct])
 
+        from dna_kmeres_parallel_tpu.ops.sparse import _enc_v2_active
+
+        use_v2 = pallas is not None and _enc_v2_active()
+        if use_v2:
+            # The v2 production program EXACTLY: H2D ships the 2-bit
+            # packed transfer format; the device program is the fused
+            # plane conversion (be_planes_from_packfmt) + the packed
+            # SWAR kernel + the in-kernel [n_valid | sig] reduction.
+            # The XOR salt rotates data inside the kernel per iteration.
+            @jax.jit
+            def _pack(xs):
+                # Pack on device once, outside the timed region: data
+                # plane [n, T/4] u8 + mask plane [n, T/8] u8 (the
+                # utils.codec.pack_bases wire format).
+                bits = (xs & 3).astype(jnp.uint32)
+                b4 = bits.reshape(xs.shape[0], -1, 4)
+                data = (
+                    b4[..., 0]
+                    | (b4[..., 1] << 2)
+                    | (b4[..., 2] << 4)
+                    | (b4[..., 3] << 6)
+                ).astype(jnp.uint8)
+                v = (xs < 4).astype(jnp.uint32).reshape(xs.shape[0], -1, 8)
+                mask = jnp.zeros_like(v[..., 0])
+                for j in range(8):
+                    mask = mask | (v[..., j] << j)
+                return data, mask.astype(jnp.uint8)
+
+            data_stack, mask_stack = _pack(stack)
+            data_stack = jax.device_put(data_stack)
+            mask_stack = jax.device_put(mask_stack)
+
+            from dna_kmeres_parallel_tpu.ops.encode_pallas import (
+                be_planes_from_packfmt,
+                rolling_codes_split_packed_pallas,
+            )
+
+            def make(inner):
+                @jax.jit
+                def prog(ds, salt0):
+                    dstack, mstack = ds
+
+                    def body(acc, i):
+                        salt = salt0.astype(jnp.int32) + i // n_distinct
+                        wbe, ibe = be_planes_from_packfmt(
+                            dstack[i % n_distinct], mstack[i % n_distinct]
+                        )
+                        *_, sig = rolling_codes_split_packed_pallas(
+                            wbe,
+                            ibe,
+                            n_own,
+                            k,
+                            canonical,
+                            interpret=(pallas == "interpret"),
+                            salt=salt,
+                            want_sig=True,
+                        )
+                        n_valid = jnp.sum(sig[:, :128], dtype=jnp.int32)
+                        sg = jnp.sum(sig[:, 128:], dtype=jnp.int32)
+                        return acc + jnp.stack([n_valid, sg]), None
+
+                    acc, _ = jax.lax.scan(
+                        body,
+                        jnp.zeros(2, jnp.int32),
+                        jnp.arange(inner, dtype=jnp.int32),
+                    )
+                    return acc
+
+                return prog
+
+            elapsed, counted_delta, valid = _two_size_differential(
+                make,
+                (data_stack, mask_stack),
+                inner_hi,
+                inner_lo,
+                counted_of=lambda h: int(np.asarray(h)[0]),
+            )
+            measured = (inner_hi - inner_lo) * batch_bases
+            expected = (inner_hi - inner_lo) * (batch_bases - k + 1)
+            counted = int(np.uint32(np.int64(counted_delta) & 0xFFFFFFFF))
+            return {
+                "bench": "sparse_count",
+                "k": k,
+                "canonical": canonical,
+                "device_sort": False,
+                "encoder": "v2-packed",
+                "row_len": row_len,
+                "total_bases": measured,
+                "batch_bases": batch_bases,
+                "elapsed_s": round(elapsed, 4),
+                "gbases_per_sec": (
+                    0.0 if not valid else round(measured / elapsed / 1e9, 4)
+                ),
+                "timing_valid": valid,
+                "windows_counted": counted,
+                "windows_expected": int(np.uint32(expected & 0xFFFFFFFF)),
+                "device": str(jax.devices()[0]),
+            }
+
         def make(inner):
             @jax.jit
             def prog(xs, salt0):
@@ -543,9 +642,21 @@ def run_sparse_bench(
 
 
 def run_distance_bench(
-    n_seqs: int = 1024, seq_len: int = 1024, k: int = 3, seed: int = 0
+    n_seqs: int = 1024,
+    seq_len: int = 1024,
+    k: int = 3,
+    seed: int = 0,
+    impl: str = "auto",
+    reps: int = 8,
 ) -> dict:
-    """Time the pairwise-distance path (the reference's step-2 analogue)."""
+    """Time the pairwise-distance path (the reference's step-2 analogue,
+    /root/reference/kernels.h:85-109 generalized to one tiled program).
+
+    impl: 'auto' mirrors engine routing (Pallas bins-tiled (min,+) kernel
+    for bins <= distance_pallas._MAX_BINS = 64K on TPU, jnp elsewhere);
+    'pallas'/'jnp' force a path for A/B comparison. The counts matrix is
+    built once outside the timed region; timing is in-program lax.scan
+    repetition with distinct inputs per iteration (tunnel dedupe trap)."""
     from dna_kmeres_parallel_tpu.ops import distance as dist_ops
     from dna_kmeres_parallel_tpu.models.engine import _counts_matrix_batch
 
@@ -562,7 +673,13 @@ def run_distance_bench(
     counts = _counts_matrix_batch(grid, k, bins, False)
     counts.block_until_ready()
 
-    use_pallas = runtime.pallas_mode() == "compiled" and bins <= 512
+    if impl == "auto":
+        use_pallas = (
+            runtime.pallas_mode() == "compiled"
+            and bins <= distance_pallas._MAX_BINS
+        )
+    else:
+        use_pallas = impl == "pallas"
     # Engine-equivalent kernel: the symmetric path runs the triangle-only
     # grid (lower tiles are never written, so the signature masks to
     # i <= j — also what the packed-triangle consumer reads).
@@ -577,7 +694,6 @@ def run_distance_bench(
     # across separate dispatches can go negative (a clamp once reported
     # 6e15 pairs/s). Every OUTER dispatch also gets a distinct base offset
     # (CLAUDE.md: byte-identical dispatches get deduped in the tunnel).
-    reps = 8
 
     @jax.jit
     def prog(c, base):

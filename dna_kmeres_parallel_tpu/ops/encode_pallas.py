@@ -328,3 +328,413 @@ def rolling_codes_split_pallas(
         planes[0].reshape(-1), jnp.uint16 if hi16 else jnp.uint32
     )
     return (hi, lo, sig) if want_sig else (hi, lo)
+
+
+# ==========================================================================
+# Packed-input encoder v2 (round 3): SWAR window extraction from 2-bit
+# packed words.
+#
+# The v1 kernel above reads one uint8 lane per BASE and builds window codes
+# with a doubling ladder — ~40 VPU ops/window (measured compute-bound at
+# ~20-25% of the HBM streaming roofline, docs/BENCHMARKS.md). Here the
+# stream arrives as uint32 words of 16 big-endian 2-bit digits (the
+# transfer format the host already ships, converted in a fused XLA
+# pre-pass), and a window's code words are 32-bit FUNNEL EXTRACTS:
+#
+#   lo(window i) = bits [2*(i+nhi), 2*(i+nhi)+32) of the packed bitstream
+#                = (P[w] << 2r) | (P[w+1] >> (32-2r)),  r = (i+nhi) mod 16
+#   hi(window i) = extract at 2*i  >>  (32 - 2*nhi)
+#
+# For a fixed residue r the shifts are CONSTANT across lanes, so 16 funnel
+# extracts E_r (3 ops each, amortized over 16 windows) serve every window:
+# lo of residue-group r0 is E[(r0+nhi)%16] (word-rolled when it wraps), hi
+# is E[r0] shifted. Window validity comes from an OR-spread ladder over
+# the invalid plane (digit j of V = OR of invalid digits j..j+k-1, built
+# with log2(k) funnel steps), then a 2-op digit extract per group. Total
+# ~15 ops/window — and the input DMA drops 4x (2 bits/base vs 8).
+#
+# OUTPUT ORDER IS PERMUTED: within each [row, chunk] span, windows are
+# stored residue-major (out[:, r*W16 + w] = window 16w + r) so every store
+# is a contiguous [8, W16] slice — an in-order store would need a 16-way
+# lane interleave. Every production consumer is order-oblivious: the sort
+# paths destroy order anyway and the host radix compactor
+# (kp_compact_unsorted) treats the stream as a bag. Ownership (pos <
+# n_own) and the bench signature use the TRUE stream position, computed
+# per group.
+# ==========================================================================
+
+
+def _dshift_digits(X, Xrolls, a: int, row_w: int):
+    """Bring digit p+a of the packed big-endian digit stream into digit p.
+
+    X is the [8, row_w] uint32 word vector; Xrolls caches lane-rolls of X
+    (Xrolls[q] = X rolled q words left). a in [0, 48): q = a // 16 word
+    rolls plus a (2*(a%16))-bit funnel from the next word."""
+    q, rbits = divmod(a, 16)
+    rbits *= 2
+    Xq = Xrolls[q]
+    if rbits == 0:
+        return Xq
+    return (Xq << rbits) | (Xrolls[q + 1] >> (32 - rbits))
+
+
+def _make_packed_encode_kernel(
+    k: int,
+    canonical: bool,
+    chunk: int,
+    single: bool,
+    hi16: bool,
+    with_salt: bool,
+    want_sig: bool,
+):
+    nlo = _lo_bases(k)
+    nhi = k - nlo
+    W16 = chunk // 16
+
+    def kernel(words_ref, inval_ref, whalo_ref, ihalo_ref, n_own_ref, *rest):
+        if with_salt:
+            salt_ref, rest = rest[0], rest[1:]
+        out_refs = rest
+        if want_sig:
+            sig_ref, out_refs = out_refs[-1], out_refs[:-1]
+        lo_ref = out_refs[-1]
+        hi_ref = None if single else out_refs[0]
+        t = pl.program_id(0)
+        n_own = n_own_ref[0, 0]
+
+        def u32(ref):
+            return jax.lax.bitcast_convert_type(ref[:], jnp.uint32)
+
+        P = jnp.concatenate([u32(words_ref), u32(whalo_ref)], axis=1)
+        I = jnp.concatenate([u32(inval_ref), u32(ihalo_ref)], axis=1)
+        if with_salt:
+            # Benchmark-only data rotation: XOR every digit with the salt
+            # (a valid-preserving alphabet permutation; invalid digits ride
+            # in I and are unaffected). One op per 16 windows.
+            s = salt_ref[0, 0]
+            P = P ^ ((s & 3).astype(jnp.uint32) * jnp.uint32(0x55555555))
+        row_w = P.shape[1]
+
+        def lroll(a, off):  # a[:, i + off] at column i
+            return pltpu.roll(a, row_w - off, axis=1) if off else a
+
+        class _Rolls:
+            """On-demand lane-roll cache: rolls[q] = X rolled q words."""
+
+            def __init__(self, X):
+                self._c = {0: X}
+
+            def __getitem__(self, q):
+                if q not in self._c:
+                    self._c[q] = lroll(self._c[0], q)
+                return self._c[q]
+
+        # 16 funnel extracts: E[r][w] = 32 bits of the digit stream
+        # starting at digit 16w + r.
+        E = [P]
+        Pn = lroll(P, 1)
+        for r in range(1, 16):
+            E.append((P << (2 * r)) | (Pn >> (32 - 2 * r)))
+
+        # Validity OR-spread: V digit j != 0 iff any of invalid digits
+        # j..j+k-1 is set. Doubling ladder + binary decomposition of k.
+        spans = {1: I}
+        span_rolls = {1: _Rolls(I)}
+        p = 1
+        while 2 * p <= k:
+            cur = spans[p]
+            nxt = cur | _dshift_digits(cur, span_rolls[p], p, row_w)
+            spans[2 * p] = nxt
+            span_rolls[2 * p] = _Rolls(nxt)
+            p *= 2
+        V = None
+        covered = 0
+        for q in sorted(spans, reverse=True):
+            if not (k & q):
+                continue
+            if V is None:
+                V = spans[q]
+                covered = q
+            else:
+                V = V | _dshift_digits(
+                    spans[q], span_rolls[q], covered, row_w
+                )
+                covered += q
+        # V: [8, row_w]; digit j of V[., w] nonzero => window 16w+j invalid.
+
+        # True stream position of window 16w + r0 in row `row` of tile t:
+        # (t*8 + row) * chunk + 16*w + r0.
+        pos_base = (
+            jax.lax.broadcasted_iota(jnp.int32, (8, W16), 1) * 16
+            + (jax.lax.broadcasted_iota(jnp.int32, (8, W16), 0) + t * 8)
+            * chunk
+        )
+
+        sent_i = jnp.int32(-1)
+        ones32 = jnp.uint32(0xFFFFFFFF)
+        nv = jnp.zeros((8, 128), jnp.int32) if want_sig else None
+        sg = jnp.zeros((8, 128), jnp.int32) if want_sig else None
+        for r0 in range(16):
+            if nhi:
+                rl = (r0 + nhi) % 16
+                woff = (r0 + nhi) // 16
+                lo = lroll(E[rl], woff) if woff else E[rl]
+                hi = E[r0] >> (32 - 2 * nhi)
+            else:
+                lo = E[r0] >> (32 - 2 * k) if k < 16 else E[r0]
+                # k=16: nhi=0 yet the hi plane exists (the u16 sentinel
+                # disambiguates the all-T code) — valid hi is all zero.
+                hi = None if single else jnp.zeros_like(lo)
+            lo = jax.lax.slice_in_dim(lo, 0, W16, axis=1)
+            if hi is not None:
+                hi = jax.lax.slice_in_dim(hi, 0, W16, axis=1)
+            vdig = (
+                jax.lax.slice_in_dim(V, 0, W16, axis=1)
+                >> (30 - 2 * r0)
+            ) & jnp.uint32(3)
+            pos = pos_base + r0
+            valid = (vdig == 0) & (pos < n_own)
+
+            if canonical:
+                # Same butterfly RC as the v1 kernel, per group.
+                if nhi:
+                    rev_lo = _rev16_digits(lo ^ ones32)
+                    hi_mask = jnp.uint32((1 << (2 * nhi)) - 1)
+                    rev_hi = _rev16_digits((hi ^ hi_mask) & hi_mask)
+                    rc_hi = rev_lo >> (2 * (16 - nhi))
+                    rc_lo = (rev_lo << (2 * nhi)) | (
+                        rev_hi >> (2 * (16 - nhi))
+                    )
+                else:
+                    k_mask = (
+                        jnp.uint32((1 << (2 * k)) - 1) if k < 16 else ones32
+                    )
+                    rc_lo = _rev16_digits((lo ^ k_mask) & k_mask)
+                    if k < 16:
+                        rc_lo = rc_lo >> (2 * (16 - k))
+                    rc_hi = None
+                if nhi:
+                    take_rc = (rc_hi < hi) | ((rc_hi == hi) & (rc_lo < lo))
+                    hi = jnp.where(take_rc, rc_hi, hi)
+                else:
+                    # nhi == 0: the RC hi is zero too (k=16) or absent.
+                    take_rc = rc_lo < lo
+                lo = jnp.where(take_rc, rc_lo, lo)
+
+            lo_i = jax.lax.bitcast_convert_type(lo, jnp.int32)
+            lo_sel = jnp.where(valid, lo_i, sent_i)
+            sl = (slice(None), slice(r0 * W16, (r0 + 1) * W16))
+            lo_ref[sl] = lo_sel
+            if hi_ref is not None:
+                hi_i = jax.lax.bitcast_convert_type(hi, jnp.int32)
+                if hi16:
+                    hi_ref[sl] = jnp.where(
+                        valid, hi_i, jnp.int32(0xFFFF)
+                    ).astype(jnp.int16)
+                else:
+                    hi_ref[sl] = jnp.where(valid, hi_i, sent_i)
+            if want_sig:
+                hi_i32 = (
+                    jax.lax.bitcast_convert_type(hi, jnp.int32)
+                    if hi is not None
+                    else jnp.int32(0)
+                )
+                mix = jnp.where(
+                    valid,
+                    ((lo_i & 0x7FFF) + (hi_i32 & 0x7FFF)) * (pos | 1),
+                    0,
+                )
+                valid_i = valid.astype(jnp.int32)
+                for j in range(W16 // 128):
+                    blk = (slice(None), slice(j * 128, (j + 1) * 128))
+                    nv = nv + valid_i[blk]
+                    sg = sg + mix[blk]
+        if want_sig:
+            blk = jnp.concatenate([nv, sg], axis=1)
+
+            @pl.when(t == 0)
+            def _():
+                sig_ref[:] = blk
+
+            @pl.when(t != 0)
+            def _():
+                sig_ref[:] = sig_ref[:] + blk
+
+    return kernel
+
+
+def _swar_spread_mask(m16_u32):
+    """uint32 holding a 16-bit little-endian VALIDITY field (bit j = base j
+    of the word valid) -> big-endian 2-bit INVALID digits (digit j = 11
+    iff base j invalid)."""
+    iv = (~m16_u32) & jnp.uint32(0xFFFF)
+    s = iv
+    s = (s | (s << 8)) & jnp.uint32(0x00FF00FF)
+    s = (s | (s << 4)) & jnp.uint32(0x0F0F0F0F)
+    s = (s | (s << 2)) & jnp.uint32(0x33333333)
+    s = (s | (s << 1)) & jnp.uint32(0x55555555)
+    d = s | (s << 1)  # little-endian digit j = 11 iff invalid
+    return _rev16_digits(d)
+
+
+def be_planes_from_packfmt(data_u8, mask_u8):
+    """The 2-bit packed transfer format (data [T/4] u8 little-endian in
+    byte + validity bitmask [T/8] u8; utils.codec.pack_bases) -> the v2
+    kernel's (words_be, inval_be) uint32 planes, each [T/16].
+
+    Fully fused elementwise XLA (~0.9 B/base of HBM traffic) — the v1
+    path instead materialized the whole uint8 base stream (unpack_stream,
+    >= 1.4 B/base) before the kernel re-read it."""
+    data_u8 = data_u8.reshape(-1, 4)
+    w_le = jax.lax.bitcast_convert_type(data_u8, jnp.uint32)
+    # LE 2-bit digits (base j at bits 2j) -> BE via butterfly reversal.
+    words_be = _rev16_digits(w_le)
+    m16 = jax.lax.bitcast_convert_type(
+        mask_u8.reshape(-1, 2), jnp.uint16
+    ).astype(jnp.uint32)
+    return words_be, _swar_spread_mask(m16)
+
+
+def be_planes_from_bases(bases_u8):
+    """uint8 base codes [T] (0..3 valid, anything else invalid) -> the v2
+    kernel's (words_be, inval_be) uint32 planes [T/16]. SWAR compression
+    in the u32 domain (no per-base lane ops)."""
+    b4 = jax.lax.bitcast_convert_type(bases_u8.reshape(-1, 4), jnp.uint32)
+    # 2-bit digits of 4 bases at bits 0,8,16,24 -> one LE byte per word.
+    d = b4 & jnp.uint32(0x03030303)
+    c = (d | (d >> 6)) & jnp.uint32(0x000F000F)
+    c = (c | (c >> 12)) & jnp.uint32(0x000000FF)
+    data_bytes = c.astype(jnp.uint8)  # [T/4]: 4 LE digits per byte
+    w_le = jax.lax.bitcast_convert_type(
+        data_bytes.reshape(-1, 4), jnp.uint32
+    )
+    words_be = _rev16_digits(w_le)
+    # Invalid base = any bit above the low 2 set in its byte.
+    iv = b4 & jnp.uint32(0xFCFCFCFC)
+    iv = (iv >> 2) | (iv >> 4) | (iv >> 6)
+    iv = iv & jnp.uint32(0x03030303)
+    iv = (iv | (iv >> 1)) & jnp.uint32(0x01010101)
+    iv3 = iv | (iv << 1)  # 0x03 per invalid base byte
+    e = (iv3 | (iv3 >> 6)) & jnp.uint32(0x000F000F)
+    e = (e | (e >> 12)) & jnp.uint32(0x000000FF)
+    iv_bytes = e.astype(jnp.uint8)
+    iv_le = jax.lax.bitcast_convert_type(iv_bytes.reshape(-1, 4), jnp.uint32)
+    return words_be, _rev16_digits(iv_le)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "canonical", "interpret", "want_sig")
+)
+def rolling_codes_split_packed_pallas(
+    words_be: jax.Array,
+    inval_be: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    canonical: bool = False,
+    interpret: bool = False,
+    salt: jax.Array | None = None,
+    want_sig: bool = False,
+):
+    """Packed-word encoder v2: (words_be, inval_be) uint32 planes [T/16]
+    -> (hi, lo[, sig]) window-code planes, same dtypes/sentinels as
+    rolling_codes_split_pallas but in RESIDUE-PERMUTED window order (see
+    module comment) — valid for every order-oblivious consumer (sorts,
+    the host radix compactor, RLE; NOT for positional window lookup)."""
+    if not (1 <= k <= MAX_SPARSE_K):
+        raise ValueError(f"k must be in [1, {MAX_SPARSE_K}]")
+    single = k <= MAX_SINGLE_WORD_K
+    from dna_kmeres_parallel_tpu.ops.sparse import MAX_U16_HI_K
+
+    hi16 = (not single) and k <= MAX_U16_HI_K
+    Tw = words_be.shape[0]
+    chunk = int(os.environ.get("KMER_TPU_ENC_CHUNK", "16384"))
+    if chunk < 2048 or chunk % 2048:
+        # W16 = chunk/16 must be a 128-multiple (Mosaic block widths).
+        raise ValueError(
+            "KMER_TPU_ENC_CHUNK must be a positive multiple of 2048 for "
+            f"the packed encoder, got {chunk}"
+        )
+    W16 = chunk // 16
+    span_w = 8 * W16
+    Twp = _round_up(max(Tw, span_w), span_w)
+    n_tiles = Twp // span_w
+    n_rows = n_tiles * 8
+    ones = jnp.uint32(0xFFFFFFFF)
+    if Tw == Twp:
+        wmain = words_be.reshape(n_rows, W16)
+        imain = inval_be.reshape(n_rows, W16)
+    else:
+        wmain = (
+            jnp.zeros((Twp,), jnp.uint32).at[:Tw].set(words_be)
+        ).reshape(n_rows, W16)
+        imain = (
+            jnp.full((Twp,), ones, jnp.uint32).at[:Tw].set(inval_be)
+        ).reshape(n_rows, W16)
+    # Per-row halo: the next row's first 128 words (2048 bases >> k-1+32).
+    whalo = jnp.concatenate(
+        [wmain[1:, :128], jnp.zeros((1, 128), jnp.uint32)], axis=0
+    )
+    ihalo = jnp.concatenate(
+        [imain[1:, :128], jnp.full((1, 128), ones, jnp.uint32)], axis=0
+    )
+
+    kernel = _make_packed_encode_kernel(
+        k, canonical, chunk, single, hi16, salt is not None, want_sig
+    )
+    n_out = 1 if single else 2
+    out_dtypes = ([jnp.int16] if hi16 else [jnp.int32])[: n_out - 1] + [
+        jnp.int32
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_rows, chunk), dt) for dt in out_dtypes
+    ]
+    out_specs = [
+        pl.BlockSpec((8, chunk), lambda t: (t, 0), memory_space=pltpu.VMEM)
+        for _ in range(n_out)
+    ]
+    if want_sig:
+        out_shapes.append(jax.ShapeDtypeStruct((8, 256), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec((8, 256), lambda t: (0, 0), memory_space=pltpu.VMEM)
+        )
+    word_spec = pl.BlockSpec(
+        (8, W16), lambda t: (t, 0), memory_space=pltpu.VMEM
+    )
+    halo_spec = pl.BlockSpec(
+        (8, 128), lambda t: (t, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        word_spec,
+        word_spec,
+        halo_spec,
+        halo_spec,
+        pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+    ]
+    as_i32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+    args = [
+        as_i32(wmain),
+        as_i32(imain),
+        as_i32(whalo),
+        as_i32(ihalo),
+        jnp.asarray(n_own, dtype=jnp.int32).reshape(1, 1),
+    ]
+    if salt is not None:
+        in_specs.append(pl.BlockSpec((1, 1), memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(salt, dtype=jnp.int32).reshape(1, 1))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shapes),
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        interpret=interpret,
+    )(*args)
+    sig = out[-1] if want_sig else None
+    planes = out[:-1] if want_sig else out
+    lo = jax.lax.bitcast_convert_type(planes[-1].reshape(-1), jnp.uint32)
+    if single:
+        return (None, lo, sig) if want_sig else (None, lo)
+    hi = jax.lax.bitcast_convert_type(
+        planes[0].reshape(-1), jnp.uint16 if hi16 else jnp.uint32
+    )
+    return (hi, lo, sig) if want_sig else (hi, lo)

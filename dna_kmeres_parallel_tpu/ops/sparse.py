@@ -124,25 +124,69 @@ def canonicalize_split(hi: jax.Array, lo: jax.Array, k: int):
     return jnp.where(take_rc, rc_hi, hi), jnp.where(take_rc, rc_lo, lo)
 
 
+def _enc_v2_active() -> bool:
+    """Whether the packed-word encoder v2 serves the Pallas encode route.
+
+    Default on (it is exact and ~2-3x the v1 kernel rate); KMER_TPU_ENC_V2=0
+    forces the v1 order-preserving kernel, and a KMER_TPU_ENC_CHUNK that is
+    not a 2048-multiple (the v2 lane-geometry requirement) falls back to v1
+    automatically. Read at trace time (the jit cache keys on k/canonical/
+    pallas, not on this env — flip it before first use, like the chunk)."""
+    import os
+
+    if os.environ.get("KMER_TPU_ENC_V2", "1") == "0":
+        return False
+    chunk = int(os.environ.get("KMER_TPU_ENC_CHUNK", "16384"))
+    return chunk >= 2048 and chunk % 2048 == 0
+
+
 def _encode_words(
     bases: jax.Array,
     n_own: jax.Array,
     k: int,
     canonical: bool,
     pallas: str | None,
+    force_v1: bool = False,
 ):
     """Encode to the adaptive UNSORTED key-word tuple: (lo,) for k <= 15,
     (hi_u16, lo) for k <= 23, else (hi_u32, lo); invalid windows hold the
-    all-ones sentinel in every word."""
+    all-ones sentinel in every word.
+
+    Word ORDER is unspecified (the v2 packed-word kernel emits residue-
+    permuted order; see ops/encode_pallas.py) — every consumer sorts or
+    bag-compacts. Positional consumers (anything pairing words with
+    per-window data computed from stream positions, e.g. minimizer owner
+    routing) must pass force_v1=True to pin the order-preserving kernel."""
     sentinel32 = jnp.uint32(0xFFFFFFFF)
     if pallas is not None:
-        from dna_kmeres_parallel_tpu.ops.encode_pallas import (
-            rolling_codes_split_pallas,
-        )
+        interp = pallas == "interpret"
+        if _enc_v2_active() and not force_v1:
+            from dna_kmeres_parallel_tpu.ops.encode import INVALID
+            from dna_kmeres_parallel_tpu.ops.encode_pallas import (
+                be_planes_from_bases,
+                rolling_codes_split_packed_pallas,
+            )
 
-        hi, lo = rolling_codes_split_pallas(
-            bases, n_own, k, canonical, interpret=(pallas == "interpret")
-        )
+            T = bases.shape[0]
+            if T % 16:
+                bases = jnp.concatenate(
+                    [
+                        bases,
+                        jnp.full((16 - T % 16,), INVALID, jnp.uint8),
+                    ]
+                )
+            wbe, ibe = be_planes_from_bases(bases)
+            hi, lo = rolling_codes_split_packed_pallas(
+                wbe, ibe, n_own, k, canonical, interpret=interp
+            )
+        else:
+            from dna_kmeres_parallel_tpu.ops.encode_pallas import (
+                rolling_codes_split_pallas,
+            )
+
+            hi, lo = rolling_codes_split_pallas(
+                bases, n_own, k, canonical, interpret=interp
+            )
         if hi is not None and hi.dtype == jnp.uint16:
             # The kernel already emitted the u16 hi plane (16 <= k <= 23)
             # with the 0xFFFF sentinel — no conversion pass needed.
@@ -170,6 +214,48 @@ def _encode_words(
         )
         return (hi16, lo)
     return (hi, lo)
+
+
+def _encode_words_packfmt(
+    data: jax.Array,
+    mask: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    canonical: bool,
+    pallas: str | None,
+):
+    """_encode_words over the 2-bit packed transfer format.
+
+    With the v2 packed-word encoder active the data/mask planes convert
+    straight to big-endian word planes in a fused XLA pre-pass (~0.9
+    B/base of HBM traffic) and the uint8 base stream NEVER materializes;
+    otherwise falls back to unpack_stream + _encode_words (>= 1.4 B/base).
+    """
+    if (
+        pallas is not None
+        and _enc_v2_active()
+        and data.shape[0] % 4 == 0
+        and mask.shape[0] % 2 == 0
+    ):
+        from dna_kmeres_parallel_tpu.ops.encode_pallas import (
+            be_planes_from_packfmt,
+            rolling_codes_split_packed_pallas,
+        )
+
+        wbe, ibe = be_planes_from_packfmt(data, mask)
+        hi, lo = rolling_codes_split_packed_pallas(
+            wbe, ibe, n_own, k, canonical,
+            interpret=(pallas == "interpret"),
+        )
+        if hi is not None and hi.dtype == jnp.uint16:
+            return (hi, lo)
+        if k <= MAX_SINGLE_WORD_K:
+            return (lo,)
+        return (hi, lo)
+    from dna_kmeres_parallel_tpu.ops import encode as encode_ops
+
+    bases = encode_ops.unpack_stream(data, mask)
+    return _encode_words(bases, n_own, k, canonical, pallas)
 
 
 def word_sentinel(dtype):
@@ -207,6 +293,15 @@ def _encode_and_sort_rows(
     pallas_sort: bool = False,
 ):
     words = _encode_words(bases, n_own, k, canonical, pallas)
+    return _sort_words_as_rows(words, pallas, row_len, pallas_sort)
+
+
+def _sort_words_as_rows(
+    words,
+    pallas: str | None,
+    row_len: int,
+    pallas_sort: bool = False,
+):
     n = words[-1].shape[0]
     rows = max(1, -(-n // row_len))
     npad = rows * row_len
@@ -318,11 +413,10 @@ def sort_words_packed(
 ):
     """sort_words over the 2-bit packed transfer format (data [T/4] +
     validity mask [T/8]; see models/engine.stage_batch): 4x less H2D, the
-    unpack fuses into the device program."""
-    from dna_kmeres_parallel_tpu.ops import encode as encode_ops
-
-    bases = encode_ops.unpack_stream(data, mask)
-    return _encode_and_sort(bases, n_own, k, canonical, pallas)
+    unpack (v1) or plane conversion (v2 packed encoder) fuses into the
+    device program."""
+    words = _encode_words_packfmt(data, mask, n_own, k, canonical, pallas)
+    return tuple(jax.lax.sort(words, num_keys=len(words)))
 
 
 @functools.partial(
@@ -332,12 +426,8 @@ def sort_words_packed(
 def _sort_words_rows_packed_jit(
     data, mask, n_own, k, canonical, pallas, row_len, pallas_sort
 ):
-    from dna_kmeres_parallel_tpu.ops import encode as encode_ops
-
-    bases = encode_ops.unpack_stream(data, mask)
-    return _encode_and_sort_rows(
-        bases, n_own, k, canonical, pallas, row_len, pallas_sort
-    )
+    words = _encode_words_packfmt(data, mask, n_own, k, canonical, pallas)
+    return _sort_words_as_rows(words, pallas, row_len, pallas_sort)
 
 
 def sort_words_rows_packed(
@@ -392,10 +482,7 @@ def encode_words_packed(
     pallas: str | None = None,
 ):
     """encode_words over the 2-bit packed transfer format."""
-    from dna_kmeres_parallel_tpu.ops import encode as encode_ops
-
-    bases = encode_ops.unpack_stream(data, mask)
-    return _encode_words(bases, n_own, k, canonical, pallas)
+    return _encode_words_packfmt(data, mask, n_own, k, canonical, pallas)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "canonical", "pallas"))

@@ -135,17 +135,26 @@ def _route_owner(b, hi, lo, valid, k, D, owner_mode, minimizer_m,
     return jnp.where(valid, owner, jnp.int32(D))
 
 
-def _encode_shard_words(b, n_own, k, canonical, pallas):
+def _encode_shard_words(b, n_own, k, canonical, pallas,
+                        positional=False):
     """One shard's encode for the bucketed exchanges: the SAME program as
     the single-chip path (ops/sparse._encode_words — Pallas fused encoder
     when pallas is set), so every chip of the mesh runs the fast encode.
+
+    positional=True pins the ORDER-PRESERVING v1 kernel: minimizer owner
+    routing pairs each word with a per-window minimizer computed from the
+    base stream at the window's position, so the v2 kernel's residue-
+    permuted order would misalign them (prefix routing derives owners
+    from the word VALUES and takes the faster v2 route).
 
     Returns (hi, lo, valid): hi in its native width (None for k <= 15,
     uint16 for 16 <= k <= 23, else uint32), lo uint32, both holding
     all-ones sentinels at invalid/unowned windows; valid is the mask.
     Plane length is T-k+1 on the XLA path and T rounded up to the encoder
     tile span on the Pallas path (the padding tail is sentinels)."""
-    words = sparse_ops._encode_words(b, n_own, k, canonical, pallas)
+    words = sparse_ops._encode_words(
+        b, n_own, k, canonical, pallas, force_v1=positional
+    )
     if len(words) == 1:
         lo = words[0]
         # k <= 15: codes < 2^30, so the sentinel cannot collide with a code.
@@ -225,7 +234,10 @@ def count_bucket_sharded(
     def shard_fn(b, n_own):
         b = b.reshape(-1)
         n_own = n_own.reshape(())
-        hi_n, lo, valid = _encode_shard_words(b, n_own, k, canonical, pallas)
+        hi_n, lo, valid = _encode_shard_words(
+            b, n_own, k, canonical, pallas,
+            positional=(owner_mode == "minimizer"),
+        )
         # This path's sorts and searchsorted edges work in u32 hi space;
         # widen the native-width plane (sentinel-preserving).
         if hi_n is None:
@@ -393,7 +405,10 @@ def exchange_words_bucket_sharded(
         n_own = n_own.reshape(())
         # Native-width planes (hi u16 for 16 <= k <= 23 — already narrowed
         # by _encode_words, halving both the sort payload and ICI volume).
-        hi, lo, valid = _encode_shard_words(b, n_own, k, canonical, pallas)
+        hi, lo, valid = _encode_shard_words(
+            b, n_own, k, canonical, pallas,
+            positional=(owner_mode == "minimizer"),
+        )
 
         owner = _route_owner(b, hi, lo, valid, k, D, owner_mode,
                              minimizer_m, shift, t_bits, use_hi)

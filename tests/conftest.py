@@ -9,9 +9,11 @@ import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 # Small encoder tiles in CI: interpret-mode Pallas pads inputs to the tile
-# span (8 * chunk); the production default (4096) would make every tiny
-# fixture a 32K-element interpreted loop.
-os.environ.setdefault("KMER_TPU_ENC_CHUNK", "512")
+# span (8 * chunk); the production default (16384) would make every tiny
+# fixture a 128K-element interpreted loop. 2048 is the v2 packed encoder's
+# minimum lane geometry (chunk/16 lanes must be a 128-multiple) — smaller
+# values would silently route every Pallas test back to the v1 kernel.
+os.environ.setdefault("KMER_TPU_ENC_CHUNK", "2048")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -582,3 +582,188 @@ def test_stream_device_rle_matches_oracle(tmp_path, make_dna):
         KmerConfig(k=21, batch_bases=512, compact="device-rle")
     ).run(str(path))
     assert result.table() == count_table_any_k([s for _, s in records], 21)
+
+
+# --------------------------------------------------------------------------
+# Mid-k (9..15) distance routing: sparse tables whenever [S, 4^k] is
+# infeasible (VERDICT r2 item 1 — the reference's core deliverable,
+# kernels.h:85-109, must cover every k)
+# --------------------------------------------------------------------------
+
+
+def test_dense_distance_feasible_gate():
+    from dna_kmeres_parallel_tpu.models.sparse_engine import (
+        dense_distance_feasible,
+    )
+
+    # k=3 at any sane S: 64 bins, always feasible.
+    assert dense_distance_feasible(54018, 3)
+    # k=13: 4^13 bins = 268 MB/sequence; S=2000 needs ~537 GB. Never
+    # dense — the scatter's int32 index ceiling (S_padded * bins < 2^31)
+    # rules it out at ANY budget.
+    assert not dense_distance_feasible(2000, 13)
+    assert not dense_distance_feasible(9, 13)  # default 2 GiB budget
+    assert not dense_distance_feasible(4, 13, budget_bytes=1 << 60)
+    # k=12 likewise: 128-row padding floor x 4^12 bins >= 2^31.
+    assert not dense_distance_feasible(2, 12)
+    # k=11 small-S stays on the fast dense (min,+) path.
+    assert dense_distance_feasible(30, 11)
+    assert not dense_distance_feasible(4000, 11)
+
+
+@pytest.mark.parametrize("k", [9, 13, 15])
+def test_distance_sparse_midk_matches_oracle(make_dna, k):
+    # k=9 also has a dense twin (1 MB vectors): the sparse-table result
+    # must equal the dense oracle bit-for-bit; 13/15 check the sparse
+    # oracle twin (dense vectors are 268 MB - 4 GB per sequence there).
+    from dna_kmeres_parallel_tpu.models import oracle, sparse_engine
+
+    seqs = [make_dna(160 + 23 * i, invalid_frac=0.02) for i in range(6)]
+    got = sparse_engine.distance_sparse_packed(seqs, k)
+    if k == 9:
+        want = oracle.distance_matrix_packed(seqs, k)
+    else:
+        want = oracle.distance_matrix_packed_sparse(seqs, k)
+    assert got.dtype == np.float32
+    assert np.array_equal(got, want)
+
+
+def test_cli_distance_routes_midk_to_sparse(tmp_path, make_dna, monkeypatch, capsys):
+    # Routing pin: k=13 from the CLI must take the sparse-table path (no
+    # [S, 4^13] materialization) and write the oracle's exact CSV bytes.
+    import json as json_mod
+
+    from dna_kmeres_parallel_tpu import cli
+    from dna_kmeres_parallel_tpu.models import oracle
+    from dna_kmeres_parallel_tpu.utils import io as io_mod
+
+    seqs = [make_dna(150 + 31 * i) for i in range(5)]
+    fa = tmp_path / "mid.fasta"
+    fa.write_text("".join(f">s{i}\n{s}\n" for i, s in enumerate(seqs)))
+    out = tmp_path / "d13.csv"
+    rc = cli.main(["distance", "--k", "13", str(fa), "-o", str(out)])
+    assert rc == 0
+    report = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["engine"] == "host/sparse"  # the routing pin
+    want = tmp_path / "want.csv"
+    io_mod.write_distances_csv(
+        want, oracle.distance_matrix_packed_sparse(seqs, 13)
+    )
+    assert out.read_bytes() == want.read_bytes()
+
+
+def test_cli_distance_budget_gate_forces_sparse(
+    tmp_path, make_dna, monkeypatch, capsys
+):
+    # A tiny budget must push even k=5 (1024 bins) onto the sparse path,
+    # and the distances must still match the dense oracle exactly.
+    import json as json_mod
+
+    from dna_kmeres_parallel_tpu import cli
+    from dna_kmeres_parallel_tpu.models import oracle
+
+    monkeypatch.setenv("KMER_TPU_DENSE_DIST_BUDGET", "1024")
+    seqs = [make_dna(90 + 13 * i) for i in range(4)]
+    fa = tmp_path / "tiny.fasta"
+    fa.write_text("".join(f">s{i}\n{s}\n" for i, s in enumerate(seqs)))
+    out = tmp_path / "d5.csv"
+    rc = cli.main(["distance", "--k", "5", str(fa), "-o", str(out)])
+    assert rc == 0
+    report = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["engine"] == "host/sparse"
+    got = np.array(
+        [float(x) for x in out.read_text().split()], dtype=np.float32
+    )
+    want = oracle.distance_matrix_packed(seqs, 5)
+    assert np.allclose(got, want, atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# Packed-word encoder v2 (round 3): SWAR extraction from 2-bit packed words
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "k,canonical",
+    [(9, False), (13, False), (15, True), (16, False), (16, True),
+     (21, False), (21, True), (24, False), (31, True)],
+)
+def test_packed_encoder_v2_matches_jnp_multiset(make_dna, k, canonical):
+    # The v2 kernel emits windows in residue-permuted order (documented);
+    # the CODE MULTISET must equal the jnp encoder's exactly, across every
+    # key-word layout, with ownership cropping and invalid bases.
+    from dna_kmeres_parallel_tpu.ops.encode_pallas import (
+        be_planes_from_bases,
+        rolling_codes_split_packed_pallas,
+    )
+
+    s = make_dna(4208, invalid_frac=0.02)
+    T = len(s) // 16 * 16
+    bases = codec.encode_bases(s[:T])
+    n_own = T - 400
+    w, iv = be_planes_from_bases(jnp.asarray(bases))
+    hi, lo = rolling_codes_split_packed_pallas(
+        w, iv, jnp.int32(n_own), k, canonical, interpret=True
+    )
+    ref = sparse_ops._encode_words(
+        jnp.asarray(bases), jnp.int32(n_own), k, canonical, pallas=None
+    )
+
+    def codes64(h, l):
+        h = None if h is None else np.asarray(h)
+        l = np.asarray(l)
+        if h is None:
+            m = l != 0xFFFFFFFF
+            return np.sort(l[m].astype(np.uint64))
+        m = h != np.iinfo(h.dtype).max
+        return np.sort(
+            (h[m].astype(np.uint64) << np.uint64(32)) | l[m].astype(np.uint64)
+        )
+
+    ref_hi, ref_lo = (None, ref[0]) if len(ref) == 1 else (ref[0], ref[1])
+    assert np.array_equal(codes64(hi, lo), codes64(ref_hi, ref_lo))
+
+
+def test_be_planes_packfmt_matches_from_bases(make_dna):
+    # The packed-transfer-format plane builder and the raw-bases builder
+    # agree digit-for-digit on valid bases and bit-for-bit on the invalid
+    # plane (invalid bases' data digits are don't-cares).
+    from dna_kmeres_parallel_tpu.ops.encode_pallas import (
+        be_planes_from_bases,
+        be_planes_from_packfmt,
+    )
+
+    s = make_dna(512, invalid_frac=0.05)
+    bases = codec.encode_bases(s)
+    w1, iv1 = (np.asarray(x) for x in be_planes_from_bases(jnp.asarray(bases)))
+    data, mask, _ = codec.pack_bases(bases)
+    w2, iv2 = (
+        np.asarray(x)
+        for x in be_planes_from_packfmt(jnp.asarray(data), jnp.asarray(mask))
+    )
+    assert np.array_equal(iv1, iv2)
+    care = ~iv1  # 2-bit digit = 00 where valid
+    assert np.array_equal(w1 & care, w2 & care)
+
+
+@pytest.mark.parametrize("k", [13, 21])
+def test_encode_words_v2_engine_route_matches_oracle(make_dna, k, monkeypatch):
+    # Engine-level: the interpret-mode Pallas route (which now takes the
+    # v2 packed kernel) against the oracle, packed feed included.
+    monkeypatch.setenv("KMER_TPU_PALLAS_INTERPRET", "1")
+    seqs = [make_dna(220 + 17 * i, invalid_frac=0.03) for i in range(3)]
+    got = SparseKmerEngine(
+        KmerConfig(k=k, batch_bases=2048, pack_input=True)
+    ).count_sequences(seqs)
+    assert got.table() == oracle.count_table_any_k(seqs, k)
+
+
+def test_enc_v2_escape_hatch(monkeypatch):
+    from dna_kmeres_parallel_tpu.ops import sparse as sp
+
+    assert sp._enc_v2_active()
+    monkeypatch.setenv("KMER_TPU_ENC_V2", "0")
+    assert not sp._enc_v2_active()
+    monkeypatch.delenv("KMER_TPU_ENC_V2")
+    monkeypatch.setenv("KMER_TPU_ENC_CHUNK", "512")  # not a 2048-multiple
+    assert not sp._enc_v2_active()
