@@ -239,36 +239,12 @@ def count_file_multihost_resumable(
     hist = np.zeros(bins, dtype=np.int64)
     first_step = 0
     if checkpoint_path:
-        mine = {}
-        for gen in (0, 1):
-            try:
-                ck = ckpt_mod.load_checkpoint(_ckpt_file(checkpoint_path, rank, gen))
-            except Exception:
-                continue
-            # cursor is in BASES (steps_done * batch at save time), so a
-            # resume with a different batch size is accepted only when it
-            # divides the saved progress cleanly.
-            if ck.dense and ck.k == k and ck.canonical == config.canonical and (
-                ck.total_bases == max_len and ck.cursor % batch == 0
-            ):
-                mine[ck.cursor] = ck
-        have = np.zeros(2, dtype=np.int64)
-        for i, s in enumerate(sorted(mine, reverse=True)[:2]):
-            have[i] = s
-        if pcount > 1:
-            from jax.experimental import multihost_utils
-
-            all_have = multihost_utils.process_allgather(have)
-        else:
-            all_have = have[None, :]
-        common = 0
-        for s in sorted(mine, reverse=True):
-            if s and all(s in set(row.tolist()) for row in np.atleast_2d(all_have)):
-                common = s
-                break
-        if common:
-            hist = mine[common].hist.astype(np.int64)
-            first_step = common // batch
+        ck, first_step = _common_resume_step(
+            checkpoint_path, rank, pcount, batch, max_len, config,
+            want_dense=True,
+        )
+        if ck is not None:
+            hist = ck.hist.astype(np.int64)
 
     steps_done = first_step
     for step in range(first_step, n_steps):
@@ -301,6 +277,205 @@ def count_file_multihost_resumable(
                 ),
             )
     return hist, total_bases, n_seqs, steps_done, n_steps
+
+
+def _common_resume_step(
+    checkpoint_path: str,
+    rank: int,
+    pcount: int,
+    batch: int,
+    max_len: int,
+    config,
+    want_dense: bool,
+):
+    """Two-generation resume: newest step EVERY process has a valid
+    checkpoint for (a kill can interleave saves across processes by at
+    most one step; the older generation covers the rollback). Returns
+    (checkpoint | None, first_step)."""
+    from dna_kmeres_parallel_tpu.utils import checkpoint as ckpt_mod
+
+    mine = {}
+    for gen in (0, 1):
+        try:
+            ck = ckpt_mod.load_checkpoint(
+                _ckpt_file(checkpoint_path, rank, gen)
+            )
+        except Exception:
+            continue
+        # cursor is in BASES (steps_done * batch at save time), so a
+        # resume with a different batch size is accepted only when it
+        # divides the saved progress cleanly.
+        if (
+            ck.dense == want_dense
+            and ck.k == config.k
+            and ck.canonical == config.canonical
+            and ck.total_bases == max_len
+            and ck.cursor % batch == 0
+        ):
+            mine[ck.cursor] = ck
+    have = np.zeros(2, dtype=np.int64)
+    for i, s in enumerate(sorted(mine, reverse=True)[:2]):
+        have[i] = s
+    if pcount > 1:
+        from jax.experimental import multihost_utils
+
+        all_have = multihost_utils.process_allgather(have)
+    else:
+        all_have = have[None, :]
+    for s in sorted(mine, reverse=True):
+        if s and all(
+            s in set(row.tolist()) for row in np.atleast_2d(all_have)
+        ):
+            return mine[s], s // batch
+    return None, 0
+
+
+def count_file_bucketed_multihost_resumable(
+    path: str,
+    config,
+    mesh,
+    axis: str = "data",
+    checkpoint_path: str | None = None,
+    batch_bases: int | None = None,
+    max_steps: int | None = None,
+    owner_mode: str = "prefix",
+):
+    """Batched, checkpointed BUCKET-SHARDED sparse count — config 5's
+    longest-running pod scenario (k up to 31, all_to_all code exchange)
+    with the same preemption-survival contract as the dense path
+    (SURVEY.md §5: "resume-from-last-merged" state + stream cursor).
+
+    Per globally-agreed step s, every process slices its record-aligned
+    range's [s*batch, s*batch + batch + k - 1) slab, splits it across its
+    LOCAL devices with (k-1) halos, and runs the bucket-sharded exchange
+    over the full mesh (parallel/bucketed.count_bucket_sharded). Each
+    process then compacts ONLY its own devices' sub-tables (owners
+    partition the code space, so per-process tables are disjoint) and
+    merges them into its running per-owner partial table. After each step
+    the (cursor, local sparse table) pair is saved atomically under the
+    dense path's TWO-GENERATION protocol; a restart resumes from the
+    newest step every process has on disk. Integer merges make the
+    resumed per-process tables bit-identical to a single-shot run.
+
+    Returns (codes_u64, counts_i64, total_bases, n_seqs, steps_done,
+    n_steps) — codes/counts are THIS process's owner partition; the
+    global table is the disjoint merge of all processes' results.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dna_kmeres_parallel_tpu.models.sparse_engine import (
+        merge_sparse_tables,
+    )
+    from dna_kmeres_parallel_tpu.ops import runtime
+    from dna_kmeres_parallel_tpu.ops.encode import INVALID
+    from dna_kmeres_parallel_tpu.parallel import bucketed
+    from dna_kmeres_parallel_tpu.utils import checkpoint as ckpt_mod
+
+    k = config.k
+    batch = int(batch_bases or getattr(config, "batch_bases", 1 << 24))
+    pcount = jax.process_count()
+    rank = jax.process_index()
+    D = mesh.shape[axis]
+    n_local = max(D // max(pcount, 1), 1)
+    ranges = split_fasta_byte_ranges(path, pcount)
+    start, end = ranges[rank % len(ranges)]
+    flat, total_bases, n_seqs = encode_range_stream(path, start, end)
+
+    if pcount > 1:
+        from jax.experimental import multihost_utils
+
+        lengths = multihost_utils.process_allgather(
+            np.array([flat.shape[0]], dtype=np.int64)
+        )
+        max_len = int(np.max(lengths))
+    else:
+        max_len = int(flat.shape[0])
+    n_steps = max(-(-max_len // batch), 1)
+    span = max(-(-batch // n_local), 1)  # owned windows per local shard
+    halo = k - 1
+    sharding2 = NamedSharding(mesh, P(axis, None))
+    sharding1 = NamedSharding(mesh, P(axis))
+    pallas = (
+        runtime.pallas_mode() if getattr(config, "use_pallas", True) else None
+    )
+
+    codes = np.zeros(0, np.uint64)
+    counts = np.zeros(0, np.int64)
+    first_step = 0
+    if checkpoint_path:
+        ck, first_step = _common_resume_step(
+            checkpoint_path, rank, pcount, batch, max_len, config,
+            want_dense=False,
+        )
+        if ck is not None:
+            codes = ck.sparse_codes.astype(np.uint64)
+            counts = ck.sparse_counts.astype(np.int64)
+
+    steps_done = first_step
+    for step in range(first_step, n_steps):
+        if max_steps is not None and steps_done - first_step >= max_steps:
+            break
+        lo_b = step * batch
+        seg = flat[lo_b : lo_b + batch + halo]
+        # Local shard grid [n_local, span + halo]: row r owns windows
+        # starting in [r*span, (r+1)*span) of this step's batch; the halo
+        # (and any short tail) is INVALID-guarded.
+        local = np.full((n_local, span + halo), INVALID, dtype=np.uint8)
+        n_own_local = np.zeros(n_local, dtype=np.int32)
+        for r in range(n_local):
+            s0 = r * span
+            piece = seg[s0 : s0 + span + halo]
+            local[r, : piece.shape[0]] = piece
+            n_own_local[r] = int(np.clip(batch - s0, 0, span))
+        if pcount == 1:
+            shards_g = jax.device_put(local, sharding2)
+            n_own_g = jax.device_put(n_own_local, sharding1)
+        else:
+            shards_g = jax.make_array_from_process_local_data(
+                sharding2, local, (D, span + halo)
+            )
+            n_own_g = jax.make_array_from_process_local_data(
+                sharding1, n_own_local, (D,)
+            )
+        hi, lo_w, cnt, starts, overflow = bucketed.count_bucket_sharded(
+            shards_g, n_own_g, k, config.canonical, mesh, axis,
+            owner_mode=owner_mode, pallas=pallas,
+        )
+        if bool(overflow):
+            raise RuntimeError(
+                "bucketed send capacity overflow — re-run with a smaller "
+                "batch_bases (capacity scales with the per-step window "
+                "count)"
+            )
+        # Compact ONLY this process's devices' sub-tables (disjoint owner
+        # partition) and fold them into the running local table.
+        local_rows = []
+        for arr in (hi, lo_w, cnt, starts):
+            shards = sorted(
+                arr.addressable_shards, key=lambda s: s.index[0].start or 0
+            )
+            local_rows.append(
+                np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+            )
+        step_codes, step_counts = bucketed.gather_table(*local_rows)
+        codes, counts = merge_sparse_tables(
+            [(codes, counts), (step_codes, step_counts)]
+        )
+        steps_done = step + 1
+        if checkpoint_path:
+            ckpt_mod.save_checkpoint(
+                _ckpt_file(checkpoint_path, rank, steps_done % 2),
+                ckpt_mod.CountCheckpoint(
+                    k=k,
+                    canonical=config.canonical,
+                    cursor=steps_done * batch,
+                    total_bases=max_len,
+                    sparse_codes=codes,
+                    sparse_counts=counts,
+                ),
+            )
+    return codes, counts, total_bases, n_seqs, steps_done, n_steps
 
 
 def count_file_multihost(path: str, config, mesh, axis: str = "data"):

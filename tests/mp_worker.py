@@ -74,6 +74,38 @@ def main() -> int:
         )
         return 0
 
+    if mode.startswith("bktresume"):
+        # Checkpointed bucket-sharded sparse count (config 5 + resume).
+        # "bktresume:<ckpt>:<batch>" runs to completion;
+        # "bktresume_kill:<ckpt>:<batch>:<steps>" stops after <steps>
+        # steps. Each process writes ITS OWN owner-partition table; the
+        # test merges per-process npz files into the global table.
+        parts = mode.split(":")
+        ckpt, batch = parts[1], int(parts[2])
+        max_steps = int(parts[3]) if len(parts) > 3 else None
+        import numpy as np
+
+        codes, counts, total_bases, n_seqs, steps_done, n_steps = (
+            multihost.count_file_bucketed_multihost_resumable(
+                fasta_path,
+                KmerConfig(k=k),
+                mesh,
+                checkpoint_path=ckpt,
+                batch_bases=batch,
+                max_steps=max_steps,
+            )
+        )
+        np.savez(
+            out_path,
+            codes=codes,
+            counts=counts,
+            total_bases=total_bases,
+            n_seqs=n_seqs,
+            steps_done=steps_done,
+            n_steps=n_steps,
+        )
+        return 0
+
     # mode == "bucketed": the config-5 all_to_all path over the
     # cross-process mesh. Every process parses the whole (small) file and
     # contributes its device's stream shard; per-device sub-tables are

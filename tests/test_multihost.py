@@ -402,3 +402,127 @@ def test_multihost_resumable_two_processes_kill_and_resume(tmp_path, make_dna):
         got = np.load(o)
         assert int(got["steps_done"]) == int(got["n_steps"])
         assert np.array_equal(got["hist"].astype(np.int64), want)
+
+
+def test_bucketed_resumable_single_process(big_fasta, tmp_path):
+    """Checkpointed bucket-sharded sparse count (config 5 + resume): stop
+    after 2 steps, resume, and the final table must equal both the oracle
+    and a no-checkpoint run (integer merges are bit-exact at any split)."""
+    from dna_kmeres_parallel_tpu.models.oracle import count_table_any_k
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    path, seqs = big_fasta
+    k = 17
+    cfg = KmerConfig(k=k)
+    mesh = make_mesh(8)
+    ckpt = str(tmp_path / "bkt_ck")
+    batch = 2048
+
+    c1, n1, _, _, steps_done, n_steps = (
+        multihost.count_file_bucketed_multihost_resumable(
+            path, cfg, mesh, checkpoint_path=ckpt, batch_bases=batch,
+            max_steps=2,
+        )
+    )
+    assert steps_done == 2 and n_steps > 2
+
+    codes, counts, total_bases, n_seqs, steps_done2, _ = (
+        multihost.count_file_bucketed_multihost_resumable(
+            path, cfg, mesh, checkpoint_path=ckpt, batch_bases=batch
+        )
+    )
+    assert steps_done2 == n_steps
+    want = count_table_any_k(seqs, k)
+    got = {
+        codec.code_to_kmer(int(c), k): int(n) for c, n in zip(codes, counts)
+    }
+    assert got == want
+    assert n_seqs == len(seqs)
+
+    c3, n3, *_ = multihost.count_file_bucketed_multihost_resumable(
+        path, cfg, mesh, batch_bases=batch
+    )
+    assert np.array_equal(c3, codes) and np.array_equal(n3, counts)
+
+
+def test_bucketed_resumable_two_processes_kill_and_resume(tmp_path, make_dna):
+    """The VERDICT r2 item-5 contract: a 2-process gloo bucket-sharded
+    sparse run killed after 2 steps, then restarted, must resume from the
+    common checkpoint and produce the bit-identical global table."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from dna_kmeres_parallel_tpu.models.oracle import count_table_any_k
+    from dna_kmeres_parallel_tpu.models.sparse_engine import (
+        merge_sparse_tables,
+    )
+    from dna_kmeres_parallel_tpu.utils import codec
+    from dna_kmeres_parallel_tpu.utils import fasta as fasta_mod
+
+    records = [(f">r{i}", make_dna(400 + 61 * i)) for i in range(8)]
+    path = tmp_path / "bres.fasta"
+    fasta_mod.write_fasta(path, records)
+    k = 17
+    ckpt = str(tmp_path / "bkt2p_ck")
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    env = {kk: v for kk, v in os.environ.items() if kk not in ("XLA_FLAGS",)}
+    env["PYTHONPATH"] = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+
+    def run(mode, outs):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(i), "2", str(port), str(path),
+                 str(k), outs[i], mode],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                env=env,
+            )
+            for i in range(2)
+        ]
+        logs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=240)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail("bucketed resumable workers timed out")
+            logs.append(out)
+        for i, p in enumerate(procs):
+            assert p.returncode == 0, f"worker {i} failed:\n{logs[i][-2000:]}"
+
+    outs_a = [str(tmp_path / f"ba{i}.npz") for i in range(2)]
+    run(f"bktresume_kill:{ckpt}:512:2", outs_a)
+    for o in outs_a:
+        got = np.load(o)
+        assert int(got["steps_done"]) == 2 < int(got["n_steps"])
+
+    outs_b = [str(tmp_path / f"bb{i}.npz") for i in range(2)]
+    run(f"bktresume:{ckpt}:512", outs_b)
+    tables = []
+    for o in outs_b:
+        got = np.load(o)
+        assert int(got["steps_done"]) == int(got["n_steps"])
+        tables.append(
+            (got["codes"].astype(np.uint64), got["counts"].astype(np.int64))
+        )
+    codes, counts = merge_sparse_tables(tables)
+    want = count_table_any_k([s for _, s in records], k)
+    got_tbl = {
+        codec.code_to_kmer(int(c), k): int(n) for c, n in zip(codes, counts)
+    }
+    assert got_tbl == want
+
+    # A clean single-shot run must be bit-identical per process.
+    outs_c = [str(tmp_path / f"bc{i}.npz") for i in range(2)]
+    run(f"bktresume:{tmp_path / 'bkt_clean'}:512", outs_c)
+    for ob, oc in zip(outs_b, outs_c):
+        gb, gc = np.load(ob), np.load(oc)
+        assert np.array_equal(gb["codes"], gc["codes"])
+        assert np.array_equal(gb["counts"], gc["counts"])
