@@ -42,6 +42,19 @@ from dna_kmeres_parallel_tpu.utils.metrics import Metrics
 # any bin could overflow (worst case: one bin receives every window).
 _FLUSH_LIMIT = (1 << 31) - (1 << 27)
 
+#: 'auto' compact adaptivity: after the initial race, every Nth batch runs
+#: on the LOSING route to refresh its EWMA rate (KMER_TPU_COMPACT_RECHECK).
+_COMPACT_RECHECK = int(os.environ.get("KMER_TPU_COMPACT_RECHECK", "16"))
+#: flip modes only when the loser's EWMA beats the winner's by this margin
+#: (flapping guard; the dev link swings 5-30x run-to-run).
+_COMPACT_HYSTERESIS = 1.25
+#: sampled k-mer duplication ratio (windows / distinct) above which 'auto'
+#: selects the device-RLE route (sequencing coverage makes most windows
+#: duplicates; D2H then scales with DISTINCT codes).
+_RLE_DUP_THRESHOLD = 4.0
+#: bases sampled from the stream head for the duplication estimate.
+_RLE_SAMPLE_BASES = 1 << 20
+
 
 def _prefetched(items, fn, depth: int = 2):
     """Run fn over items with a 1-thread prefetcher: batch i+1's host prep
@@ -409,6 +422,29 @@ class StreamingCounter:
             return False
         return None
 
+    def _sample_duplication(self, flat, cursor: int) -> float:
+        """Estimated k-mer duplication ratio (total windows / distinct) of
+        a sample from the stream head — the data signal behind the 'auto'
+        device-RLE selection. Uses the native host counter (one radix pass
+        over <= _RLE_SAMPLE_BASES bases); returns 1.0 when the sample is
+        too small or the native engine is absent (never selects RLE)."""
+        from dna_kmeres_parallel_tpu import native
+
+        if not native.available():
+            return 1.0
+        k = self.config.k
+        seg = flat[cursor : cursor + _RLE_SAMPLE_BASES]
+        if seg.shape[0] < 4 * k:
+            return 1.0
+        codes, counts = native.count_sparse_host_native(
+            seg, k, self.config.canonical
+        )
+        distinct = max(int(codes.shape[0]), 1)
+        total = int(counts.sum())
+        dup = total / distinct
+        self.metrics.count("dup_sample_x1000", int(dup * 1000))
+        return dup
+
     def _run_sparse(self, flat, total_bases, n_seqs, t0) -> SparseCountResult:
         cfg = self.config
         total = flat.shape[0]
@@ -427,11 +463,35 @@ class StreamingCounter:
         mesh = self._mesh()
         host_mode = self._resolve_compact(mesh)
         rle = cfg.compact == "device-rle"
-        # 'auto' race bookkeeping: drain walls of device batches 2..3
-        # (batch 1 pays compiles) vs one host-counted batch 4; decided
-        # before batch 5. Shorter streams just finish on device.
-        race_device_walls: list[tuple[int, float]] = []
-        race_host: tuple[int, float] | None = None
+        if (
+            cfg.compact == "auto"
+            and host_mode is None
+            and self._sample_duplication(flat, cursor) >= _RLE_DUP_THRESHOLD
+        ):
+            # Coverage-duplicated data (sequencing reads at 30-50x): most
+            # windows repeat, so the device-RLE route ships only DISTINCT
+            # (code, count) pairs — D2H and host work scale with distinct
+            # codes, ~(10/dup) B/window. Uniform-random data (dup ~1) is
+            # the one distribution where RLE loses; the sample gate keeps
+            # it on the plain race there.
+            rle = True
+            host_mode = False
+            self.metrics.count("compact_rle_selected")
+        # 'auto' bookkeeping: EWMA bases/s per route. Initial decision:
+        # drain walls of device batches 2..3 (batch 1 pays compiles) vs one
+        # host-counted batch 4, decided before batch 5. Unlike the r2
+        # one-shot race, the decision is RE-EVALUATED for the rest of the
+        # stream: every _COMPACT_RECHECK batches one batch runs on the
+        # losing route and refreshes its rate, and the mode flips when the
+        # loser's EWMA beats the winner's by the hysteresis margin — a
+        # probe-window hiccup (this link swings 5-30x run-to-run) can no
+        # longer lock a GB run into the wrong mode.
+        adaptive = host_mode is None
+        rate: dict[str, float | None] = {"device": None, "host": None}
+
+        def _rate_update(key: str, bases_n: int, wall: float) -> None:
+            r = bases_n / max(wall, 1e-9)
+            rate[key] = r if rate[key] is None else 0.5 * rate[key] + 0.5 * r
 
         def prep(bounds):
             if host_mode is True:
@@ -497,6 +557,19 @@ class StreamingCounter:
                 self._save(p_end, total_bases, sparse=tables[0])
                 since_ckpt = 0
 
+        def _maybe_flip():
+            nonlocal host_mode
+            if not adaptive or host_mode is None:
+                return
+            if rate["device"] is None or rate["host"] is None:
+                return
+            cur, other = (
+                ("host", "device") if host_mode else ("device", "host")
+            )
+            if rate[other] > _COMPACT_HYSTERESIS * rate[cur]:
+                host_mode = not host_mode
+                self.metrics.count("compact_mode_flips")
+
         def drain(p):
             words, p_start, p_end, p_idx = p
             t_d = time.perf_counter()
@@ -521,14 +594,15 @@ class StreamingCounter:
                     tables.append(compact_table(words))
                 else:
                     tables.append(compact_unsorted(words, cfg.k))
-            if host_mode is None and p_idx >= 2:
-                # 'auto' race: this wall covers device exec + D2H fetch +
-                # host compaction — the full per-batch cost of the device
-                # route in the pipelined steady state (batch 1 pays the
-                # compiles and is excluded).
-                race_device_walls.append(
-                    (p_end - p_start, time.perf_counter() - t_d)
+            if adaptive and p_idx >= 2:
+                # This wall covers device exec + D2H fetch + host
+                # compaction — the full per-batch cost of the device route
+                # in the pipelined steady state (batch 1 pays the compiles
+                # and is excluded).
+                _rate_update(
+                    "device", p_end - p_start, time.perf_counter() - t_d
                 )
+                _maybe_flip()
             book(p_start, p_end)
 
         for (start, end, T, overlap), staged in _prefetched(
@@ -544,9 +618,28 @@ class StreamingCounter:
                 stopped = True
                 break
             done_batches += 1
-            use_host = host_mode is True or (
-                host_mode is None and done_batches == 4
+            # Probe schedule: once decided, every _COMPACT_RECHECK-th batch
+            # runs on the LOSING route to refresh its EWMA (so a stale
+            # verdict can be overturned mid-stream).
+            probe = (
+                adaptive
+                and host_mode is not None
+                and not rle
+                and done_batches % _COMPACT_RECHECK == 0
             )
+            use_host = (
+                (host_mode is True) != probe
+                if host_mode is not None
+                else done_batches == 4
+            )
+            if not use_host and staged is None:
+                # Device batch requested while the prefetch closure staged
+                # for host mode (a probe, or the 1-2 batch skew around a
+                # flip): stage synchronously.
+                seg0 = flat[start : min(end + overlap, total)]
+                padded0 = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
+                padded0[: seg0.shape[0]] = seg0
+                staged = stage_batch(padded0, cfg.pack_input)
             if use_host:
                 # ZERO-D2H route: count the batch straight off the
                 # host-resident stream with the fused native engine (the
@@ -565,16 +658,23 @@ class StreamingCounter:
                             seg, cfg.k, cfg.canonical
                         )
                     )
-                if host_mode is None:
-                    race_host = (end - start, time.perf_counter() - t_h)
+                if adaptive:
+                    _rate_update(
+                        "host", end - start, time.perf_counter() - t_h
+                    )
                 book(start, end)
-                if host_mode is None and race_device_walls:
-                    d_rate = max(b / max(w, 1e-9) for b, w in race_device_walls)
-                    h_rate = race_host[0] / max(race_host[1], 1e-9)
-                    host_mode = h_rate > d_rate
+                if (
+                    adaptive
+                    and host_mode is None
+                    and rate["device"] is not None
+                    and rate["host"] is not None
+                ):
+                    host_mode = rate["host"] > rate["device"]
                     self.metrics.count(
                         "compact_host_selected", int(host_mode)
                     )
+                elif adaptive:
+                    _maybe_flip()
                 continue
             with self.metrics.phase("device"):
                 pallas = runtime.pallas_mode() if cfg.use_pallas else None

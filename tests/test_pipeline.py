@@ -226,3 +226,79 @@ def test_sparse_compact_auto_switches_to_host_when_device_slow(
     assert result.table() == oracle.count_table_any_k(seqs, 21)
     rep = sc.metrics.report()
     assert rep["counters"]["compact_host_selected"] == 1
+
+
+def test_sparse_compact_auto_flips_when_route_degrades_midstream(
+    fasta_file, monkeypatch
+):
+    """r3 adaptivity contract (VERDICT item 6): the 'auto' decision is
+    re-evaluated for the rest of the stream, so a probe-window verdict
+    cannot lock a long run into the wrong mode. The host route wins the
+    initial race (CPU interpret-mode device is slow), then degrades 100x
+    from its 3rd call on — the periodic loser-probe must flip the mode,
+    and the table must stay exact across the flip."""
+    import time as _time
+
+    from dna_kmeres_parallel_tpu import native
+    from dna_kmeres_parallel_tpu.models import pipeline as pl
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    real = native.count_sparse_host_native
+    calls = {"n": 0}
+
+    def degrading(seg, k, canonical):
+        calls["n"] += 1
+        if calls["n"] >= 3:
+            _time.sleep(0.3)
+        return real(seg, k, canonical)
+
+    monkeypatch.setattr(native, "count_sparse_host_native", degrading)
+    # Frequent probes so the flip happens within the test's batch budget.
+    monkeypatch.setattr(pl, "_COMPACT_RECHECK", 4)
+
+    path, seqs = fasta_file
+    sc = StreamingCounter(KmerConfig(k=21, batch_bases=128, compact="auto"))
+    result = sc.run(path)
+    assert result.table() == oracle.count_table_any_k(seqs, 21)
+    rep = sc.metrics.report()
+    if rep["counters"].get("compact_host_selected") == 1:
+        # Host won the initial race; the degradation must flip it.
+        assert rep["counters"].get("compact_mode_flips", 0) >= 1
+
+
+def test_sparse_compact_auto_selects_rle_on_coverage_data(tmp_path, make_dna):
+    """30x-coverage synthetic reads: 'auto' must sample the duplication
+    ratio, select the device-RLE route, and stay exact."""
+    from dna_kmeres_parallel_tpu import native
+    from dna_kmeres_parallel_tpu.utils import fasta as fasta_mod
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    genome = make_dna(300)
+    reads = []
+    rng = np.random.default_rng(7)
+    for i in range(60):  # ~30x coverage of 150-base reads
+        s = int(rng.integers(0, len(genome) - 150))
+        reads.append((f">r{i}", genome[s : s + 150]))
+    path = tmp_path / "cov.fasta"
+    fasta_mod.write_fasta(path, reads)
+    sc = StreamingCounter(KmerConfig(k=21, batch_bases=2048, compact="auto"))
+    result = sc.run(str(path))
+    rep = sc.metrics.report()
+    assert rep["counters"].get("compact_rle_selected") == 1
+    want = oracle.count_table_any_k([s for _, s in reads], 21)
+    assert result.table() == want
+
+
+def test_sample_duplication_estimates(make_dna):
+    from dna_kmeres_parallel_tpu import native
+    from dna_kmeres_parallel_tpu.utils import codec as codec_mod
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    sc = StreamingCounter(KmerConfig(k=21))
+    uniform = codec_mod.concat_with_sentinels([make_dna(4096)])
+    assert sc._sample_duplication(uniform, 0) < 1.5
+    dup = codec_mod.concat_with_sentinels([make_dna(256)] * 32)
+    assert sc._sample_duplication(dup, 0) > 10
