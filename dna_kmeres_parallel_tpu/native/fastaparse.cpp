@@ -39,6 +39,14 @@
 namespace {
 
 int num_threads(int64_t work, int64_t grain) {
+  // KMER_NATIVE_THREADS overrides the hardware count (benchmark thread-
+  // scaling curves; read per call so in-process changes take effect).
+  if (const char* e = getenv("KMER_NATIVE_THREADS")) {
+    const int forced = atoi(e);
+    if (forced > 0)
+      return static_cast<int>(std::max<int64_t>(
+          1, std::min<int64_t>(forced, std::max<int64_t>(work / grain, 1))));
+  }
   int hw = static_cast<int>(std::thread::hardware_concurrency());
   if (hw <= 0) hw = 1;
   int64_t by_work = work / grain;
