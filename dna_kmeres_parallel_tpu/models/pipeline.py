@@ -493,6 +493,13 @@ class StreamingCounter:
             r = bases_n / max(wall, 1e-9)
             rate[key] = r if rate[key] is None else 0.5 * rate[key] + 0.5 * r
 
+        def pad_bounds(bounds):
+            start, end, T, overlap = bounds
+            seg = flat[start : min(end + overlap, total)]
+            padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
+            padded[: seg.shape[0]] = seg
+            return padded
+
         def prep(bounds):
             if host_mode is True:
                 # Host-resident counting: nothing to pad or ship. (Closure
@@ -501,9 +508,7 @@ class StreamingCounter:
                 # harmless, they are simply never dispatched.)
                 return None
             start, end, T, overlap = bounds
-            seg = flat[start : min(end + overlap, total)]
-            padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
-            padded[: seg.shape[0]] = seg
+            padded = pad_bounds(bounds)
             if rle:
                 # sort_words_rle consumes the raw base stream.
                 return stage_batch(padded, False)
@@ -625,6 +630,7 @@ class StreamingCounter:
                 adaptive
                 and host_mode is not None
                 and not rle
+                and _COMPACT_RECHECK > 0  # 0 = never re-probe
                 and done_batches % _COMPACT_RECHECK == 0
             )
             use_host = (
@@ -635,11 +641,12 @@ class StreamingCounter:
             if not use_host and staged is None:
                 # Device batch requested while the prefetch closure staged
                 # for host mode (a probe, or the 1-2 batch skew around a
-                # flip): stage synchronously.
-                seg0 = flat[start : min(end + overlap, total)]
-                padded0 = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
-                padded0[: seg0.shape[0]] = seg0
-                staged = stage_batch(padded0, cfg.pack_input)
+                # flip): stage synchronously. Probing is single-chip,
+                # non-rle by construction (see `probe` above), so the
+                # default stage_batch format is the only one needed.
+                staged = stage_batch(
+                    pad_bounds((start, end, T, overlap)), cfg.pack_input
+                )
             if use_host:
                 # ZERO-D2H route: count the batch straight off the
                 # host-resident stream with the fused native engine (the

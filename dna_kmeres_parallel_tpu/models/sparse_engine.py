@@ -489,7 +489,7 @@ def dense_distance_feasible(
     s_padded = max(128, 1 << max(int(n_seqs) - 1, 0).bit_length())
     if s_padded * bins >= 1 << 31:
         return False
-    return max(n_seqs, 128) * bins * 4 <= budget_bytes
+    return s_padded * bins * 4 <= budget_bytes
 
 
 def min_sum_pairs_python(codes, counts, offs) -> np.ndarray:
@@ -534,10 +534,28 @@ def distance_sparse_packed(
     Returns the packed strict-upper-triangle float32 distance vector
     (same layout/format as the dense engine's, contract point 5).
     """
+    codes, cnts, offs = build_pair_tables(seqs, k, canonical)
+    from dna_kmeres_parallel_tpu import native
+
+    if native.available():
+        sums = native.min_sum_pairs_native(codes, cnts, offs)
+    else:
+        sums = min_sum_pairs_python(codes, cnts, offs)
+    lengths = np.array([len(s) for s in seqs], dtype=np.int64)
+    return finish_distances_packed(sums, lengths, k)
+
+
+def build_pair_tables(
+    seqs: list[str], k: int, canonical: bool = False
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-sequence sorted-unique tables, concatenated: (codes_u64,
+    counts_i64, offs_i64[S+1]) with sequence i's table at
+    [offs[i], offs[i+1]). Routes like counting does: native host rolling
+    counter for short sequences, the TPU sparse engine past
+    _TPU_TABLE_MIN_BASES, oracle fallback without the native lib."""
     from dna_kmeres_parallel_tpu import native
 
     S = len(seqs)
-    lengths = np.array([len(s) for s in seqs], dtype=np.int64)
     code_parts: list[np.ndarray] = []
     count_parts: list[np.ndarray] = []
     offs = np.zeros(S + 1, dtype=np.int64)
@@ -578,12 +596,16 @@ def distance_sparse_packed(
     cnts = (
         np.concatenate(count_parts) if count_parts else np.zeros(0, np.int64)
     )
-    if use_native:
-        sums = native.min_sum_pairs_native(codes, cnts, offs)
-    else:
-        sums = min_sum_pairs_python(codes, cnts, offs)
-    # float32 finish, one row at a time (contract point 4; bounded memory
-    # at large S — no [S, S] materialization).
+    return codes, cnts, offs
+
+
+def finish_distances_packed(
+    sums: np.ndarray, lengths: np.ndarray, k: int
+) -> np.ndarray:
+    """Packed pair min-sums -> float32 distances, one row at a time
+    (contract point 4: host IEEE division; bounded memory at large S —
+    no [S, S] materialization)."""
+    S = lengths.shape[0]
     out = np.zeros(sums.shape[0], dtype=np.float32)
     w = 0
     for i in range(S - 1):

@@ -714,7 +714,10 @@ def histogram_pallas(
             return histogram_bitplane_pallas(
                 bases, n_own, k, bins, canonical, interpret
             )
-        if bins <= _BP2_MAX_BINS:
+        # bp2's H x W field split needs power-of-two bins (every k-mer
+        # caller passes 4**k); other bin counts fall through to the
+        # two-level kernel rather than raising.
+        if bins <= _BP2_MAX_BINS and not (bins & (bins - 1)):
             return histogram_bp2_pallas(
                 bases, n_own, k, bins, canonical, interpret, mode="cmp"
             )

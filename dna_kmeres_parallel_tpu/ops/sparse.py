@@ -124,20 +124,41 @@ def canonicalize_split(hi: jax.Array, lo: jax.Array, k: int):
     return jnp.where(take_rc, rc_hi, hi), jnp.where(take_rc, rc_lo, lo)
 
 
+_enc_v2_first_seen: bool | None = None
+
+
 def _enc_v2_active() -> bool:
     """Whether the packed-word encoder v2 serves the Pallas encode route.
 
-    Default on (it is exact and ~2-3x the v1 kernel rate); KMER_TPU_ENC_V2=0
+    Default on (it is exact and faster than the v1 kernel); KMER_TPU_ENC_V2=0
     forces the v1 order-preserving kernel, and a KMER_TPU_ENC_CHUNK that is
     not a 2048-multiple (the v2 lane-geometry requirement) falls back to v1
-    automatically. Read at trace time (the jit cache keys on k/canonical/
-    pallas, not on this env — flip it before first use, like the chunk)."""
+    automatically. Read at trace time — the jit cache keys on k/canonical/
+    pallas, NOT on this env, so already-traced shapes keep their original
+    route after a mid-process flip (both routes produce identical word
+    multisets; only the kernel differs). Set it before first use; a
+    mid-process change warns loudly instead of silently half-applying."""
+    global _enc_v2_first_seen
     import os
 
-    if os.environ.get("KMER_TPU_ENC_V2", "1") == "0":
-        return False
-    chunk = int(os.environ.get("KMER_TPU_ENC_CHUNK", "16384"))
-    return chunk >= 2048 and chunk % 2048 == 0
+    active = os.environ.get("KMER_TPU_ENC_V2", "1") != "0"
+    if active:
+        chunk = int(os.environ.get("KMER_TPU_ENC_CHUNK", "16384"))
+        active = chunk >= 2048 and chunk % 2048 == 0
+    if _enc_v2_first_seen is None:
+        _enc_v2_first_seen = active
+    elif active != _enc_v2_first_seen:
+        import warnings
+
+        warnings.warn(
+            "KMER_TPU_ENC_V2/KMER_TPU_ENC_CHUNK changed after the encoder "
+            "route was first resolved: already-compiled programs keep "
+            "their original (exact) route; only newly traced shapes pick "
+            "up the change",
+            stacklevel=2,
+        )
+        _enc_v2_first_seen = active
+    return active
 
 
 def _encode_words(

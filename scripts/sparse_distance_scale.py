@@ -26,7 +26,7 @@ def main() -> int:
 
     from dna_kmeres_parallel_tpu import native
     from dna_kmeres_parallel_tpu.models import oracle, sparse_engine
-    from dna_kmeres_parallel_tpu.utils import codec, io, triangular
+    from dna_kmeres_parallel_tpu.utils import io, triangular
 
     rng = np.random.default_rng(54018)
     alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
@@ -40,18 +40,12 @@ def main() -> int:
     report = {"S": S, "k": k, "n_pairs": n_pairs,
               "native": native.available()}
 
-    # Phase 1: per-sequence tables.
+    # Phase 1: per-sequence tables (the engine's own builder, so the
+    # benchmark measures the path production takes — incl. TPU routing
+    # for long sequences).
     t0 = time.perf_counter()
     lengths = np.array([len(s) for s in seqs], dtype=np.int64)
-    code_parts, count_parts = [], []
-    offs = np.zeros(S + 1, dtype=np.int64)
-    for i, s in enumerate(seqs):
-        c, n = native.count_sparse_host_native(codec.encode_bases(s), k, False)
-        code_parts.append(c)
-        count_parts.append(n)
-        offs[i + 1] = offs[i] + c.shape[0]
-    codes = np.concatenate(code_parts)
-    cnts = np.concatenate(count_parts)
+    codes, cnts, offs = sparse_engine.build_pair_tables(seqs, k, False)
     report["tables_s"] = round(time.perf_counter() - t0, 3)
     report["table_entries"] = int(codes.shape[0])
 
@@ -68,13 +62,7 @@ def main() -> int:
 
     # Phase 3: float32 finish + CSV (bounded memory, native %f writer).
     t0 = time.perf_counter()
-    out = np.zeros(sums.shape[0], dtype=np.float32)
-    w = 0
-    for i in range(S - 1):
-        m = S - 1 - i
-        denom = (np.minimum(lengths[i], lengths[i + 1:]) - k + 1).astype(np.float32)
-        out[w:w + m] = np.float32(1.0) - sums[w:w + m].astype(np.float32) / denom
-        w += m
+    out = sparse_engine.finish_distances_packed(sums, lengths, k)
     csv_path = "/tmp/sparse_dist_scale.csv"
     with open(csv_path, "wb") as f:
         f.write(native.format_f6(out))

@@ -759,11 +759,18 @@ def test_encode_words_v2_engine_route_matches_oracle(make_dna, k, monkeypatch):
 
 
 def test_enc_v2_escape_hatch(monkeypatch):
+    import warnings
+
     from dna_kmeres_parallel_tpu.ops import sparse as sp
 
+    monkeypatch.setattr(sp, "_enc_v2_first_seen", None)
     assert sp._enc_v2_active()
     monkeypatch.setenv("KMER_TPU_ENC_V2", "0")
-    assert not sp._enc_v2_active()
+    # Mid-process flips warn (already-traced shapes keep their route).
+    with pytest.warns(UserWarning, match="changed after"):
+        assert not sp._enc_v2_active()
     monkeypatch.delenv("KMER_TPU_ENC_V2")
     monkeypatch.setenv("KMER_TPU_ENC_CHUNK", "512")  # not a 2048-multiple
-    assert not sp._enc_v2_active()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        assert not sp._enc_v2_active()
