@@ -386,6 +386,7 @@ def _make_packed_encode_kernel(
     hi16: bool,
     with_salt: bool,
     want_sig: bool,
+    sigonly: bool = False,
 ):
     nlo = _lo_bases(k)
     nhi = k - nlo
@@ -397,8 +398,11 @@ def _make_packed_encode_kernel(
         out_refs = rest
         if want_sig:
             sig_ref, out_refs = out_refs[-1], out_refs[:-1]
-        lo_ref = out_refs[-1]
-        hi_ref = None if single else out_refs[0]
+        # sigonly: stage-timing diagnostic (probe scripts) — all compute
+        # runs but the word planes are never written; isolates store-side
+        # cost from compute-side cost.
+        lo_ref = None if sigonly else out_refs[-1]
+        hi_ref = None if (single or sigonly) else out_refs[0]
         t = pl.program_id(0)
         n_own = n_own_ref[0, 0]
 
@@ -474,6 +478,12 @@ def _make_packed_encode_kernel(
         ones32 = jnp.uint32(0xFFFFFFFF)
         nv = jnp.zeros((8, 128), jnp.int32) if want_sig else None
         sg = jnp.zeros((8, 128), jnp.int32) if want_sig else None
+        # Group results are CONCATENATED and stored as one full [8, chunk]
+        # block per plane: 16 separate sliced sub-stores into the output
+        # refs measured 4x slower end-to-end (partial-block output writes
+        # defeat Mosaic's store pipelining).
+        lo_pieces: list = []
+        hi_pieces: list = []
         for r0 in range(16):
             if nhi:
                 rl = (r0 + nhi) % 16
@@ -523,16 +533,18 @@ def _make_packed_encode_kernel(
 
             lo_i = jax.lax.bitcast_convert_type(lo, jnp.int32)
             lo_sel = jnp.where(valid, lo_i, sent_i)
-            sl = (slice(None), slice(r0 * W16, (r0 + 1) * W16))
-            lo_ref[sl] = lo_sel
+            if lo_ref is not None:
+                lo_pieces.append(lo_sel)
             if hi_ref is not None:
                 hi_i = jax.lax.bitcast_convert_type(hi, jnp.int32)
                 if hi16:
-                    hi_ref[sl] = jnp.where(
-                        valid, hi_i, jnp.int32(0xFFFF)
-                    ).astype(jnp.int16)
+                    hi_pieces.append(
+                        jnp.where(valid, hi_i, jnp.int32(0xFFFF)).astype(
+                            jnp.int16
+                        )
+                    )
                 else:
-                    hi_ref[sl] = jnp.where(valid, hi_i, sent_i)
+                    hi_pieces.append(jnp.where(valid, hi_i, sent_i))
             if want_sig:
                 hi_i32 = (
                     jax.lax.bitcast_convert_type(hi, jnp.int32)
@@ -549,6 +561,10 @@ def _make_packed_encode_kernel(
                     blk = (slice(None), slice(j * 128, (j + 1) * 128))
                     nv = nv + valid_i[blk]
                     sg = sg + mix[blk]
+        if lo_ref is not None:
+            lo_ref[:] = jnp.concatenate(lo_pieces, axis=1)
+        if hi_ref is not None:
+            hi_ref[:] = jnp.concatenate(hi_pieces, axis=1)
         if want_sig:
             blk = jnp.concatenate([nv, sg], axis=1)
 
@@ -623,7 +639,9 @@ def be_planes_from_bases(bases_u8):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "canonical", "interpret", "want_sig")
+    jax.jit,
+    static_argnames=("k", "canonical", "interpret", "want_sig",
+                     "_diag_sigonly"),
 )
 def rolling_codes_split_packed_pallas(
     words_be: jax.Array,
@@ -634,6 +652,7 @@ def rolling_codes_split_packed_pallas(
     interpret: bool = False,
     salt: jax.Array | None = None,
     want_sig: bool = False,
+    _diag_sigonly: bool = False,
 ):
     """Packed-word encoder v2: (words_be, inval_be) uint32 planes [T/16]
     -> (hi, lo[, sig]) window-code planes, same dtypes/sentinels as
@@ -678,13 +697,16 @@ def rolling_codes_split_packed_pallas(
         [imain[1:, :128], jnp.full((1, 128), ones, jnp.uint32)], axis=0
     )
 
+    if _diag_sigonly and not want_sig:
+        raise ValueError("_diag_sigonly requires want_sig=True")
     kernel = _make_packed_encode_kernel(
-        k, canonical, chunk, single, hi16, salt is not None, want_sig
+        k, canonical, chunk, single, hi16, salt is not None, want_sig,
+        sigonly=_diag_sigonly,
     )
-    n_out = 1 if single else 2
-    out_dtypes = ([jnp.int16] if hi16 else [jnp.int32])[: n_out - 1] + [
+    n_out = 0 if _diag_sigonly else (1 if single else 2)
+    out_dtypes = ([jnp.int16] if hi16 else [jnp.int32])[: max(n_out - 1, 0)] + [
         jnp.int32
-    ]
+    ] * min(n_out, 1)
     out_shapes = [
         jax.ShapeDtypeStruct((n_rows, chunk), dt) for dt in out_dtypes
     ]
@@ -730,6 +752,8 @@ def rolling_codes_split_packed_pallas(
         interpret=interpret,
     )(*args)
     sig = out[-1] if want_sig else None
+    if _diag_sigonly:
+        return None, None, sig
     planes = out[:-1] if want_sig else out
     lo = jax.lax.bitcast_convert_type(planes[-1].reshape(-1), jnp.uint32)
     if single:
