@@ -130,18 +130,22 @@ _enc_v2_first_seen: bool | None = None
 def _enc_v2_active() -> bool:
     """Whether the packed-word encoder v2 serves the Pallas encode route.
 
-    Default on (it is exact and faster than the v1 kernel); KMER_TPU_ENC_V2=0
-    forces the v1 order-preserving kernel, and a KMER_TPU_ENC_CHUNK that is
-    not a 2048-multiple (the v2 lane-geometry requirement) falls back to v1
-    automatically. Read at trace time — the jit cache keys on k/canonical/
-    pallas, NOT on this env, so already-traced shapes keep their original
-    route after a mid-process flip (both routes produce identical word
-    multisets; only the kernel differs). Set it before first use; a
-    mid-process change warns loudly instead of silently half-applying."""
+    DEFAULT OFF as of 2026-08-21: v2 is exact everywhere and does ~2.5x
+    fewer VPU element-ops per window, but measured 4x SLOWER than v1 on
+    v5e hardware (5.4 vs 21.6 Gbase/s at k=21, every k band equally) —
+    its short [8, ~1k-lane] dependent vector chains leave the VPU
+    latency-bound where v1's 16k-lane ops amortize instruction latency.
+    KMER_TPU_ENC_V2=1 opts in (exactness is tested either way); a
+    KMER_TPU_ENC_CHUNK that is not a 2048-multiple forces v1 regardless.
+    Read at trace time — the jit cache keys on k/canonical/pallas, NOT on
+    this env, so already-traced shapes keep their original route after a
+    mid-process flip (both routes produce identical word multisets; only
+    the kernel differs). Set it before first use; a mid-process change
+    warns loudly instead of silently half-applying."""
     global _enc_v2_first_seen
     import os
 
-    active = os.environ.get("KMER_TPU_ENC_V2", "1") != "0"
+    active = os.environ.get("KMER_TPU_ENC_V2", "0") == "1"
     if active:
         chunk = int(os.environ.get("KMER_TPU_ENC_CHUNK", "16384"))
         active = chunk >= 2048 and chunk % 2048 == 0
