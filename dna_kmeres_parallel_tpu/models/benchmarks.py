@@ -368,11 +368,12 @@ def run_sparse_bench(
 
         use_v2 = pallas is not None and _enc_v2_active()
         if use_v2:
-            # The v2 production program EXACTLY: H2D ships the 2-bit
-            # packed transfer format; the device program is the fused
-            # plane conversion (be_planes_from_packfmt) + the packed
-            # SWAR kernel + the in-kernel [n_valid | sig] reduction.
-            # The XOR salt rotates data inside the kernel per iteration.
+            # The v2 production program EXACTLY: H2D ships HOST-STAGED
+            # u32 planes (words_le view + inval_be;
+            # engine.stage_batch_planes), so the device program is the
+            # packed SWAR kernel ALONE (in-kernel LE->BE butterfly) +
+            # the fused [n_valid | sig] reduction. The XOR salt rotates
+            # data inside the kernel per iteration.
             @jax.jit
             def _pack(xs):
                 # Pack on device once, outside the timed region: data
@@ -393,33 +394,41 @@ def run_sparse_bench(
                 return data, mask.astype(jnp.uint8)
 
             data_stack, mask_stack = _pack(stack)
-            data_stack = jax.device_put(data_stack)
-            mask_stack = jax.device_put(mask_stack)
 
             from dna_kmeres_parallel_tpu.ops.encode_pallas import (
-                be_planes_from_packfmt,
+                host_planes_from_packfmt,
                 rolling_codes_split_packed_pallas,
             )
+
+            # Host-staged planes, built once OUTSIDE the timed region
+            # (production ships these over H2D; the in-kernel salt keeps
+            # every timed iteration's data distinct).
+            planes = [
+                host_planes_from_packfmt(
+                    np.asarray(data_stack[i]), np.asarray(mask_stack[i])
+                )
+                for i in range(n_distinct)
+            ]
+            w_stack = jax.device_put(jnp.stack([jnp.asarray(w) for w, _ in planes]))
+            i_stack = jax.device_put(jnp.stack([jnp.asarray(v) for _, v in planes]))
 
             def make(inner):
                 @jax.jit
                 def prog(ds, salt0):
-                    dstack, mstack = ds
+                    wstack, istack = ds
 
                     def body(acc, i):
                         salt = salt0.astype(jnp.int32) + i // n_distinct
-                        wbe, ibe = be_planes_from_packfmt(
-                            dstack[i % n_distinct], mstack[i % n_distinct]
-                        )
                         *_, sig = rolling_codes_split_packed_pallas(
-                            wbe,
-                            ibe,
+                            wstack[i % n_distinct],
+                            istack[i % n_distinct],
                             n_own,
                             k,
                             canonical,
                             interpret=(pallas == "interpret"),
                             salt=salt,
                             want_sig=True,
+                            words_le=True,
                         )
                         n_valid = jnp.sum(sig[:, :128], dtype=jnp.int32)
                         sg = jnp.sum(sig[:, 128:], dtype=jnp.int32)
@@ -436,7 +445,7 @@ def run_sparse_bench(
 
             elapsed, counted_delta, valid = _two_size_differential(
                 make,
-                (data_stack, mask_stack),
+                (w_stack, i_stack),
                 inner_hi,
                 inner_lo,
                 counted_of=lambda h: int(np.asarray(h)[0]),

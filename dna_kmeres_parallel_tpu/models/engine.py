@@ -197,6 +197,26 @@ def stage_batch(padded, pack: bool):
     return jnp.asarray(data), jnp.asarray(mask)
 
 
+def stage_batch_planes(padded):
+    """v2 encoder staging: pack on host, then build the kernel's u32
+    planes host-side (encode_pallas.host_planes_from_packfmt) so the
+    device program is the Pallas kernel ALONE — no XLA format-conversion
+    pre-pass (measured 4x the kernel's cost; see BENCHMARKS.md "Encoder
+    v2"). Ships (words_le, inval_be), 0.5 B/base of H2D."""
+    from dna_kmeres_parallel_tpu import native
+    from dna_kmeres_parallel_tpu.ops.encode_pallas import (
+        host_planes_from_packfmt,
+    )
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    if native.available():
+        data, mask, _ = native.pack_2bit_native(padded)
+    else:
+        data, mask, _ = codec.pack_bases(padded)
+    w_le, inval_be = host_planes_from_packfmt(data, mask)
+    return jnp.asarray(w_le), jnp.asarray(inval_be)
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "bins", "canonical", "pallas")
 )

@@ -500,6 +500,31 @@ class StreamingCounter:
             padded[: seg.shape[0]] = seg
             return padded
 
+        # v2 plane staging (single-chip packed no-device-sort route): the
+        # device program is the packed kernel alone; planes built host-side.
+        from dna_kmeres_parallel_tpu.models.sparse_engine import (
+            resolve_device_sort as _rds,
+        )
+
+        use_planes = (
+            cfg.pack_input
+            and mesh is None
+            and not rle
+            and cfg.use_pallas
+            and runtime.pallas_mode() is not None
+            and sparse_ops._enc_v2_active()
+            and not _rds(cfg)
+        )
+
+        def stage_default(padded):
+            if use_planes:
+                from dna_kmeres_parallel_tpu.models.engine import (
+                    stage_batch_planes,
+                )
+
+                return stage_batch_planes(padded)
+            return stage_batch(padded, cfg.pack_input)
+
         def prep(bounds):
             if host_mode is True:
                 # Host-resident counting: nothing to pad or ship. (Closure
@@ -532,7 +557,7 @@ class StreamingCounter:
                     ),
                     jax.device_put(n_own_d, NamedSharding(mesh, P(DATA_AXIS))),
                 )
-            return stage_batch(padded, cfg.pack_input)
+            return stage_default(padded)
 
         from dna_kmeres_parallel_tpu.models.sparse_engine import (
             compact_table,
@@ -644,8 +669,8 @@ class StreamingCounter:
                 # flip): stage synchronously. Probing is single-chip,
                 # non-rle by construction (see `probe` above), so the
                 # default stage_batch format is the only one needed.
-                staged = stage_batch(
-                    pad_bounds((start, end, T, overlap)), cfg.pack_input
+                staged = stage_default(
+                    pad_bounds((start, end, T, overlap))
                 )
             if use_host:
                 # ZERO-D2H route: count the batch straight off the
@@ -717,6 +742,13 @@ class StreamingCounter:
                                 pallas=pallas,
                             )
                         )
+                elif not dev_sort and use_planes:
+                    words = self._with_retry(
+                        lambda: sparse_ops.encode_words_planes(
+                            *staged, n_own, cfg.k, cfg.canonical,
+                            interpret=(pallas == "interpret"),
+                        )
+                    )
                 elif not dev_sort and cfg.pack_input:
                     words = self._with_retry(
                         lambda: sparse_ops.encode_words_packed(

@@ -339,23 +339,45 @@ class SparseKmerEngine:
             start = 0
             from dna_kmeres_parallel_tpu.models.engine import stage_batch
 
+            pallas = self._pallas()
+            dev_sort = resolve_device_sort(cfg)
+            # v2 plane staging: the device program is the packed kernel
+            # alone; planes are built host-side (see stage_batch_planes).
+            use_planes = (
+                cfg.pack_input
+                and not dev_sort
+                and pallas is not None
+                and sparse_ops._enc_v2_active()
+            )
             while start < total:
                 end = min(start + batch, total)
                 seg = flat[start : min(end + overlap, total)]
                 padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
                 padded[: seg.shape[0]] = seg
-                staged = stage_batch(padded, cfg.pack_input)
+                if use_planes:
+                    from dna_kmeres_parallel_tpu.models.engine import (
+                        stage_batch_planes,
+                    )
+
+                    staged = stage_batch_planes(padded)
+                else:
+                    staged = stage_batch(padded, cfg.pack_input)
                 n_own = jnp.int32(end - start)
-                if not resolve_device_sort(cfg):
-                    if cfg.pack_input:
+                if not dev_sort:
+                    if use_planes:
+                        words = sparse_ops.encode_words_planes(
+                            *staged, n_own, cfg.k, cfg.canonical,
+                            interpret=(pallas == "interpret"),
+                        )
+                    elif cfg.pack_input:
                         words = sparse_ops.encode_words_packed(
                             *staged, n_own, cfg.k, cfg.canonical,
-                            pallas=self._pallas(),
+                            pallas=pallas,
                         )
                     else:
                         words = sparse_ops.encode_words(
                             staged, n_own, cfg.k, cfg.canonical,
-                            pallas=self._pallas(),
+                            pallas=pallas,
                         )
                     ladder.push(compact_unsorted(words, cfg.k))
                     start = end

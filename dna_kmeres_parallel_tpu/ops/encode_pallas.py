@@ -387,6 +387,7 @@ def _make_packed_encode_kernel(
     with_salt: bool,
     want_sig: bool,
     sigonly: bool = False,
+    words_le: bool = False,
 ):
     nlo = _lo_bases(k)
     nhi = k - nlo
@@ -411,6 +412,12 @@ def _make_packed_encode_kernel(
 
         P = jnp.concatenate([u32(words_ref), u32(whalo_ref)], axis=1)
         I = jnp.concatenate([u32(inval_ref), u32(ihalo_ref)], axis=1)
+        if words_le:
+            # Host-staged planes arrive in little-endian digit order (a
+            # zero-copy view of the packed transfer bytes); the 8-op
+            # butterfly costs ~0.5 ops/window — the device-side layout
+            # conversion it replaces measured 4x the whole kernel.
+            P = _rev16_digits(P)
         if with_salt:
             # Benchmark-only data rotation: XOR every digit with the salt
             # (a valid-preserving alphabet permutation; invalid digits ride
@@ -593,6 +600,49 @@ def _swar_spread_mask(m16_u32):
     return _rev16_digits(d)
 
 
+def _rev16_digits_np(x):
+    """NumPy twin of _rev16_digits (host-side plane building)."""
+    import numpy as np
+
+    x = x.astype(np.uint32)
+    m2 = np.uint32(0x33333333)
+    m4 = np.uint32(0x0F0F0F0F)
+    m8 = np.uint32(0x00FF00FF)
+    x = ((x & m2) << 2) | ((x >> 2) & m2)
+    x = ((x & m4) << 4) | ((x >> 4) & m4)
+    x = ((x & m8) << 8) | ((x >> 8) & m8)
+    return ((x << 16) | (x >> 16)).astype(np.uint32)
+
+
+def host_planes_from_packfmt(data_u8, mask_u8):
+    """HOST-side (numpy) plane builder for the v2 kernel: the 2-bit packed
+    transfer format -> (words_le_u32 [T/16], inval_be_u32 [T/16]).
+
+    The words plane is a zero-copy VIEW of the packed data bytes (x86
+    little-endian load == the LE digit order the kernel reverses with an
+    8-op butterfly); the invalid plane is ~10 vectorized passes over
+    T/8 mask bytes. This exists because the DEVICE-side conversion
+    (be_planes_from_packfmt) measured 4x the whole kernel's cost on v5e:
+    XLA lowers the u8[...,4] -> u32 bitcast as a layout change (u8 tiles
+    are (32,128), u32 (8,128)) that dominates the program. Host staging
+    ships u32 planes directly — 0.5 B/base of H2D (vs 0.375 packed) and
+    NO device pre-pass at all."""
+    import numpy as np
+
+    data_u8 = np.ascontiguousarray(data_u8, dtype=np.uint8)
+    mask_u8 = np.ascontiguousarray(mask_u8, dtype=np.uint8)
+    w_le = data_u8.view(np.uint32)
+    m16 = mask_u8.view(np.uint16).astype(np.uint32)
+    iv = (~m16) & np.uint32(0xFFFF)
+    s = iv
+    s = (s | (s << 8)) & np.uint32(0x00FF00FF)
+    s = (s | (s << 4)) & np.uint32(0x0F0F0F0F)
+    s = (s | (s << 2)) & np.uint32(0x33333333)
+    s = (s | (s << 1)) & np.uint32(0x55555555)
+    d = s | (s << 1)
+    return w_le, _rev16_digits_np(d)
+
+
 def be_planes_from_packfmt(data_u8, mask_u8):
     """The 2-bit packed transfer format (data [T/4] u8 little-endian in
     byte + validity bitmask [T/8] u8; utils.codec.pack_bases) -> the v2
@@ -641,7 +691,7 @@ def be_planes_from_bases(bases_u8):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "canonical", "interpret", "want_sig",
-                     "_diag_sigonly"),
+                     "words_le", "_diag_sigonly"),
 )
 def rolling_codes_split_packed_pallas(
     words_be: jax.Array,
@@ -652,6 +702,7 @@ def rolling_codes_split_packed_pallas(
     interpret: bool = False,
     salt: jax.Array | None = None,
     want_sig: bool = False,
+    words_le: bool = False,
     _diag_sigonly: bool = False,
 ):
     """Packed-word encoder v2: (words_be, inval_be) uint32 planes [T/16]
@@ -701,7 +752,7 @@ def rolling_codes_split_packed_pallas(
         raise ValueError("_diag_sigonly requires want_sig=True")
     kernel = _make_packed_encode_kernel(
         k, canonical, chunk, single, hi16, salt is not None, want_sig,
-        sigonly=_diag_sigonly,
+        sigonly=_diag_sigonly, words_le=words_le,
     )
     n_out = 0 if _diag_sigonly else (1 if single else 2)
     out_dtypes = ([jnp.int16] if hi16 else [jnp.int32])[: max(n_out - 1, 0)] + [

@@ -283,6 +283,35 @@ def _encode_words_packfmt(
     return _encode_words(bases, n_own, k, canonical, pallas)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "canonical", "interpret"))
+def encode_words_planes(
+    words_le: jax.Array,
+    inval_be: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    canonical: bool = False,
+    interpret: bool = False,
+):
+    """The v2 production device program: HOST-STAGED u32 planes (words_le
+    = zero-copy view of the packed data bytes; inval_be from
+    encode_pallas.host_planes_from_packfmt) -> adaptive UNSORTED word
+    tuple, with NO device-side format conversion at all (the XLA
+    u8->u32 bitcast relayout measured 4x the kernel's own cost)."""
+    from dna_kmeres_parallel_tpu.ops.encode_pallas import (
+        rolling_codes_split_packed_pallas,
+    )
+
+    hi, lo = rolling_codes_split_packed_pallas(
+        words_le, inval_be, n_own, k, canonical,
+        interpret=interpret, words_le=True,
+    )
+    if hi is not None and hi.dtype == jnp.uint16:
+        return (hi, lo)
+    if k <= MAX_SINGLE_WORD_K:
+        return (lo,)
+    return (hi, lo)
+
+
 def word_sentinel(dtype):
     """All-ones sentinel of a sort-word dtype."""
     return jnp.asarray(0xFFFF if dtype == jnp.uint16 else 0xFFFFFFFF, dtype)

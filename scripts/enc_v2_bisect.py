@@ -50,6 +50,17 @@ data_stack, mask_stack = _pack(stack)
 n_own = jnp.int32(batch_bases - k + 1)
 
 
+# 'kernelonly': planes pre-staged on device OUTSIDE the timed scan —
+# isolates the Pallas kernel (the in-kernel XOR salt still gives every
+# iteration distinct data, dodging the tunnel dedupe trap).
+planes = [
+    be_planes_from_packfmt(data_stack[i], mask_stack[i])
+    for i in range(n_distinct)
+]
+wstack = jax.device_put(jnp.stack([w for w, _ in planes]))
+istack = jax.device_put(jnp.stack([iv for _, iv in planes]))
+
+
 def make_maker(variant):
     def make(inner):
         @jax.jit
@@ -58,9 +69,13 @@ def make_maker(variant):
 
             def body(acc, i):
                 salt = salt0.astype(jnp.int32) + i // n_distinct
-                wbe, ibe = be_planes_from_packfmt(
-                    dstack[i % n_distinct], mstack[i % n_distinct]
-                )
+                if variant == "kernelonly":
+                    wbe = wstack[i % n_distinct]
+                    ibe = istack[i % n_distinct]
+                else:
+                    wbe, ibe = be_planes_from_packfmt(
+                        dstack[i % n_distinct], mstack[i % n_distinct]
+                    )
                 if variant == "prepass":
                     sx = salt.astype(jnp.uint32) * jnp.uint32(0x55555555)
                     w = wbe ^ sx

@@ -777,3 +777,59 @@ def test_enc_v2_escape_hatch(monkeypatch):
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         assert not sp._enc_v2_active()
+
+
+def test_host_planes_match_xla_builder(make_dna):
+    # The numpy (host-staged) plane builder and the XLA builder agree:
+    # same invalid plane, same data digits where valid (host ships LE
+    # words the kernel butterflies; reverse here for comparison).
+    from dna_kmeres_parallel_tpu.ops.encode_pallas import (
+        _rev16_digits_np,
+        be_planes_from_packfmt,
+        host_planes_from_packfmt,
+    )
+
+    s = make_dna(1024, invalid_frac=0.04)
+    data, mask, _ = codec.pack_bases(codec.encode_bases(s))
+    w_le, iv_be = host_planes_from_packfmt(data, mask)
+    wx, ivx = (
+        np.asarray(x)
+        for x in be_planes_from_packfmt(jnp.asarray(data), jnp.asarray(mask))
+    )
+    assert np.array_equal(iv_be, ivx)
+    care = ~iv_be
+    assert np.array_equal(_rev16_digits_np(w_le) & care, wx & care)
+
+
+@pytest.mark.parametrize("k,canonical", [(13, False), (21, True), (31, False)])
+def test_encode_words_planes_matches_packed(make_dna, k, canonical):
+    # The host-staged plane program == the packfmt program, code multiset.
+    from dna_kmeres_parallel_tpu.ops.encode_pallas import (
+        host_planes_from_packfmt,
+    )
+
+    s = make_dna(2048, invalid_frac=0.03)
+    bases = codec.encode_bases(s)
+    data, mask, _ = codec.pack_bases(bases)
+    n_own = jnp.int32(len(s) - k + 1)
+    w_le, iv_be = host_planes_from_packfmt(data, mask)
+    got = sparse_ops.encode_words_planes(
+        jnp.asarray(w_le), jnp.asarray(iv_be), n_own, k, canonical,
+        interpret=True,
+    )
+    ref = sparse_ops._encode_words(
+        jnp.asarray(bases), n_own, k, canonical, pallas=None
+    )
+
+    def codes64(words):
+        if len(words) == 1:
+            l = np.asarray(words[0])
+            return np.sort(l[l != 0xFFFFFFFF].astype(np.uint64))
+        h = np.asarray(words[0])
+        l = np.asarray(words[1])
+        m = h != np.iinfo(h.dtype).max
+        return np.sort(
+            (h[m].astype(np.uint64) << np.uint64(32)) | l[m].astype(np.uint64)
+        )
+
+    assert np.array_equal(codes64(got), codes64(ref))
