@@ -128,24 +128,25 @@ _enc_v2_first_seen: bool | None = None
 
 
 def _enc_v2_active() -> bool:
-    """Whether the packed-word encoder v2 serves the Pallas encode route.
+    """Whether the v2 packed-word kernel serves the HOST-PLANE-STAGED
+    encode route (engine.stage_batch_planes -> encode_words_planes).
 
-    DEFAULT OFF as of 2026-08-21: v2 is exact everywhere and does ~2.5x
-    fewer VPU element-ops per window, but measured 4x SLOWER than v1 on
-    v5e hardware (5.4 vs 21.6 Gbase/s at k=21, every k band equally) —
-    its short [8, ~1k-lane] dependent vector chains leave the VPU
-    latency-bound where v1's 16k-lane ops amortize instruction latency.
-    KMER_TPU_ENC_V2=1 opts in (exactness is tested either way); a
-    KMER_TPU_ENC_CHUNK that is not a 2048-multiple forces v1 regardless.
-    Read at trace time — the jit cache keys on k/canonical/pallas, NOT on
-    this env, so already-traced shapes keep their original route after a
+    Default ON: with planes built host-side the device program is the
+    kernel alone, measured 89 Gbase/s at k=21 on v5e vs v1's 21.6 (the
+    kernel was never the problem — the DEVICE-side plane conversion's
+    tile relayout was, which is why _encode_words/_encode_words_packfmt
+    below always run v1: their in-jit XLA conversion measured 5.4).
+    KMER_TPU_ENC_V2=0 forces v1 everywhere; a KMER_TPU_ENC_CHUNK that is
+    not a 2048-multiple forces v1 regardless (lane geometry). Read at
+    trace time — the jit cache keys on shapes/static args, NOT on this
+    env, so already-traced shapes keep their original route after a
     mid-process flip (both routes produce identical word multisets; only
     the kernel differs). Set it before first use; a mid-process change
     warns loudly instead of silently half-applying."""
     global _enc_v2_first_seen
     import os
 
-    active = os.environ.get("KMER_TPU_ENC_V2", "0") == "1"
+    active = os.environ.get("KMER_TPU_ENC_V2", "1") != "0"
     if active:
         chunk = int(os.environ.get("KMER_TPU_ENC_CHUNK", "16384"))
         active = chunk >= 2048 and chunk % 2048 == 0
@@ -179,39 +180,23 @@ def _encode_words(
 
     Word ORDER is unspecified (the v2 packed-word kernel emits residue-
     permuted order; see ops/encode_pallas.py) — every consumer sorts or
-    bag-compacts. Positional consumers (anything pairing words with
-    per-window data computed from stream positions, e.g. minimizer owner
-    routing) must pass force_v1=True to pin the order-preserving kernel."""
+    bag-compacts. This entry always runs the v1 kernel on the Pallas
+    route: v2 only wins when its planes are staged HOST-side
+    (encode_words_planes); the in-jit XLA plane conversion this entry
+    would need measured 4x the whole kernel (BENCHMARKS.md "Encoder
+    v2"). force_v1 is kept for explicitness at positional call sites
+    (minimizer owner routing)."""
+    del force_v1  # v1 is the only in-jit route; see docstring
     sentinel32 = jnp.uint32(0xFFFFFFFF)
     if pallas is not None:
         interp = pallas == "interpret"
-        if _enc_v2_active() and not force_v1:
-            from dna_kmeres_parallel_tpu.ops.encode import INVALID
-            from dna_kmeres_parallel_tpu.ops.encode_pallas import (
-                be_planes_from_bases,
-                rolling_codes_split_packed_pallas,
-            )
+        from dna_kmeres_parallel_tpu.ops.encode_pallas import (
+            rolling_codes_split_pallas,
+        )
 
-            T = bases.shape[0]
-            if T % 16:
-                bases = jnp.concatenate(
-                    [
-                        bases,
-                        jnp.full((16 - T % 16,), INVALID, jnp.uint8),
-                    ]
-                )
-            wbe, ibe = be_planes_from_bases(bases)
-            hi, lo = rolling_codes_split_packed_pallas(
-                wbe, ibe, n_own, k, canonical, interpret=interp
-            )
-        else:
-            from dna_kmeres_parallel_tpu.ops.encode_pallas import (
-                rolling_codes_split_pallas,
-            )
-
-            hi, lo = rolling_codes_split_pallas(
-                bases, n_own, k, canonical, interpret=interp
-            )
+        hi, lo = rolling_codes_split_pallas(
+            bases, n_own, k, canonical, interpret=interp
+        )
         if hi is not None and hi.dtype == jnp.uint16:
             # The kernel already emitted the u16 hi plane (16 <= k <= 23)
             # with the 0xFFFF sentinel — no conversion pass needed.
@@ -249,34 +234,11 @@ def _encode_words_packfmt(
     canonical: bool,
     pallas: str | None,
 ):
-    """_encode_words over the 2-bit packed transfer format.
-
-    With the v2 packed-word encoder active the data/mask planes convert
-    straight to big-endian word planes in a fused XLA pre-pass (~0.9
-    B/base of HBM traffic) and the uint8 base stream NEVER materializes;
-    otherwise falls back to unpack_stream + _encode_words (>= 1.4 B/base).
-    """
-    if (
-        pallas is not None
-        and _enc_v2_active()
-        and data.shape[0] % 4 == 0
-        and mask.shape[0] % 2 == 0
-    ):
-        from dna_kmeres_parallel_tpu.ops.encode_pallas import (
-            be_planes_from_packfmt,
-            rolling_codes_split_packed_pallas,
-        )
-
-        wbe, ibe = be_planes_from_packfmt(data, mask)
-        hi, lo = rolling_codes_split_packed_pallas(
-            wbe, ibe, n_own, k, canonical,
-            interpret=(pallas == "interpret"),
-        )
-        if hi is not None and hi.dtype == jnp.uint16:
-            return (hi, lo)
-        if k <= MAX_SINGLE_WORD_K:
-            return (lo,)
-        return (hi, lo)
+    """_encode_words over the 2-bit packed transfer format: unpack fused
+    into the device program, v1 kernel. (A v2 variant converting planes
+    in-jit was measured 4x slower than the kernel itself — the tile
+    relayout of the u8->u32 bitcast; hosts that can stage planes use
+    encode_words_planes instead.)"""
     from dna_kmeres_parallel_tpu.ops import encode as encode_ops
 
     bases = encode_ops.unpack_stream(data, mask)

@@ -14,8 +14,8 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # minimum lane geometry (chunk/16 lanes must be a 128-multiple) — smaller
 # values would silently route every Pallas test back to the v1 kernel.
 os.environ.setdefault("KMER_TPU_ENC_CHUNK", "2048")
-# Exercise the v2 packed encoder throughout CI (production default is v1
-# on measured v5e hardware perf; v2 stays exactness-tested here).
+# The v2 packed kernel (host-plane-staged route) is the production
+# default; pinned explicitly so test runs are insensitive to ambient env.
 os.environ.setdefault("KMER_TPU_ENC_V2", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

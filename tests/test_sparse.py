@@ -764,15 +764,12 @@ def test_enc_v2_escape_hatch(monkeypatch):
     from dna_kmeres_parallel_tpu.ops import sparse as sp
 
     monkeypatch.setattr(sp, "_enc_v2_first_seen", None)
-    assert sp._enc_v2_active()  # conftest opts CI in via KMER_TPU_ENC_V2=1
+    assert sp._enc_v2_active()  # default ON (host-plane-staged route)
     monkeypatch.setenv("KMER_TPU_ENC_V2", "0")
     # Mid-process flips warn (already-traced shapes keep their route).
     with pytest.warns(UserWarning, match="changed after"):
         assert not sp._enc_v2_active()
     monkeypatch.delenv("KMER_TPU_ENC_V2")
-    # Default (env unset) is v1: v2 measured VPU-latency-bound on v5e.
-    assert not sp._enc_v2_active()
-    monkeypatch.setenv("KMER_TPU_ENC_V2", "1")
     monkeypatch.setenv("KMER_TPU_ENC_CHUNK", "512")  # not a 2048-multiple
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
