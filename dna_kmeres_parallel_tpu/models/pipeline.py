@@ -507,13 +507,12 @@ class StreamingCounter:
         )
 
         use_planes = (
-            cfg.pack_input
-            and mesh is None
-            and not rle
+            not rle
             and cfg.use_pallas
             and runtime.pallas_mode() is not None
             and sparse_ops._enc_v2_active()
             and not _rds(cfg)
+            and (cfg.pack_input or mesh is not None)
         )
 
         def stage_default(padded):
@@ -551,11 +550,26 @@ class StreamingCounter:
                 shards, n_own_d = shard_stream_with_halo(
                     padded, cfg.k, mesh, total_own=end - start
                 )
+                n_own_g = jax.device_put(
+                    n_own_d, NamedSharding(mesh, P(DATA_AXIS))
+                )
+                if use_planes:
+                    from dna_kmeres_parallel_tpu.parallel.sharded_sparse import (
+                        stage_shard_planes,
+                    )
+
+                    w_le, iv_be = stage_shard_planes(shards)
+                    spec = NamedSharding(mesh, P(DATA_AXIS, None))
+                    return (
+                        jax.device_put(jnp.asarray(w_le), spec),
+                        jax.device_put(jnp.asarray(iv_be), spec),
+                        n_own_g,
+                    )
                 return (
                     jax.device_put(
                         shards, NamedSharding(mesh, P(DATA_AXIS, None))
                     ),
-                    jax.device_put(n_own_d, NamedSharding(mesh, P(DATA_AXIS))),
+                    n_own_g,
                 )
             return stage_default(padded)
 
@@ -722,12 +736,13 @@ class StreamingCounter:
                     )
                 elif mesh is not None:
                     from dna_kmeres_parallel_tpu.parallel.sharded_sparse import (
+                        encode_words_planes_sharded,
                         encode_words_sharded,
                         sort_words_rows_sharded,
                     )
 
-                    shards_g, n_own_g = staged
                     if dev_sort:
+                        shards_g, n_own_g = staged
                         words = self._with_retry(
                             lambda: sort_words_rows_sharded(
                                 shards_g, n_own_g, cfg.k, cfg.canonical, mesh,
@@ -735,7 +750,17 @@ class StreamingCounter:
                                 pallas=pallas,
                             )
                         )
+                    elif use_planes:
+                        w_g, iv_g, n_own_g = staged
+                        words = self._with_retry(
+                            lambda: encode_words_planes_sharded(
+                                w_g, iv_g, n_own_g, cfg.k, cfg.canonical,
+                                mesh,
+                                interpret=(pallas == "interpret"),
+                            )
+                        )
                     else:
+                        shards_g, n_own_g = staged
                         words = self._with_retry(
                             lambda: encode_words_sharded(
                                 shards_g, n_own_g, cfg.k, cfg.canonical, mesh,

@@ -123,6 +123,88 @@ def encode_words_sharded(
     return fn(bases, n_own_per_shard)
 
 
+def stage_shard_planes(shards: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side plane staging for the DP-sparse v2 route: [D, Ts] uint8
+    halo-carrying shards -> ([D, Tw] words_le_u32, [D, Tw] inval_be_u32).
+
+    Rows pad to a 16-base multiple with INVALID (pad windows are invalid
+    or beyond n_own either way), then ONE flattened pack + plane build
+    serves all rows (row spans stay byte-aligned). See engine.
+    stage_batch_planes for why planes are built host-side (the in-jit
+    conversion measured 4x the kernel's cost)."""
+    from dna_kmeres_parallel_tpu import native
+    from dna_kmeres_parallel_tpu.ops.encode import INVALID
+    from dna_kmeres_parallel_tpu.ops.encode_pallas import (
+        host_planes_from_packfmt,
+    )
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    D, Ts = shards.shape
+    Tp = -(-Ts // 16) * 16
+    if Tp != Ts:
+        padded = np.full((D, Tp), INVALID, dtype=np.uint8)
+        padded[:, :Ts] = shards
+    else:
+        padded = shards
+    flat = np.ascontiguousarray(padded).reshape(-1)
+    if native.available():
+        data, mask, _ = native.pack_2bit_native(flat)
+    else:
+        data, mask, _ = codec.pack_bases(flat)
+    w_le, iv_be = host_planes_from_packfmt(data, mask)
+    return w_le.reshape(D, -1), iv_be.reshape(D, -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "canonical", "mesh", "axis", "interpret"),
+)
+def encode_words_planes_sharded(
+    words_le: jax.Array,
+    inval_be: jax.Array,
+    n_own_per_shard: jax.Array,
+    k: int,
+    canonical: bool,
+    mesh: jax.sharding.Mesh,
+    axis: str = DATA_AXIS,
+    interpret: bool = False,
+):
+    """The v2 DP-sparse device program: HOST-STAGED u32 plane shards
+    [D, Tw] -> per-device UNSORTED word planes. Each chip runs the packed
+    SWAR kernel ALONE (ops/encode_pallas, words_le route — measured 4.1x
+    the v1 kernel single-chip); the host radix compactor absorbs each
+    device's plane exactly as in encode_words_sharded."""
+
+    def shard_fn(w, iv, n_own):
+        from dna_kmeres_parallel_tpu.ops.encode_pallas import (
+            rolling_codes_split_packed_pallas,
+        )
+
+        w = w.reshape(-1)
+        iv = iv.reshape(-1)
+        n_own = n_own.reshape(())
+        hi, lo = rolling_codes_split_packed_pallas(
+            w, iv, n_own, k, canonical, interpret=interpret, words_le=True
+        )
+        if hi is not None and hi.dtype == jnp.uint16:
+            out = (hi, lo)
+        elif k <= sparse_ops.MAX_SINGLE_WORD_K:
+            out = (lo,)
+        else:
+            out = (hi, lo)
+        return tuple(o[None] for o in out)
+
+    n_words = 1 if k <= sparse_ops.MAX_SINGLE_WORD_K else 2
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis)),
+        out_specs=tuple(P(axis, None) for _ in range(n_words)),
+        check_vma=False,
+    )
+    return fn(words_le, inval_be, n_own_per_shard)
+
+
 def count_sparse_sharded(
     flat: np.ndarray,
     k: int,
@@ -163,6 +245,19 @@ def count_sparse_sharded(
             axis,
             row_len,
             pallas=pallas,
+        )
+    elif pallas is not None and sparse_ops._enc_v2_active():
+        # v2 plane-staged route: each chip runs the packed kernel alone.
+        w_le, iv_be = stage_shard_planes(shards)
+        words = encode_words_planes_sharded(
+            jnp.asarray(w_le),
+            jnp.asarray(iv_be),
+            jnp.asarray(n_own),
+            k,
+            canonical,
+            mesh,
+            axis,
+            interpret=(pallas == "interpret"),
         )
     else:
         words = encode_words_sharded(

@@ -124,3 +124,41 @@ def test_dp_sparse_pallas_bitidentical_to_xla(make_dna):
     )
     assert np.array_equal(a[0], b[0])
     assert np.array_equal(a[1], b[1])
+
+
+def test_dp_sparse_plane_route_matches_oracle(make_dna, mesh8):
+    # The v2 plane-staged DP route (host plane shards + per-chip packed
+    # kernel) == oracle, including a shard width that needs 16-alignment
+    # padding and invalid bases.
+    from dna_kmeres_parallel_tpu.parallel import sharded_sparse
+
+    seqs = [make_dna(171 + 13 * i, invalid_frac=0.03) for i in range(5)]
+    flat = _flat_stream(seqs)
+    codes, counts = sharded_sparse.count_sparse_sharded(
+        flat, 21, False, mesh8, device_sort=False, pallas="interpret"
+    )
+    want = count_table_any_k(seqs, 21)
+    got = {codec.code_to_kmer(int(c), 21): int(n) for c, n in zip(codes, counts)}
+    assert got == want
+
+
+def test_dp_sparse_plane_route_off_matches_on(make_dna, mesh8, monkeypatch):
+    # KMER_TPU_ENC_V2=0 (v1 per-shard kernel) produces the identical table.
+    from dna_kmeres_parallel_tpu.ops import sparse as sp
+    from dna_kmeres_parallel_tpu.parallel import sharded_sparse
+
+    seqs = [make_dna(140 + 11 * i) for i in range(4)]
+    flat = _flat_stream(seqs)
+    on = sharded_sparse.count_sparse_sharded(
+        flat, 17, False, mesh8, device_sort=False, pallas="interpret"
+    )
+    import warnings
+
+    monkeypatch.setattr(sp, "_enc_v2_first_seen", None)
+    monkeypatch.setenv("KMER_TPU_ENC_V2", "0")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        off = sharded_sparse.count_sparse_sharded(
+            flat, 17, False, mesh8, device_sort=False, pallas="interpret"
+        )
+    assert np.array_equal(on[0], off[0]) and np.array_equal(on[1], off[1])
