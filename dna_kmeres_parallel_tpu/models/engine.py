@@ -457,16 +457,36 @@ class KmerEngine:
         lengths = np.array([len(s) for s in seqs], dtype=np.int64)
         pallas = self._pallas()
         if pallas is not None and cfg.bins <= distance_pallas._MAX_BINS:
-            # Triangle-only grid: ~2x fewer tiles than the full matrix
-            # (min is symmetric); only i < j entries are read below.
-            sums = np.asarray(
-                distance_pallas.min_sum_matrix_pallas_tri(
-                    jnp.asarray(counts), interpret=(pallas == "interpret")
+            try:
+                # Triangle-only grid: ~2x fewer tiles than the full matrix
+                # (min is symmetric); only i < j entries are read below.
+                sums = np.asarray(
+                    distance_pallas.min_sum_matrix_pallas_tri(
+                        jnp.asarray(counts), interpret=(pallas == "interpret")
+                    )
                 )
-            )
-            square = dist_ops.finish_distances(sums, lengths, cfg.k)
-            rows, cols = np.triu_indices(n, k=1)
-            packed = square[rows, cols]
+            except Exception as e:
+                # Large S x large bins can exceed the kernel's scoped VMEM
+                # at COMPILE time (measured: S=2048 at 64K bins — XLA
+                # places the whole [S, S] output on the VMEM stack). Fall
+                # back to the jnp path, which is exact by construction.
+                if not any(
+                    t in str(e)
+                    for t in ("vmem", "Mosaic", "remote_compile",
+                              "RESOURCE_EXHAUSTED", "out of memory")
+                ):
+                    raise
+                sums = None
+            if sums is not None:
+                square = dist_ops.finish_distances(sums, lengths, cfg.k)
+                rows, cols = np.triu_indices(n, k=1)
+                packed = square[rows, cols]
+            else:
+                packed = dist_ops.distance_matrix_packed(
+                    jnp.asarray(counts),
+                    jnp.asarray(lengths, dtype=jnp.int32),
+                    cfg.k,
+                )
         else:
             packed = dist_ops.distance_matrix_packed(
                 jnp.asarray(counts), jnp.asarray(lengths, dtype=jnp.int32), cfg.k

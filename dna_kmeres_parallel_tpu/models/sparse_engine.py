@@ -497,9 +497,10 @@ def dense_distance_feasible(
     - the counts-matrix builder pads the row count to power-of-two
       buckets with a 128-row floor (engine.counts_matrix shape
       discipline), so tiny S does not shrink the device allocation;
-    - the scatter path's overflow bucket indexes at S_padded * bins,
-      which must stay below 2^31 (int32 indices) — this alone rules the
-      dense path out for k >= 12 at any S.
+    - the [S_padded, bins] int32 counts matrix must fit device HBM with
+      room for its transpose panels (capped at 8 GiB of a v5e's 16) —
+      this rules the dense path out for k >= 12 at any S regardless of
+      how high the host-side budget is raised.
     """
     import os
 
@@ -509,9 +510,10 @@ def dense_distance_feasible(
         )
     bins = 4**k
     s_padded = max(128, 1 << max(int(n_seqs) - 1, 0).bit_length())
-    if s_padded * bins >= 1 << 31:
+    dense_bytes = s_padded * bins * 4
+    if dense_bytes > (8 << 30):  # device HBM cap (counts + panels)
         return False
-    return s_padded * bins * 4 <= budget_bytes
+    return dense_bytes <= budget_bytes
 
 
 def min_sum_pairs_python(codes, counts, offs) -> np.ndarray:

@@ -119,14 +119,23 @@ def counts_matrix_onehot(
 
 def counts_matrix_scatter(codes: jax.Array, valid: jax.Array, bins: int) -> jax.Array:
     """Per-sequence count matrix via one flattened scatter-add: segment id =
-    seq_row * bins + code. Used when ``bins`` outgrows the one-hot path."""
+    seq_row * bins + code. Used when ``bins`` outgrows the one-hot path.
+
+    Scatters with 2D (row, col) indices rather than a flattened segment
+    id: row * bins + code overflows int32 once S * bins reaches 2^31
+    (512 rows at 4^11 bins — hit by the r3 distance bench), and int64
+    indices would need global x64 mode. Each index stays < 2^31; the
+    per-row overflow bucket is column ``bins``. The [S, bins] buffer
+    still has to fit device memory — the distance CLI's
+    dense_distance_feasible gate bounds that upstream."""
     S, W = codes.shape
-    rows = jnp.arange(S, dtype=jnp.int32)[:, None]
-    seg = rows * bins + jnp.where(valid, codes, 0)
-    seg = jnp.where(valid, seg, S * bins)  # overflow bucket
-    flat = jnp.zeros((S * bins + 1,), dtype=jnp.int32)
-    flat = flat.at[seg.reshape(-1)].add(1)
-    return flat[: S * bins].reshape(S, bins)
+    rows = jnp.broadcast_to(
+        jnp.arange(S, dtype=jnp.int32)[:, None], codes.shape
+    )
+    col = jnp.where(valid, codes, bins)  # per-row overflow bucket
+    out = jnp.zeros((S, bins + 1), dtype=jnp.int32)
+    out = out.at[rows.reshape(-1), col.reshape(-1)].add(1)
+    return out[:, :bins]
 
 
 def counts_matrix(codes: jax.Array, valid: jax.Array, bins: int) -> jax.Array:
