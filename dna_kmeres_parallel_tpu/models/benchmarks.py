@@ -685,7 +685,7 @@ def run_distance_bench(
     if impl == "auto":
         use_pallas = (
             runtime.pallas_mode() == "compiled"
-            and bins <= distance_pallas._MAX_BINS
+            and bins <= distance_pallas._ROUTE_MAX_BINS
         )
     else:
         use_pallas = impl == "pallas"

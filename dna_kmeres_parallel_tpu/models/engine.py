@@ -456,7 +456,7 @@ class KmerEngine:
         counts = self.counts_matrix(seqs)
         lengths = np.array([len(s) for s in seqs], dtype=np.int64)
         pallas = self._pallas()
-        if pallas is not None and cfg.bins <= distance_pallas._MAX_BINS:
+        if pallas is not None and cfg.bins <= distance_pallas._ROUTE_MAX_BINS:
             try:
                 # Triangle-only grid: ~2x fewer tiles than the full matrix
                 # (min is symmetric); only i < j entries are read below.
@@ -546,7 +546,7 @@ class KmerEngine:
                 n_cols = min(_round_up(S - r0, col_bucket), S)
                 other = counts[S - n_cols :]
                 base = S - n_cols  # first column's sequence index
-                if pallas is not None and cfg.bins <= distance_pallas._MAX_BINS:
+                if pallas is not None and cfg.bins <= distance_pallas._ROUTE_MAX_BINS:
                     sums = np.asarray(
                         distance_pallas.min_sum_matrix_pallas(
                             panel, other, interpret=(pallas == "interpret")

@@ -36,9 +36,38 @@ _MAX_UNROLL_B = 512
 #: covers every dense-histogram k — larger k is the sparse engine's regime)
 _MAX_BINS = 65536
 
+#: bins cap for ROUTING production distances through these kernels on the
+#: CURRENT remote toolchain (r3 finding): any shape using the bins-TILED
+#: kernel branch (nb > 1, i.e. bins > _MAX_UNROLL_B = 512) fails to
+#: compile with a CONSTANT ~31.76M scoped-VMEM demand against the 16 MiB
+#: limit — independent of S and bins — while single-slab shapes compile
+#: and run exactly (verified: 256 bins x S=2048, 35 s compile, exact on
+#: hardware). 256 covers the reference's own k<=4 band; k=5..8 route to
+#: the jnp (min,+) path, which measures ~0.5 T int-ops/s at k=8 (3.1-3.8M
+#: pairs/s) — already near the VPU ceiling for this op mix, so the
+#: routing cost is small. The engine also falls back to jnp at runtime on
+#: any kernel compile failure (engine.distance_sequences).
+_ROUTE_MAX_BINS = 256
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _transpose_strips(padded: jax.Array, strip: int = 2048) -> jax.Array:
+    """[S, B] -> [B, S] as a concat of column-strip transposes.
+
+    A single whole-array transpose feeding the pallas custom call makes
+    XLA stage a bins-scaling relayout buffer on the 16 MiB scoped-VMEM
+    stack (measured r3: 64K bins OOM the compile even with tiny S).
+    Strip-wise transposes bound the scratch at ~[128, strip]."""
+    S, B = padded.shape
+    if B <= strip:
+        return padded.T
+    parts = [
+        padded[:, i : i + strip].T for i in range(0, B, strip)
+    ]
+    return jnp.concatenate(parts, axis=0)
 
 
 def _bin_tiling(B: int) -> tuple[int, int, int]:
@@ -112,13 +141,21 @@ def min_sum_matrix_pallas_tri(
     Sp = _round_up(max(S, 8), T)
     Bp, bt, nb = _bin_tiling(B)
     padded = jnp.zeros((Sp, Bp), jnp.int32).at[:S, :B].set(counts)
-    transposed = padded.T
+    transposed = _transpose_strips(padded)
     nt = Sp // T
     coords = [(i, j) for i in range(nt) for j in range(i, nt)]
     ti = jnp.asarray([c[0] for c in coords], jnp.int32)
     tj = jnp.asarray([c[1] for c in coords], jnp.int32)
     # Bin slabs are the FASTEST grid axis: the out block index is constant
     # across them, so the accumulator tile stays resident in VMEM.
+    #
+    # The output is a [n_tiles, T, T] TILE STACK, not the [Sp, Sp] matrix:
+    # XLA places a pallas result it deems small enough on the scoped VMEM
+    # stack, and at S=2048 the 16 MiB [S, S] matrix alone exceeds the
+    # 16 MiB scoped limit (measured r3: 'Scoped allocation with size
+    # 16.31M ... exceeded by 320K' — the kernel never compiled at the
+    # bins the r2 routing claimed). Tile blocks are 256 KiB; the
+    # assembly below runs as plain XLA on HBM.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(len(coords), nb),
@@ -126,24 +163,28 @@ def min_sum_matrix_pallas_tri(
             pl.BlockSpec((T, bt), lambda t, b, ti, tj: (ti[t], b)),
             pl.BlockSpec((bt, T), lambda t, b, ti, tj: (b, tj[t])),
         ],
-        out_specs=pl.BlockSpec((T, T), lambda t, b, ti, tj: (ti[t], tj[t])),
+        out_specs=pl.BlockSpec((1, T, T), lambda t, b, ti, tj: (t, 0, 0)),
     )
 
     def kernel(ti_ref, tj_ref, a_ref, ct_ref, out_ref):
         del ti_ref, tj_ref  # consumed by the index maps only
         if nb == 1:
-            _min_sum_kernel(a_ref, ct_ref, out_ref, n_bins=B)
+            _min_sum_kernel(a_ref, ct_ref, out_ref.at[0], n_bins=B)
         else:
-            _min_sum_kernel_tiled(a_ref, ct_ref, out_ref, bt, bin_dim=1)
+            _min_sum_kernel_tiled(a_ref, ct_ref, out_ref.at[0], bt, bin_dim=1)
 
-    out = pl.pallas_call(
+    tiles = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((Sp, Sp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((len(coords), T, T), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(ti, tj, padded, transposed)
-    # Mirror: entries below the diagonal take the transposed (computed)
-    # value, overwriting the never-written lower tiles.
+    # Assemble [Sp, Sp] from the tile stack (static unroll over tiles),
+    # then mirror: entries below the diagonal take the transposed
+    # (computed) value — the lower tiles were never computed.
+    out = jnp.zeros((Sp, Sp), jnp.int32)
+    for t, (i, j) in enumerate(coords):
+        out = jax.lax.dynamic_update_slice(out, tiles[t], (i * T, j * T))
     r = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0)
     c = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
     out = jnp.where(r <= c, out, out.T)
