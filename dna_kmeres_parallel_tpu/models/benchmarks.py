@@ -661,8 +661,10 @@ def run_distance_bench(
     """Time the pairwise-distance path (the reference's step-2 analogue,
     /root/reference/kernels.h:85-109 generalized to one tiled program).
 
-    impl: 'auto' mirrors engine routing (Pallas bins-tiled (min,+) kernel
-    for bins <= distance_pallas._MAX_BINS = 64K on TPU, jnp elsewhere);
+    impl: 'auto' mirrors engine routing (Pallas tri (min,+) kernel for
+    bins <= distance_pallas._ROUTE_MAX_BINS = 256 on TPU — the
+    bins-tiled branch does not compile on the current toolchain, see
+    distance_pallas.py — jnp elsewhere);
     'pallas'/'jnp' force a path for A/B comparison. The counts matrix is
     built once outside the timed region; timing is in-program lax.scan
     repetition with distinct inputs per iteration (tunnel dedupe trap)."""

@@ -197,12 +197,10 @@ def stage_batch(padded, pack: bool):
     return jnp.asarray(data), jnp.asarray(mask)
 
 
-def stage_batch_planes(padded):
-    """v2 encoder staging: pack on host, then build the kernel's u32
-    planes host-side (encode_pallas.host_planes_from_packfmt) so the
-    device program is the Pallas kernel ALONE — no XLA format-conversion
-    pre-pass (measured 4x the kernel's cost; see BENCHMARKS.md "Encoder
-    v2"). Ships (words_le, inval_be), 0.5 B/base of H2D."""
+def pack_planes_np(flat_u8):
+    """HOST half of the v2 plane staging: pack + plane build, numpy in
+    and numpy out (the single definition of the pack/plane contract —
+    the single-chip and DP-sparse stagers both delegate here)."""
     from dna_kmeres_parallel_tpu import native
     from dna_kmeres_parallel_tpu.ops.encode_pallas import (
         host_planes_from_packfmt,
@@ -210,10 +208,19 @@ def stage_batch_planes(padded):
     from dna_kmeres_parallel_tpu.utils import codec
 
     if native.available():
-        data, mask, _ = native.pack_2bit_native(padded)
+        data, mask, _ = native.pack_2bit_native(flat_u8)
     else:
-        data, mask, _ = codec.pack_bases(padded)
-    w_le, inval_be = host_planes_from_packfmt(data, mask)
+        data, mask, _ = codec.pack_bases(flat_u8)
+    return host_planes_from_packfmt(data, mask)
+
+
+def stage_batch_planes(padded):
+    """v2 encoder staging: pack on host, then build the kernel's u32
+    planes host-side (encode_pallas.host_planes_from_packfmt) so the
+    device program is the Pallas kernel ALONE — no XLA format-conversion
+    pre-pass (measured 4x the kernel's cost; see BENCHMARKS.md "Encoder
+    v2"). Ships (words_le, inval_be), 0.5 B/base of H2D."""
+    w_le, inval_be = pack_planes_np(padded)
     return jnp.asarray(w_le), jnp.asarray(inval_be)
 
 

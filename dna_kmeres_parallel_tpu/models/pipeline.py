@@ -560,9 +560,12 @@ class StreamingCounter:
 
                     w_le, iv_be = stage_shard_planes(shards)
                     spec = NamedSharding(mesh, P(DATA_AXIS, None))
+                    # device_put straight from numpy: jnp.asarray would
+                    # commit the full planes to device 0 first and pay a
+                    # second resharding transfer per batch.
                     return (
-                        jax.device_put(jnp.asarray(w_le), spec),
-                        jax.device_put(jnp.asarray(iv_be), spec),
+                        jax.device_put(np.ascontiguousarray(w_le), spec),
+                        jax.device_put(np.ascontiguousarray(iv_be), spec),
                         n_own_g,
                     )
                 return (

@@ -511,7 +511,7 @@ def dense_distance_feasible(
     bins = 4**k
     s_padded = max(128, 1 << max(int(n_seqs) - 1, 0).bit_length())
     dense_bytes = s_padded * bins * 4
-    if dense_bytes > (8 << 30):  # device HBM cap (counts + panels)
+    if dense_bytes >= (8 << 30):  # device HBM cap (counts + panels)
         return False
     return dense_bytes <= budget_bytes
 

@@ -179,12 +179,24 @@ def min_sum_matrix_pallas_tri(
         grid_spec=grid_spec,
         interpret=interpret,
     )(ti, tj, padded, transposed)
-    # Assemble [Sp, Sp] from the tile stack (static unroll over tiles),
-    # then mirror: entries below the diagonal take the transposed
-    # (computed) value — the lower tiles were never computed.
-    out = jnp.zeros((Sp, Sp), jnp.int32)
+    # Assemble [Sp, Sp] from the tile stack with ONE gather + reshape
+    # (a per-tile dynamic_update_slice unroll would grow the traced
+    # program O(nt^2) — 22K+ ops at the 54K design scale). Lower-triangle
+    # cells gather their MIRROR tile untransposed (junk values there);
+    # the mirror pass below replaces them with the transposed upper
+    # values, so only upper tiles are ever computed.
+    import numpy as _np
+
+    order = _np.zeros((nt, nt), _np.int32)
     for t, (i, j) in enumerate(coords):
-        out = jax.lax.dynamic_update_slice(out, tiles[t], (i * T, j * T))
+        order[i, j] = t
+        order[j, i] = t
+    grid_t = tiles[jnp.asarray(order.reshape(-1))]  # [nt*nt, T, T]
+    out = (
+        grid_t.reshape(nt, nt, T, T)
+        .transpose(0, 2, 1, 3)
+        .reshape(Sp, Sp)
+    )
     r = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0)
     c = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
     out = jnp.where(r <= c, out, out.T)

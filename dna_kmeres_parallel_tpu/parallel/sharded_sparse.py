@@ -132,12 +132,8 @@ def stage_shard_planes(shards: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     serves all rows (row spans stay byte-aligned). See engine.
     stage_batch_planes for why planes are built host-side (the in-jit
     conversion measured 4x the kernel's cost)."""
-    from dna_kmeres_parallel_tpu import native
+    from dna_kmeres_parallel_tpu.models.engine import pack_planes_np
     from dna_kmeres_parallel_tpu.ops.encode import INVALID
-    from dna_kmeres_parallel_tpu.ops.encode_pallas import (
-        host_planes_from_packfmt,
-    )
-    from dna_kmeres_parallel_tpu.utils import codec
 
     D, Ts = shards.shape
     Tp = -(-Ts // 16) * 16
@@ -146,12 +142,7 @@ def stage_shard_planes(shards: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         padded[:, :Ts] = shards
     else:
         padded = shards
-    flat = np.ascontiguousarray(padded).reshape(-1)
-    if native.available():
-        data, mask, _ = native.pack_2bit_native(flat)
-    else:
-        data, mask, _ = codec.pack_bases(flat)
-    w_le, iv_be = host_planes_from_packfmt(data, mask)
+    w_le, iv_be = pack_planes_np(np.ascontiguousarray(padded).reshape(-1))
     return w_le.reshape(D, -1), iv_be.reshape(D, -1)
 
 
