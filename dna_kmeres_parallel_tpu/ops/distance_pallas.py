@@ -12,10 +12,9 @@ one-query-per-launch kernels (/root/reference/main.cu:327-335, kernels.h:85-109)
 Integer in, integer out: the float distance formula is applied downstream by
 ops.distance.finish_distances for bit-exact parity (SURVEY.md §2.4.4).
 
-Bins beyond the per-step unroll budget (512) are TILED over an extra grid
-dimension: the output tile stays resident in VMEM while consecutive grid
-steps accumulate one 512-bin slab each, so any bins <= _MAX_BINS (64K =
-k <= 8, the dense-distance regime) runs in one fused program. Larger-k
+Bins beyond one slab (256, the widest the toolchain compiles — Mosaic
+materializes one ~64 KiB scoped temp per unrolled bin) accumulate across
+separate single-slab calls in XLA, up to 8192 bins (k <= 6). Larger-k
 distances route to the jnp path in ops/distance.py (and beyond dense, the
 sparse-table engine).
 """
@@ -31,23 +30,35 @@ from jax.experimental.pallas import tpu as pltpu
 
 _TI = 256
 _TJ = 256
-_MAX_UNROLL_B = 512
-#: bins cap for the fused kernels (bins-tiled accumulation; 4^8 = 64K
-#: covers every dense-histogram k — larger k is the sparse engine's regime)
+#: bins cap for the fused kernels (sliced accumulation; larger k is the
+#: sparse engine's regime)
 _MAX_BINS = 65536
 
-#: bins cap for ROUTING production distances through these kernels on the
-#: CURRENT remote toolchain (r3 finding): any shape using the bins-TILED
-#: kernel branch (nb > 1, i.e. bins > _MAX_UNROLL_B = 512) fails to
-#: compile with a CONSTANT ~31.76M scoped-VMEM demand against the 16 MiB
-#: limit — independent of S and bins — while single-slab shapes compile
-#: and run exactly (verified: 256 bins x S=2048, 35 s compile, exact on
-#: hardware). 256 covers the reference's own k<=4 band; k=5..8 route to
-#: the jnp (min,+) path, which measures ~0.5 T int-ops/s at k=8 (3.1-3.8M
-#: pairs/s) — already near the VPU ceiling for this op mix, so the
-#: routing cost is small. The engine also falls back to jnp at runtime on
-#: any kernel compile failure (engine.distance_sequences).
-_ROUTE_MAX_BINS = 256
+#: engine routing gate alias (see tri_route_ok — the effective
+#: production cap is _SLICE_BINS * _MAX_SLICE_CALLS = 8192, k <= 6)
+_ROUTE_MAX_BINS = 8192
+
+#: widest bin slice per pallas call: Mosaic materializes one ~64 KiB
+#: scoped temp PER UNROLLED bin of the (min,+) slab (r3 bisection:
+#: 256-unroll = 16.31M scoped, 512-unroll = 32.33M against the 16 MiB
+#: limit — constant in S and total bins), so slabs stay at 256 and
+#: larger bins accumulate across SEPARATE single-slab calls in XLA.
+_SLICE_BINS = 256
+
+#: routing cap for the sliced accumulation: 32 slices (8192 bins, all of
+#: k <= 6) verified compiling + exact on hardware; 64 slices (16384)
+#: still trips the 16.31M scoped-VMEM demand. k=7/8 route to the jnp
+#: path, which already runs at the VPU int-op ceiling (BENCHMARKS.md).
+_MAX_SLICE_CALLS = 32
+
+
+def tri_route_ok(S: int, bins: int) -> bool:
+    """Whether min_sum_matrix_pallas_tri is routable for this shape on
+    the current toolchain: single-slab shapes directly, wider bins via
+    <=_MAX_SLICE_CALLS sliced single-slab calls. (The r2 bins-tiled grid
+    axis never compiled — see _SLICE_BINS.)"""
+    del S  # tile-stack outputs made the kernel S-independent
+    return bins <= _SLICE_BINS * _MAX_SLICE_CALLS
 
 
 def _round_up(x: int, m: int) -> int:
@@ -68,18 +79,6 @@ def _transpose_strips(padded: jax.Array, strip: int = 2048) -> jax.Array:
         padded[:, i : i + strip].T for i in range(0, B, strip)
     ]
     return jnp.concatenate(parts, axis=0)
-
-
-def _bin_tiling(B: int) -> tuple[int, int, int]:
-    """(Bp, bt, nb): lane-padded bins, bin-tile width, number of bin tiles."""
-    if B > _MAX_BINS:
-        raise ValueError(
-            f"pallas min-sum kernel supports bins <= {_MAX_BINS}, got {B}"
-        )
-    Bp = _round_up(B, 128)
-    bt = min(Bp, _MAX_UNROLL_B)
-    Bp = _round_up(Bp, bt)
-    return Bp, bt, Bp // bt
 
 
 def _min_sum_slab(a_ref, ct_ref, unroll: int):
@@ -105,73 +104,37 @@ def _min_sum_kernel(a_ref, ct_ref, out_ref, n_bins: int | None = None):
     out_ref[:] = _min_sum_slab(a_ref, ct_ref, B)
 
 
-def _min_sum_kernel_tiled(a_ref, ct_ref, out_ref, bt: int, bin_dim: int):
-    """Bins-tiled variant: grid dim ``bin_dim`` walks bin slabs (fastest
-    axis, so the out block stays resident and accumulates across steps)."""
-    b_idx = pl.program_id(bin_dim)
-
-    slab = _min_sum_slab(a_ref, ct_ref, bt)
-
-    @pl.when(b_idx == 0)
-    def _():
-        out_ref[:] = slab
-
-    @pl.when(b_idx != 0)
-    def _():
-        out_ref[:] = out_ref[:] + slab
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def min_sum_matrix_pallas_tri(
-    counts: jax.Array,
-    interpret: bool = False,
-) -> jax.Array:
-    """Symmetric all-pairs min-sum computing ONLY upper-triangle tiles.
-
-    min(a,b) is symmetric, so the strict lower triangle of the [S, S]
-    matrix is redundant — a 1-D grid over the nt*(nt+1)/2 upper-triangle
-    tile coordinates (scalar-prefetched index maps) does ~2x less work
-    than the rectangular grid. The kernel never writes tiles strictly
-    below the diagonal; the returned matrix is made fully valid by
-    mirroring the upper triangle (one cheap elementwise pass — no
-    comment-only "read i <= j" contract for consumers to violate).
-    """
+def _tri_single_slice(counts: jax.Array, interpret: bool) -> jax.Array:
+    """One <=_SLICE_BINS-wide bin slice of the tri kernel (the only shape
+    the toolchain compiles; see _SLICE_BINS). Returns the [S, S] min-sum
+    partial for this slice."""
     S, B = counts.shape
     T = 256
     Sp = _round_up(max(S, 8), T)
-    Bp, bt, nb = _bin_tiling(B)
+    Bp = _round_up(B, 128)
     padded = jnp.zeros((Sp, Bp), jnp.int32).at[:S, :B].set(counts)
-    transposed = _transpose_strips(padded)
+    transposed = padded.T
     nt = Sp // T
     coords = [(i, j) for i in range(nt) for j in range(i, nt)]
     ti = jnp.asarray([c[0] for c in coords], jnp.int32)
     tj = jnp.asarray([c[1] for c in coords], jnp.int32)
-    # Bin slabs are the FASTEST grid axis: the out block index is constant
-    # across them, so the accumulator tile stays resident in VMEM.
-    #
     # The output is a [n_tiles, T, T] TILE STACK, not the [Sp, Sp] matrix:
-    # XLA places a pallas result it deems small enough on the scoped VMEM
-    # stack, and at S=2048 the 16 MiB [S, S] matrix alone exceeds the
-    # 16 MiB scoped limit (measured r3: 'Scoped allocation with size
-    # 16.31M ... exceeded by 320K' — the kernel never compiled at the
-    # bins the r2 routing claimed). Tile blocks are 256 KiB; the
-    # assembly below runs as plain XLA on HBM.
+    # XLA places a pallas result on the scoped VMEM stack, and at S=2048
+    # the 16 MiB [S, S] matrix alone exceeds the 16 MiB scoped limit
+    # (measured r3). Tile blocks are 256 KiB; assembly runs as plain XLA.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(len(coords), nb),
+        grid=(len(coords),),
         in_specs=[
-            pl.BlockSpec((T, bt), lambda t, b, ti, tj: (ti[t], b)),
-            pl.BlockSpec((bt, T), lambda t, b, ti, tj: (b, tj[t])),
+            pl.BlockSpec((T, Bp), lambda t, ti, tj: (ti[t], 0)),
+            pl.BlockSpec((Bp, T), lambda t, ti, tj: (0, tj[t])),
         ],
-        out_specs=pl.BlockSpec((1, T, T), lambda t, b, ti, tj: (t, 0, 0)),
+        out_specs=pl.BlockSpec((1, T, T), lambda t, ti, tj: (t, 0, 0)),
     )
 
     def kernel(ti_ref, tj_ref, a_ref, ct_ref, out_ref):
         del ti_ref, tj_ref  # consumed by the index maps only
-        if nb == 1:
-            _min_sum_kernel(a_ref, ct_ref, out_ref.at[0], n_bins=B)
-        else:
-            _min_sum_kernel_tiled(a_ref, ct_ref, out_ref.at[0], bt, bin_dim=1)
+        _min_sum_kernel(a_ref, ct_ref, out_ref.at[0], n_bins=B)
 
     tiles = pl.pallas_call(
         kernel,
@@ -181,10 +144,9 @@ def min_sum_matrix_pallas_tri(
     )(ti, tj, padded, transposed)
     # Assemble [Sp, Sp] from the tile stack with ONE gather + reshape
     # (a per-tile dynamic_update_slice unroll would grow the traced
-    # program O(nt^2) — 22K+ ops at the 54K design scale). Lower-triangle
-    # cells gather their MIRROR tile untransposed (junk values there);
-    # the mirror pass below replaces them with the transposed upper
-    # values, so only upper tiles are ever computed.
+    # program O(nt^2)). Lower-triangle cells gather their MIRROR tile
+    # untransposed (junk values there); the mirror pass below replaces
+    # them with the transposed upper values.
     import numpy as _np
 
     order = _np.zeros((nt, nt), _np.int32)
@@ -201,6 +163,43 @@ def min_sum_matrix_pallas_tri(
     c = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
     out = jnp.where(r <= c, out, out.T)
     return out[:S, :S]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def min_sum_matrix_pallas_tri(
+    counts: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """Symmetric all-pairs min-sum computing ONLY upper-triangle tiles.
+
+    min(a,b) is symmetric, so the strict lower triangle of the [S, S]
+    matrix is redundant — a 1-D grid over the nt*(nt+1)/2 upper-triangle
+    tile coordinates (scalar-prefetched index maps) does ~2x less work
+    than the rectangular grid. Bins wider than _SLICE_BINS accumulate
+    across separate single-slab calls (Mosaic allocates one ~64 KiB
+    scoped temp per unrolled bin — wider slabs do not compile; see
+    _SLICE_BINS / BENCHMARKS.md). Callers gate by tri_route_ok.
+    """
+    S, B = counts.shape
+    if B > _MAX_BINS:
+        raise ValueError(
+            f"pallas min-sum kernel supports bins <= {_MAX_BINS}, got {B}"
+        )
+    if B <= _SLICE_BINS:
+        return _tri_single_slice(counts, interpret)
+    if B > _SLICE_BINS * _MAX_SLICE_CALLS:
+        raise ValueError(
+            "min_sum_matrix_pallas_tri: bins "
+            f"{B} > {_SLICE_BINS * _MAX_SLICE_CALLS} exceeds the sliced-"
+            "accumulation compile budget (route to the jnp path)"
+        )
+    acc = None
+    for s0 in range(0, B, _SLICE_BINS):
+        part = _tri_single_slice(
+            counts[:, s0 : min(s0 + _SLICE_BINS, B)], interpret
+        )
+        acc = part if acc is None else acc + part
+    return acc
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -221,36 +220,51 @@ def min_sum_matrix_pallas(
     """
     other = counts if counts_other is None else counts_other
     S, B = counts.shape
+    if B > _MAX_BINS:
+        raise ValueError(
+            f"pallas min-sum kernel supports bins <= {_MAX_BINS}, got {B}"
+        )
+    if B > _SLICE_BINS:
+        # Sliced accumulation — one single-slab call per <=_SLICE_BINS
+        # bin slice (wider slabs do not compile; see _SLICE_BINS).
+        if B > _SLICE_BINS * _MAX_SLICE_CALLS:
+            raise ValueError(
+                "min_sum_matrix_pallas: bins "
+                f"{B} > {_SLICE_BINS * _MAX_SLICE_CALLS} exceeds the "
+                "sliced-accumulation compile budget (use the jnp path)"
+            )
+        acc = None
+        for s0 in range(0, B, _SLICE_BINS):
+            sl = slice(s0, min(s0 + _SLICE_BINS, B))
+            part = min_sum_matrix_pallas(
+                counts[:, sl], other[:, sl], interpret
+            )
+            acc = part if acc is None else acc + part
+        return acc
     S2 = other.shape[0]
     Sp = _round_up(max(S, 8), _TI)
     S2p = _round_up(max(S2, 8), _TJ)
-    Bp, bt, nb = _bin_tiling(B)
+    Bp = _round_up(B, 128)
     padded = jnp.zeros((Sp, Bp), jnp.int32).at[:S, :B].set(counts)
     other_p = jnp.zeros((S2p, Bp), jnp.int32).at[:S2, :B].set(other)
     transposed = other_p.T  # [Bp, S2p]
 
-    if nb == 1:
-        kernel = functools.partial(_min_sum_kernel, n_bins=B)
-    else:
-        kernel = functools.partial(
-            _min_sum_kernel_tiled, bt=bt, bin_dim=2
-        )
-    # Bin slabs innermost: the out block accumulates in VMEM across them.
-    grid = (Sp // _TI, S2p // _TJ, nb)
+    kernel = functools.partial(_min_sum_kernel, n_bins=B)
+    grid = (Sp // _TI, S2p // _TJ)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Sp, S2p), jnp.int32),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (_TI, bt), lambda i, j, b: (i, b), memory_space=pltpu.VMEM
+                (_TI, Bp), lambda i, j: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (bt, _TJ), lambda i, j, b: (b, j), memory_space=pltpu.VMEM
+                (Bp, _TJ), lambda i, j: (0, j), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (_TI, _TJ), lambda i, j, b: (i, j), memory_space=pltpu.VMEM
+            (_TI, _TJ), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Sp * S2p * Bp,
