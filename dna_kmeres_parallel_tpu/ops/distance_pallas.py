@@ -14,7 +14,8 @@ ops.distance.finish_distances for bit-exact parity (SURVEY.md §2.4.4).
 
 Bins beyond one slab (256, the widest the toolchain compiles — Mosaic
 materializes one ~64 KiB scoped temp per unrolled bin) accumulate across
-separate single-slab calls in XLA, up to 8192 bins (k <= 6). Larger-k
+a lax.scan of single-slab calls, covering all bins <= 64K (k <= 8).
+Larger-k
 distances route to the jnp path in ops/distance.py (and beyond dense, the
 sparse-table engine).
 """
@@ -34,9 +35,9 @@ _TJ = 256
 #: sparse engine's regime)
 _MAX_BINS = 65536
 
-#: engine routing gate alias (see tri_route_ok — the effective
-#: production cap is _SLICE_BINS * _MAX_SLICE_CALLS = 8192, k <= 6)
-_ROUTE_MAX_BINS = 8192
+#: engine routing gate alias (see tri_route_ok — the full k <= 8 dense
+#: band routes through the scan-sliced kernels)
+_ROUTE_MAX_BINS = 65536
 
 #: widest bin slice per pallas call: Mosaic materializes one ~64 KiB
 #: scoped temp PER UNROLLED bin of the (min,+) slab (r3 bisection:
@@ -45,20 +46,20 @@ _ROUTE_MAX_BINS = 8192
 #: larger bins accumulate across SEPARATE single-slab calls in XLA.
 _SLICE_BINS = 256
 
-#: routing cap for the sliced accumulation: 32 slices (8192 bins, all of
-#: k <= 6) verified compiling + exact on hardware; 64 slices (16384)
-#: still trips the 16.31M scoped-VMEM demand. k=7/8 route to the jnp
-#: path, which already runs at the VPU int-op ceiling (BENCHMARKS.md).
+#: (historical) cap for the UNROLLED sliced accumulation — 64 separate
+#: pallas instances re-tripped the scoped limit; the lax.scan slicing
+#: below has ONE instance and compiles at every bins <= _MAX_BINS
+#: (verified on hardware: 16384 and 65536 bins, S up to 2048, exact).
 _MAX_SLICE_CALLS = 32
 
 
 def tri_route_ok(S: int, bins: int) -> bool:
     """Whether min_sum_matrix_pallas_tri is routable for this shape on
-    the current toolchain: single-slab shapes directly, wider bins via
-    <=_MAX_SLICE_CALLS sliced single-slab calls. (The r2 bins-tiled grid
-    axis never compiled — see _SLICE_BINS.)"""
+    the current toolchain: single-slab shapes directly, wider bins via a
+    lax.scan of single-slab calls (one kernel instance — verified
+    compiling + exact at 64K bins, S=2048, on hardware)."""
     del S  # tile-stack outputs made the kernel S-independent
-    return bins <= _SLICE_BINS * _MAX_SLICE_CALLS
+    return bins <= _MAX_BINS
 
 
 def _round_up(x: int, m: int) -> int:
@@ -187,18 +188,20 @@ def min_sum_matrix_pallas_tri(
         )
     if B <= _SLICE_BINS:
         return _tri_single_slice(counts, interpret)
-    if B > _SLICE_BINS * _MAX_SLICE_CALLS:
-        raise ValueError(
-            "min_sum_matrix_pallas_tri: bins "
-            f"{B} > {_SLICE_BINS * _MAX_SLICE_CALLS} exceeds the sliced-"
-            "accumulation compile budget (route to the jnp path)"
-        )
-    acc = None
-    for s0 in range(0, B, _SLICE_BINS):
-        part = _tri_single_slice(
-            counts[:, s0 : min(s0 + _SLICE_BINS, B)], interpret
-        )
-        acc = part if acc is None else acc + part
+    # lax.scan over bin slices: ONE kernel instance regardless of slice
+    # count (an unrolled python loop of pallas calls re-trips the scoped-
+    # VMEM limit past 32 instances AND grows compile time linearly).
+    nb = -(-B // _SLICE_BINS)
+    Bp = nb * _SLICE_BINS
+    cp = counts if Bp == B else jnp.pad(counts, ((0, 0), (0, Bp - B)))
+    slices = cp.reshape(S, nb, _SLICE_BINS).transpose(1, 0, 2)
+
+    def body(acc, sl):
+        return acc + _tri_single_slice(sl, interpret), None
+
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros((S, S), jnp.int32), slices
+    )
     return acc
 
 
@@ -225,21 +228,23 @@ def min_sum_matrix_pallas(
             f"pallas min-sum kernel supports bins <= {_MAX_BINS}, got {B}"
         )
     if B > _SLICE_BINS:
-        # Sliced accumulation — one single-slab call per <=_SLICE_BINS
-        # bin slice (wider slabs do not compile; see _SLICE_BINS).
-        if B > _SLICE_BINS * _MAX_SLICE_CALLS:
-            raise ValueError(
-                "min_sum_matrix_pallas: bins "
-                f"{B} > {_SLICE_BINS * _MAX_SLICE_CALLS} exceeds the "
-                "sliced-accumulation compile budget (use the jnp path)"
-            )
-        acc = None
-        for s0 in range(0, B, _SLICE_BINS):
-            sl = slice(s0, min(s0 + _SLICE_BINS, B))
-            part = min_sum_matrix_pallas(
-                counts[:, sl], other[:, sl], interpret
-            )
-            acc = part if acc is None else acc + part
+        # lax.scan over <=_SLICE_BINS bin slices — one kernel instance
+        # (see min_sum_matrix_pallas_tri; wider slabs do not compile).
+        S2 = other.shape[0]
+        nb = -(-B // _SLICE_BINS)
+        Bp = nb * _SLICE_BINS
+        cp = counts if Bp == B else jnp.pad(counts, ((0, 0), (0, Bp - B)))
+        op = other if Bp == B else jnp.pad(other, ((0, 0), (0, Bp - B)))
+        c_sl = cp.reshape(S, nb, _SLICE_BINS).transpose(1, 0, 2)
+        o_sl = op.reshape(S2, nb, _SLICE_BINS).transpose(1, 0, 2)
+
+        def body(acc, xs):
+            a, b = xs
+            return acc + min_sum_matrix_pallas(a, b, interpret), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((S, S2), jnp.int32), (c_sl, o_sl)
+        )
         return acc
     S2 = other.shape[0]
     Sp = _round_up(max(S, 8), _TI)
