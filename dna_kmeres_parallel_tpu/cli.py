@@ -76,8 +76,10 @@ def _add_common(p: argparse.ArgumentParser):
         type=int,
         default=None,
         metavar="N",
-        help="count data-parallel over an N-device mesh (stream command; "
-        "per-chip partials merged exactly)",
+        help="run over an N-device mesh: data-parallel counting (stream "
+        "command, per-chip partials merged exactly) and partner-sharded "
+        "dense distances (distance command, incl. --stream-panel; "
+        "bit-identical output at any N)",
     )
     p.add_argument(
         "--device-sort",
@@ -301,19 +303,22 @@ def cmd_distance(args) -> int:
     from dna_kmeres_parallel_tpu.ops.encode import MAX_DENSE_K
 
     from dna_kmeres_parallel_tpu.models.sparse_engine import (
-        dense_distance_feasible,
+        dense_distance_preferred,
     )
 
-    if args.k > MAX_DENSE_K or not dense_distance_feasible(
-        len(seqs), args.k
+    if args.k > MAX_DENSE_K or not dense_distance_preferred(
+        len(seqs), args.k, [len(s) for s in seqs]
     ):
         # Sparse-table distances: per-sequence sorted tables + host
         # pairwise intersection min-sums — beyond the reference's
         # dense-vector design (kernels.h:85-109), completing distance
         # coverage for every k the counting engines support. Routes here
-        # for every k > 15 AND for mid-k (9..15) whenever the dense
+        # for every k > 15, for mid-k (9..15) whenever the dense
         # [S, 4^k] counts matrix would overflow the memory budget
-        # (KMER_TPU_DENSE_DIST_BUDGET; 4^13 is 268 MB per sequence).
+        # (KMER_TPU_DENSE_DIST_BUDGET; 4^13 is 268 MB per sequence),
+        # AND — r4 — whenever the predicted per-pair cost favors the
+        # sparse tables (dense pays ~2*4^k terms/pair vs ~2*E[table]
+        # two-pointer steps; see dense_distance_preferred).
         from dna_kmeres_parallel_tpu.models import sparse_engine
         from dna_kmeres_parallel_tpu.utils import io as io_mod
 
@@ -346,9 +351,11 @@ def cmd_distance(args) -> int:
         return 0
     if args.engine != "oracle" and args.stream_panel and args.output:
         # Big-S path: the distance matrix never materializes; panels of
-        # packed rows append to the CSV directly.
+        # packed rows append to the CSV directly (resumable via
+        # --checkpoint; partner-sharded over --mesh).
         report = KmerEngine(_build_config(args)).distance_stream_to_csv(
-            seqs, args.output, panel_rows=args.stream_panel
+            seqs, args.output, panel_rows=args.stream_panel,
+            checkpoint_path=getattr(args, "checkpoint", None),
         )
         report.update({"k": args.k, "engine": args.engine, "streamed": True})
         report["elapsed_s"] = round(report["elapsed_s"], 4)
@@ -766,6 +773,12 @@ def main(argv=None) -> int:
         metavar="ROWS",
         help="stream the distance matrix to CSV in ROWS-row panels "
         "(bounded memory for large sequence counts)",
+    )
+    p.add_argument(
+        "--checkpoint",
+        default=None,
+        help="streamed-path checkpoint JSON (resume if present; the "
+        "resumed CSV is byte-identical to a single-shot run)",
     )
     p.set_defaults(fn=cmd_distance)
 

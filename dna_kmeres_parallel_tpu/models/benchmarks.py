@@ -662,9 +662,10 @@ def run_distance_bench(
     /root/reference/kernels.h:85-109 generalized to one tiled program).
 
     impl: 'auto' mirrors engine routing (Pallas tri (min,+) kernel for
-    bins <= distance_pallas._ROUTE_MAX_BINS = 256 on TPU — the
-    bins-tiled branch does not compile on the current toolchain, see
-    distance_pallas.py — jnp elsewhere);
+    bins <= distance_pallas._ROUTE_MAX_BINS = 65536, i.e. the whole
+    k <= 8 dense band — bins past one 256-wide slab accumulate across a
+    lax.scan of single-slab calls, see distance_pallas._SLICE_BINS —
+    jnp elsewhere);
     'pallas'/'jnp' force a path for A/B comparison. The counts matrix is
     built once outside the timed region; timing is in-program lax.scan
     repetition with distinct inputs per iteration (tunnel dedupe trap)."""

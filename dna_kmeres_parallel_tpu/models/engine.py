@@ -264,6 +264,54 @@ class KmerEngine:
             return None
         return runtime.pallas_mode()
 
+    def _mesh(self):
+        """Device mesh from config.mesh_shape (None = single chip)."""
+        if not self.config.mesh_shape:
+            return None
+        from dna_kmeres_parallel_tpu.parallel.mesh import make_mesh
+
+        n = 1
+        for d in self.config.mesh_shape:
+            n *= d
+        return make_mesh(n)
+
+    def _min_sum_panel_mesh(self, panel, other, mesh, pallas):
+        """Column-sharded (min,+) panel over the mesh: [Pr, bins] x
+        [S2, bins] -> np.int32 [Pr, S2]. Pads partner rows to a mesh-axis
+        multiple with zero-count rows (min-sum 0, sliced off); routes the
+        Pallas kernel per shard exactly like the single-chip engine, with
+        the same compile-failure degradation to jnp."""
+        from dna_kmeres_parallel_tpu.parallel.mesh import DATA_AXIS
+        from dna_kmeres_parallel_tpu.parallel.sharded_count import (
+            min_sum_panel_sharded,
+        )
+
+        D = mesh.shape[DATA_AXIS]
+        S2 = other.shape[0]
+        pad = (-S2) % D
+        if pad:
+            other = jnp.pad(other, ((0, pad), (0, 0)))
+        use_pl = (
+            pallas
+            if (
+                pallas is not None
+                and self.config.bins <= distance_pallas._ROUTE_MAX_BINS
+            )
+            else None
+        )
+        try:
+            sums = min_sum_panel_sharded(panel, other, mesh, pallas=use_pl)
+        except Exception as e:
+            msg = str(e).lower()
+            if use_pl is None or not any(
+                t in msg
+                for t in ("vmem", "mosaic", "remote_compile",
+                          "resource_exhausted", "out of memory")
+            ):
+                raise
+            sums = min_sum_panel_sharded(panel, other, mesh, pallas=None)
+        return np.asarray(sums)[:, :S2]
+
     # ------------------------------------------------------------- ingest
     def _parse(self, source) -> list[fasta.FastaRecord]:
         cfg = self.config
@@ -353,7 +401,8 @@ class KmerEngine:
                     # helper) degrade to the jnp path instead of failing the
                     # run; numerics are identical.
                     if pallas is None or not any(
-                        s in str(e) for s in ("Mosaic", "remote_compile")
+                        s in str(e).lower()
+                        for s in ("mosaic", "remote_compile")
                     ):
                         raise
                     pallas = None
@@ -442,7 +491,8 @@ class KmerEngine:
                 # Same degradation as count_stream: a kernel-compile failure
                 # (flaky remote Mosaic helper) falls back to the jnp path.
                 if pallas is None or not any(
-                    s in str(e) for s in ("Mosaic", "remote_compile")
+                    s in str(e).lower()
+                    for s in ("mosaic", "remote_compile")
                 ):
                     raise
                 pallas = None
@@ -463,7 +513,19 @@ class KmerEngine:
         counts = self.counts_matrix(seqs)
         lengths = np.array([len(s) for s in seqs], dtype=np.int64)
         pallas = self._pallas()
-        if pallas is not None and cfg.bins <= distance_pallas._ROUTE_MAX_BINS:
+        mesh = self._mesh()
+        if mesh is not None and n:
+            # Multi-chip: one partner-sharded panel covering all rows —
+            # every device runs the same (Pallas-routed) kernel as the
+            # single-chip path; integer sums, so the distances are
+            # bit-identical at any device count.
+            sums = self._min_sum_panel_mesh(
+                jnp.asarray(counts), jnp.asarray(counts), mesh, pallas
+            )
+            square = dist_ops.finish_distances(sums, lengths, cfg.k)
+            rows, cols = np.triu_indices(n, k=1)
+            packed = square[rows, cols]
+        elif pallas is not None and cfg.bins <= distance_pallas._ROUTE_MAX_BINS:
             try:
                 # Triangle-only grid: ~2x fewer tiles than the full matrix
                 # (min is symmetric); only i < j entries are read below.
@@ -477,10 +539,13 @@ class KmerEngine:
                 # at COMPILE time (measured: S=2048 at 64K bins — XLA
                 # places the whole [S, S] output on the VMEM stack). Fall
                 # back to the jnp path, which is exact by construction.
+                # Case-insensitive: VMEM/Mosaic errors are spelled
+                # differently across toolchain layers.
+                msg = str(e).lower()
                 if not any(
-                    t in str(e)
-                    for t in ("vmem", "Mosaic", "remote_compile",
-                              "RESOURCE_EXHAUSTED", "out of memory")
+                    t in msg
+                    for t in ("vmem", "mosaic", "remote_compile",
+                              "resource_exhausted", "out of memory")
                 ):
                     raise
                 sums = None
@@ -518,15 +583,28 @@ class KmerEngine:
         seqs: list[str],
         output_path,
         panel_rows: int = 2048,
+        checkpoint_path=None,
+        max_panels: int | None = None,
     ) -> dict:
         """Large-S distance path: the [S, S] matrix never materializes.
 
         Counts live on device ([S, bins] int32 — tiny); the (min,+) matrix
-        is computed one row panel at a time (Pallas panel kernel) and each
-        panel's packed strict-upper-triangle entries are appended to the
-        CSV in reference format. Handles the reference's design-target
+        is computed one row panel at a time (Pallas panel kernel;
+        partner-sharded over the mesh when config.mesh_shape is set) and
+        each panel's packed strict-upper-triangle entries are appended to
+        the CSV in reference format. Handles the reference's design-target
         scale (54K sequences -> 1.46G pairs) in bounded memory.
+
+        checkpoint_path: make the run preemption-safe (SURVEY.md §5 —
+        this is the framework's single longest job at design scale). The
+        state is just (next panel row, CSV byte offset), saved atomically
+        after each panel's bytes are flushed+fsynced; resume truncates
+        the CSV to the last durable offset and continues — the resumed
+        file is byte-identical to a single-shot run. max_panels bounds
+        the panels processed this call (testing / cooperative yielding).
         """
+        import json
+
         from dna_kmeres_parallel_tpu import native
 
         cfg = self.config
@@ -535,7 +613,54 @@ class KmerEngine:
         counts = jnp.asarray(self.counts_matrix(seqs))
         lengths = np.array([len(s) for s in seqs], dtype=np.int64)
         pallas = self._pallas()
+        mesh = self._mesh()
         n_pairs = 0
+        start_r0 = 0
+        csv_bytes = 0
+        resumed = False
+        if checkpoint_path is not None and os.path.exists(checkpoint_path):
+            with open(checkpoint_path, "r", encoding="ascii") as cf:
+                ck = json.load(cf)
+            if (
+                ck.get("format_version") != 1
+                or ck["k"] != cfg.k
+                or ck["canonical"] != cfg.canonical
+                or ck["n_seqs"] != S
+                or ck["panel_rows"] != panel_rows
+            ):
+                raise ValueError(
+                    "distance checkpoint does not match this run "
+                    f"(found k={ck.get('k')} n_seqs={ck.get('n_seqs')} "
+                    f"panel_rows={ck.get('panel_rows')})"
+                )
+            start_r0 = int(ck["next_r0"])
+            csv_bytes = int(ck["csv_bytes"])
+            n_pairs = int(ck["n_pairs"])
+            resumed = True
+            if not os.path.exists(output_path):
+                raise FileNotFoundError(
+                    f"distance checkpoint present but CSV missing: "
+                    f"{output_path}"
+                )
+
+        def _save_ckpt(next_r0: int) -> None:
+            tmp = str(checkpoint_path) + ".tmp"
+            with open(tmp, "w", encoding="ascii") as cf:
+                json.dump(
+                    {
+                        "format_version": 1,
+                        "k": cfg.k,
+                        "canonical": cfg.canonical,
+                        "n_seqs": S,
+                        "panel_rows": panel_rows,
+                        "next_r0": next_r0,
+                        "csv_bytes": csv_bytes,
+                        "n_pairs": n_pairs,
+                    },
+                    cf,
+                )
+            os.replace(tmp, checkpoint_path)
+
         # Shape discipline: every panel is padded to [panel_rows, bins] and
         # the partner matrix to a power-of-two-ish column bucket, so the
         # whole run compiles a HANDFUL of device programs (a naive
@@ -545,15 +670,33 @@ class KmerEngine:
         # work and the D2H volume across the run.
         col_bucket = max(panel_rows, 16384)
         counts_p = jnp.pad(counts, ((0, panel_rows), (0, 0)))
-        with open(output_path, "wb") as f:
-            for r0 in range(0, S - 1, panel_rows):
+        panels_done = 0
+        stopped = False
+        with open(output_path, "r+b" if resumed else "wb") as f:
+            if resumed:
+                # Drop any bytes written after the last durable checkpoint
+                # (a panel interrupted mid-write) — the resumed output is
+                # byte-identical to a single-shot run.
+                f.truncate(csv_bytes)
+                f.seek(csv_bytes)
+            for r0 in range(start_r0, max(S - 1, 0), panel_rows):
+                if max_panels is not None and panels_done >= max_panels:
+                    stopped = True
+                    break
                 r1 = min(r0 + panel_rows, S)
                 rp = r1 - r0
                 panel = counts_p[r0 : r0 + panel_rows]
                 n_cols = min(_round_up(S - r0, col_bucket), S)
                 other = counts[S - n_cols :]
                 base = S - n_cols  # first column's sequence index
-                if pallas is not None and cfg.bins <= distance_pallas._ROUTE_MAX_BINS:
+                if mesh is not None:
+                    sums = self._min_sum_panel_mesh(
+                        panel, other, mesh, pallas
+                    )[:rp]
+                elif (
+                    pallas is not None
+                    and cfg.bins <= distance_pallas._ROUTE_MAX_BINS
+                ):
                     sums = np.asarray(
                         distance_pallas.min_sum_matrix_pallas(
                             panel, other, interpret=(pallas == "interpret")
@@ -573,13 +716,22 @@ class KmerEngine:
                     d[i - r0, (i - base) + 1 :] for i in range(r0, r1)
                 ]
                 flat = np.concatenate(rows) if rows else np.empty(0, np.float32)
-                f.write(native.format_f6(flat))
+                buf = native.format_f6(flat)
+                f.write(buf)
                 n_pairs += flat.shape[0]
+                csv_bytes += len(buf)
+                panels_done += 1
+                if checkpoint_path is not None:
+                    f.flush()
+                    os.fsync(f.fileno())
+                    _save_ckpt(r1)
         return {
             "n_seqs": S,
             "n_pairs": n_pairs,
             "elapsed_s": time.perf_counter() - t0,
             "output": str(output_path),
+            "resumed": resumed,
+            "completed": not stopped,
         }
 
     # ------------------------------------------------------------- verification

@@ -500,18 +500,16 @@ class StreamingCounter:
             padded[: seg.shape[0]] = seg
             return padded
 
-        # v2 plane staging (single-chip packed no-device-sort route): the
-        # device program is the packed kernel alone; planes built host-side.
-        from dna_kmeres_parallel_tpu.models.sparse_engine import (
-            resolve_device_sort as _rds,
-        )
-
+        # v2 plane staging: the device encode is the packed kernel alone;
+        # planes built host-side (stage_batch_planes/stage_shard_planes).
+        # Serves both the encode-only (no-device-sort) and the
+        # device-sort routes (r4): the sorts are order-oblivious, so the
+        # v2 kernel's residue permutation is invisible downstream.
         use_planes = (
             not rle
             and cfg.use_pallas
             and runtime.pallas_mode() is not None
             and sparse_ops._enc_v2_active()
-            and not _rds(cfg)
             and (cfg.pack_input or mesh is not None)
         )
 
@@ -741,10 +739,21 @@ class StreamingCounter:
                     from dna_kmeres_parallel_tpu.parallel.sharded_sparse import (
                         encode_words_planes_sharded,
                         encode_words_sharded,
+                        sort_words_rows_planes_sharded,
                         sort_words_rows_sharded,
                     )
 
-                    if dev_sort:
+                    if dev_sort and use_planes:
+                        w_g, iv_g, n_own_g = staged
+                        words = self._with_retry(
+                            lambda: sort_words_rows_planes_sharded(
+                                w_g, iv_g, n_own_g, cfg.k, cfg.canonical,
+                                mesh,
+                                row_len=cfg.sort_row_len or 2048,
+                                interpret=(pallas == "interpret"),
+                            )
+                        )
+                    elif dev_sort:
                         shards_g, n_own_g = staged
                         words = self._with_retry(
                             lambda: sort_words_rows_sharded(
@@ -773,6 +782,21 @@ class StreamingCounter:
                 elif not dev_sort and use_planes:
                     words = self._with_retry(
                         lambda: sparse_ops.encode_words_planes(
+                            *staged, n_own, cfg.k, cfg.canonical,
+                            interpret=(pallas == "interpret"),
+                        )
+                    )
+                elif dev_sort and use_planes and cfg.sort_row_len:
+                    words = self._with_retry(
+                        lambda: sparse_ops.sort_words_rows_planes(
+                            *staged, n_own, cfg.k, cfg.canonical,
+                            interpret=(pallas == "interpret"),
+                            row_len=cfg.sort_row_len,
+                        )
+                    )
+                elif dev_sort and use_planes:
+                    words = self._with_retry(
+                        lambda: sparse_ops.sort_words_planes(
                             *staged, n_own, cfg.k, cfg.canonical,
                             interpret=(pallas == "interpret"),
                         )

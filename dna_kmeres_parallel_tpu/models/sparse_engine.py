@@ -341,11 +341,12 @@ class SparseKmerEngine:
 
             pallas = self._pallas()
             dev_sort = resolve_device_sort(cfg)
-            # v2 plane staging: the device program is the packed kernel
+            # v2 plane staging: the device encode is the packed kernel
             # alone; planes are built host-side (see stage_batch_planes).
+            # Serves BOTH the no-device-sort route (encode only) and the
+            # device-sort route (encode + row/flat sorts — r4).
             use_planes = (
                 cfg.pack_input
-                and not dev_sort
                 and pallas is not None
                 and sparse_ops._enc_v2_active()
             )
@@ -382,7 +383,18 @@ class SparseKmerEngine:
                     ladder.push(compact_unsorted(words, cfg.k))
                     start = end
                     continue
-                if cfg.pack_input and cfg.sort_row_len:
+                if use_planes and cfg.sort_row_len:
+                    words = sparse_ops.sort_words_rows_planes(
+                        *staged, n_own, cfg.k, cfg.canonical,
+                        interpret=(pallas == "interpret"),
+                        row_len=cfg.sort_row_len,
+                    )
+                elif use_planes:
+                    words = sparse_ops.sort_words_planes(
+                        *staged, n_own, cfg.k, cfg.canonical,
+                        interpret=(pallas == "interpret"),
+                    )
+                elif cfg.pack_input and cfg.sort_row_len:
                     words = sparse_ops.sort_words_rows_packed(
                         *staged, n_own, cfg.k, cfg.canonical,
                         pallas=self._pallas(), row_len=cfg.sort_row_len,
@@ -514,6 +526,63 @@ def dense_distance_feasible(
     if dense_bytes >= (8 << 30):  # device HBM cap (counts + panels)
         return False
     return dense_bytes <= budget_bytes
+
+
+#: Measured routing constants (TPU v5e + this host class, BENCHMARKS.md
+#: "Distance routing"): the dense (min,+) route sustains ~C_DENSE
+#: bin-pair-terms/s per chip (5.57e4 pairs/s at k=11's 4.19M bins =>
+#: 2.3e11), the sparse two-pointer host route ~C_SPARSE
+#: entry-pair-steps/s per thread (0.36e6 pairs/s/thread on ~1e3-entry
+#: 1-Kbase tables => 3.6e8). Order-of-magnitude constants: the routing
+#: decision they gate differs by >= 10x wherever it matters.
+_DENSE_BIN_PAIRS_PER_SEC = 2.3e11
+_SPARSE_ENTRY_PAIRS_PER_SEC_PER_THREAD = 3.6e8
+
+
+def dense_distance_preferred(
+    n_seqs: int,
+    k: int,
+    seq_lengths=None,
+    budget_bytes: int | None = None,
+) -> bool:
+    """Cost-based dense-vs-sparse distance routing (r4, VERDICT Weak #2).
+
+    dense_distance_feasible is a MEMORY gate only; mid-k (9..15) jobs
+    that fit can still be orders of magnitude slower dense: the dense
+    route pays ~2*4^k VPU terms per pair while the sparse-table route
+    pays ~2*E[table entries] two-pointer steps per pair (~L-k+1 for
+    random sequence) — at k=11 and 1-Kbase sequences that is 4.19M vs
+    ~2K work items per pair. This gate routes on PREDICTED cost with the
+    measured throughput constants above, keeping the memory budget as a
+    hard ceiling:
+
+      dense iff feasible AND bins / C_dense <= avg_table / (C_sparse * threads)
+
+    k <= 8 always prefers dense when feasible (the scan-sliced Pallas
+    band; fixed per-pair model constants dominate there and the dense
+    device path wins outright). seq_lengths=None assumes tables at the
+    dense-equivalent size (prefers dense), so callers without lengths
+    keep the old behavior.
+    """
+    import os
+
+    if not dense_distance_feasible(n_seqs, k, budget_bytes):
+        return False
+    if k <= 8 or seq_lengths is None:
+        return True
+    bins = 4**k
+    lengths = np.asarray(seq_lengths, dtype=np.float64)
+    if lengths.size == 0:
+        return True
+    avg_table = float(
+        np.minimum(np.maximum(lengths - k + 1, 1), bins).mean()
+    )
+    threads = max(os.cpu_count() or 1, 1)
+    dense_s_per_pair = bins / _DENSE_BIN_PAIRS_PER_SEC
+    sparse_s_per_pair = avg_table / (
+        _SPARSE_ENTRY_PAIRS_PER_SEC_PER_THREAD * threads
+    )
+    return dense_s_per_pair <= sparse_s_per_pair
 
 
 def min_sum_pairs_python(codes, counts, offs) -> np.ndarray:

@@ -43,14 +43,12 @@ _ROUTE_MAX_BINS = 65536
 #: scoped temp PER UNROLLED bin of the (min,+) slab (r3 bisection:
 #: 256-unroll = 16.31M scoped, 512-unroll = 32.33M against the 16 MiB
 #: limit — constant in S and total bins), so slabs stay at 256 and
-#: larger bins accumulate across SEPARATE single-slab calls in XLA.
+#: larger bins accumulate across a lax.scan of SEPARATE single-slab
+#: calls (one kernel instance: an unrolled python loop of >32 instances
+#: re-trips the scoped limit). The scan keeps each per-call transpose
+#: at [256, S], so no bins-scaling relayout buffer ever lands on the
+#: scoped-VMEM stack either.
 _SLICE_BINS = 256
-
-#: (historical) cap for the UNROLLED sliced accumulation — 64 separate
-#: pallas instances re-tripped the scoped limit; the lax.scan slicing
-#: below has ONE instance and compiles at every bins <= _MAX_BINS
-#: (verified on hardware: 16384 and 65536 bins, S up to 2048, exact).
-_MAX_SLICE_CALLS = 32
 
 
 def tri_route_ok(S: int, bins: int) -> bool:
@@ -64,22 +62,6 @@ def tri_route_ok(S: int, bins: int) -> bool:
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
-
-
-def _transpose_strips(padded: jax.Array, strip: int = 2048) -> jax.Array:
-    """[S, B] -> [B, S] as a concat of column-strip transposes.
-
-    A single whole-array transpose feeding the pallas custom call makes
-    XLA stage a bins-scaling relayout buffer on the 16 MiB scoped-VMEM
-    stack (measured r3: 64K bins OOM the compile even with tiny S).
-    Strip-wise transposes bound the scratch at ~[128, strip]."""
-    S, B = padded.shape
-    if B <= strip:
-        return padded.T
-    parts = [
-        padded[:, i : i + strip].T for i in range(0, B, strip)
-    ]
-    return jnp.concatenate(parts, axis=0)
 
 
 def _min_sum_slab(a_ref, ct_ref, unroll: int):

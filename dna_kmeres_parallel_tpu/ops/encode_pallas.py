@@ -388,6 +388,7 @@ def _make_packed_encode_kernel(
     want_sig: bool,
     sigonly: bool = False,
     words_le: bool = False,
+    minimizer_m: int | None = None,
 ):
     nlo = _lo_bases(k)
     nhi = k - nlo
@@ -399,6 +400,9 @@ def _make_packed_encode_kernel(
         out_refs = rest
         if want_sig:
             sig_ref, out_refs = out_refs[-1], out_refs[:-1]
+        min_ref = None
+        if minimizer_m is not None:
+            min_ref, out_refs = out_refs[-1], out_refs[:-1]
         # sigonly: stage-timing diagnostic (probe scripts) — all compute
         # runs but the word planes are never written; isolates store-side
         # cost from compute-side cost.
@@ -473,6 +477,65 @@ def _make_packed_encode_kernel(
                 covered += q
         # V: [8, row_w]; digit j of V[., w] nonzero => window 16w+j invalid.
 
+        if canonical:
+            # Shared reversed-complement funnel family (r4): R[r][., w] =
+            # rev16(~E[r][., w]) holds the complemented digits p+15..p of
+            # position p = 16w + r. Every group's BOTH RC words are plain
+            # members/rolls of this one 16-plane family (see the group
+            # loop), so the two per-group 8-op butterflies of the old
+            # formulation collapse to 16 shared reversals per block —
+            # the attack on the measured 23% canonical tax.
+            Rfam = [_rev16_digits(~e) for e in E]
+
+        if minimizer_m is not None:
+            # In-kernel window minimizers (r4): the smallest m-mer code
+            # inside each k-window, emitted as a plane in the SAME
+            # residue-permuted order as the word planes — this is what
+            # lets minimizer owner routing (parallel/bucketed.py) ride
+            # the v2 kernel (the XLA positional scan it replaces needed
+            # stream order, which v2's permutation breaks). m-mer code
+            # at position p is the top 2m bits of the funnel extract at
+            # p; the windowed min over the k-m+1 consecutive positions
+            # is a span-min doubling ladder over the 16-residue family
+            # (shift-by-s = member (r+s)%16 lane-rolled (r+s)//16), so
+            # the cost is ~log2(k-m+1) min+roll pairs per 16 windows.
+            # Values are garbage at invalid windows (an invalid window
+            # has an invalid m-mer by the covering argument — consumers
+            # mask by the word planes' validity).
+            mm_shift = 32 - 2 * minimizer_m
+            L_span = k - minimizer_m + 1
+            fam = {1: [e >> mm_shift for e in E]}
+            s = 1
+            while 2 * s <= L_span:
+                prev = fam[s]
+                fam[2 * s] = [
+                    jnp.minimum(
+                        prev[r], lroll(prev[(r + s) % 16], (r + s) // 16)
+                    )
+                    for r in range(16)
+                ]
+                s *= 2
+            mins16 = None
+            covered_m = 0
+            for q in sorted(fam, reverse=True):
+                if not (L_span & q):
+                    continue
+                if mins16 is None:
+                    mins16 = fam[q]
+                    covered_m = q
+                else:
+                    mins16 = [
+                        jnp.minimum(
+                            mins16[r],
+                            lroll(
+                                fam[q][(r + covered_m) % 16],
+                                (r + covered_m) // 16,
+                            ),
+                        )
+                        for r in range(16)
+                    ]
+                    covered_m += q
+
         # True stream position of window 16w + r0 in row `row` of tile t:
         # (t*8 + row) * chunk + 16*w + r0.
         pos_base = (
@@ -482,7 +545,6 @@ def _make_packed_encode_kernel(
         )
 
         sent_i = jnp.int32(-1)
-        ones32 = jnp.uint32(0xFFFFFFFF)
         nv = jnp.zeros((8, 128), jnp.int32) if want_sig else None
         sg = jnp.zeros((8, 128), jnp.int32) if want_sig else None
         # Group results are CONCATENATED and stored as one full [8, chunk]
@@ -491,6 +553,7 @@ def _make_packed_encode_kernel(
         # defeat Mosaic's store pipelining).
         lo_pieces: list = []
         hi_pieces: list = []
+        min_pieces: list = []
         for r0 in range(16):
             if nhi:
                 rl = (r0 + nhi) % 16
@@ -513,28 +576,26 @@ def _make_packed_encode_kernel(
             valid = (vdig == 0) & (pos < n_own)
 
             if canonical:
-                # Same butterfly RC as the v1 kernel, per group.
+                # RC words from the shared Rfam family: the window's rc_lo
+                # (last 16 rc bases = rev+comp of the FIRST 16 window
+                # digits) is exactly Rfam[r0]; rc_hi (first nhi rc bases =
+                # rev+comp of the LAST nhi digits) is the top 2*nhi bits
+                # of the family member at position p+k-16. Zero reversal
+                # work per group — one roll+shift for rc_hi.
+                rc_lo = jax.lax.slice_in_dim(Rfam[r0], 0, W16, axis=1)
                 if nhi:
-                    rev_lo = _rev16_digits(lo ^ ones32)
-                    hi_mask = jnp.uint32((1 << (2 * nhi)) - 1)
-                    rev_hi = _rev16_digits((hi ^ hi_mask) & hi_mask)
-                    rc_hi = rev_lo >> (2 * (16 - nhi))
-                    rc_lo = (rev_lo << (2 * nhi)) | (
-                        rev_hi >> (2 * (16 - nhi))
-                    )
-                else:
-                    k_mask = (
-                        jnp.uint32((1 << (2 * k)) - 1) if k < 16 else ones32
-                    )
-                    rc_lo = _rev16_digits((lo ^ k_mask) & k_mask)
-                    if k < 16:
-                        rc_lo = rc_lo >> (2 * (16 - k))
-                    rc_hi = None
-                if nhi:
+                    rh = (r0 + k) % 16
+                    woff_h = (r0 + k - 16) // 16
+                    rc_hi = jax.lax.slice_in_dim(
+                        lroll(Rfam[rh], woff_h), 0, W16, axis=1
+                    ) >> (32 - 2 * nhi)
                     take_rc = (rc_hi < hi) | ((rc_hi == hi) & (rc_lo < lo))
                     hi = jnp.where(take_rc, rc_hi, hi)
                 else:
-                    # nhi == 0: the RC hi is zero too (k=16) or absent.
+                    # nhi == 0: k < 16 keeps the low 2k digits of the
+                    # reversal; k = 16 uses all 16 (RC hi is zero = hi).
+                    if k < 16:
+                        rc_lo = rc_lo & jnp.uint32((1 << (2 * k)) - 1)
                     take_rc = rc_lo < lo
                 lo = jnp.where(take_rc, rc_lo, lo)
 
@@ -542,6 +603,14 @@ def _make_packed_encode_kernel(
             lo_sel = jnp.where(valid, lo_i, sent_i)
             if lo_ref is not None:
                 lo_pieces.append(lo_sel)
+            if min_ref is not None:
+                # Minimizer codes < 4^m <= 2^30: positive in int32.
+                min_pieces.append(
+                    jax.lax.bitcast_convert_type(
+                        jax.lax.slice_in_dim(mins16[r0], 0, W16, axis=1),
+                        jnp.int32,
+                    )
+                )
             if hi_ref is not None:
                 hi_i = jax.lax.bitcast_convert_type(hi, jnp.int32)
                 if hi16:
@@ -572,6 +641,8 @@ def _make_packed_encode_kernel(
             lo_ref[:] = jnp.concatenate(lo_pieces, axis=1)
         if hi_ref is not None:
             hi_ref[:] = jnp.concatenate(hi_pieces, axis=1)
+        if min_ref is not None:
+            min_ref[:] = jnp.concatenate(min_pieces, axis=1)
         if want_sig:
             blk = jnp.concatenate([nv, sg], axis=1)
 
@@ -691,7 +762,7 @@ def be_planes_from_bases(bases_u8):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "canonical", "interpret", "want_sig",
-                     "words_le", "_diag_sigonly"),
+                     "words_le", "_diag_sigonly", "minimizer_m"),
 )
 def rolling_codes_split_packed_pallas(
     words_be: jax.Array,
@@ -704,14 +775,31 @@ def rolling_codes_split_packed_pallas(
     want_sig: bool = False,
     words_le: bool = False,
     _diag_sigonly: bool = False,
+    minimizer_m: int | None = None,
 ):
     """Packed-word encoder v2: (words_be, inval_be) uint32 planes [T/16]
     -> (hi, lo[, sig]) window-code planes, same dtypes/sentinels as
     rolling_codes_split_pallas but in RESIDUE-PERMUTED window order (see
     module comment) — valid for every order-oblivious consumer (sorts,
-    the host radix compactor, RLE; NOT for positional window lookup)."""
+    the host radix compactor, RLE; NOT for positional window lookup).
+
+    minimizer_m (static, 1 <= m < min(k, 16)): additionally emit each
+    window's minimizer m-mer code as an int32 plane in the SAME permuted
+    order (garbage at invalid windows — mask by the word sentinels);
+    return becomes (hi, lo, mins). This is what lets minimizer owner
+    routing (parallel/bucketed.py) run the v2 kernel: the owner plane is
+    order-aligned with the words by construction, where the positional
+    XLA minimizer scan it replaces required stream order."""
     if not (1 <= k <= MAX_SPARSE_K):
         raise ValueError(f"k must be in [1, {MAX_SPARSE_K}]")
+    if minimizer_m is not None:
+        if not (1 <= minimizer_m < min(k, 16)):
+            raise ValueError(
+                f"minimizer_m must satisfy 1 <= m < min(k, 16), got "
+                f"{minimizer_m} (k={k})"
+            )
+        if want_sig or _diag_sigonly:
+            raise ValueError("minimizer_m is exclusive with want_sig")
     single = k <= MAX_SINGLE_WORD_K
     from dna_kmeres_parallel_tpu.ops.sparse import MAX_U16_HI_K
 
@@ -752,12 +840,15 @@ def rolling_codes_split_packed_pallas(
         raise ValueError("_diag_sigonly requires want_sig=True")
     kernel = _make_packed_encode_kernel(
         k, canonical, chunk, single, hi16, salt is not None, want_sig,
-        sigonly=_diag_sigonly, words_le=words_le,
+        sigonly=_diag_sigonly, words_le=words_le, minimizer_m=minimizer_m,
     )
     n_out = 0 if _diag_sigonly else (1 if single else 2)
     out_dtypes = ([jnp.int16] if hi16 else [jnp.int32])[: max(n_out - 1, 0)] + [
         jnp.int32
     ] * min(n_out, 1)
+    if minimizer_m is not None:
+        out_dtypes.append(jnp.int32)  # minimizer plane, after lo
+        n_out += 1
     out_shapes = [
         jax.ShapeDtypeStruct((n_rows, chunk), dt) for dt in out_dtypes
     ]
@@ -806,10 +897,18 @@ def rolling_codes_split_packed_pallas(
     if _diag_sigonly:
         return None, None, sig
     planes = out[:-1] if want_sig else out
+    mins = None
+    if minimizer_m is not None:
+        mins = planes[-1].reshape(-1)  # int32 minimizer codes
+        planes = planes[:-1]
     lo = jax.lax.bitcast_convert_type(planes[-1].reshape(-1), jnp.uint32)
     if single:
+        if minimizer_m is not None:
+            return None, lo, mins
         return (None, lo, sig) if want_sig else (None, lo)
     hi = jax.lax.bitcast_convert_type(
         planes[0].reshape(-1), jnp.uint16 if hi16 else jnp.uint32
     )
+    if minimizer_m is not None:
+        return hi, lo, mins
     return (hi, lo, sig) if want_sig else (hi, lo)

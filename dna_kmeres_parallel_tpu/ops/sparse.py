@@ -245,6 +245,17 @@ def _encode_words_packfmt(
     return _encode_words(bases, n_own, k, canonical, pallas)
 
 
+def narrow_words(hi, lo, k: int):
+    """(hi, lo) planes from the Pallas encoders -> the adaptive word
+    tuple: (lo,) for k <= 15, (hi_u16, lo) when the kernel already
+    emitted the u16 hi plane, else (hi_u32, lo)."""
+    if hi is not None and hi.dtype == jnp.uint16:
+        return (hi, lo)
+    if k <= MAX_SINGLE_WORD_K:
+        return (lo,)
+    return (hi, lo)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "canonical", "interpret"))
 def encode_words_planes(
     words_le: jax.Array,
@@ -267,11 +278,67 @@ def encode_words_planes(
         words_le, inval_be, n_own, k, canonical,
         interpret=interpret, words_le=True,
     )
-    if hi is not None and hi.dtype == jnp.uint16:
-        return (hi, lo)
-    if k <= MAX_SINGLE_WORD_K:
-        return (lo,)
-    return (hi, lo)
+    return narrow_words(hi, lo, k)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "canonical", "interpret")
+)
+def sort_words_planes(
+    words_le: jax.Array,
+    inval_be: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    canonical: bool = False,
+    interpret: bool = False,
+):
+    """sort_words on the v2 plane-staged route: the packed SWAR kernel
+    (encode_words_planes) feeds the flat multi-key sort directly — the
+    sort destroys order anyway, so the kernel's residue permutation is
+    free here. Serves device_sort=True hosts (no native radix compactor)
+    at the v2 encode rate."""
+    words = encode_words_planes(
+        words_le, inval_be, n_own, k, canonical, interpret
+    )
+    return tuple(jax.lax.sort(words, num_keys=len(words)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "canonical", "interpret", "row_len", "pallas_sort"),
+)
+def _sort_words_rows_planes_jit(
+    words_le, inval_be, n_own, k, canonical, interpret, row_len, pallas_sort
+):
+    words = encode_words_planes(
+        words_le, inval_be, n_own, k, canonical, interpret
+    )
+    return _sort_words_as_rows(
+        words, "interpret" if interpret else "compiled", row_len, pallas_sort
+    )
+
+
+def sort_words_rows_planes(
+    words_le: jax.Array,
+    inval_be: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    canonical: bool = False,
+    interpret: bool = False,
+    row_len: int = 2048,
+    pallas_sort: bool | None = None,
+):
+    """sort_words_rows on the v2 plane-staged route: packed SWAR encode +
+    independent row sorts. Rows sort SEGMENTS of the residue-permuted
+    window stream — each row is an arbitrary bag of windows either way,
+    and the host row compactor (native.compact_rows_native) merges rows
+    as bags, so the permutation is invisible downstream."""
+    if pallas_sort is None:  # resolved outside the jit boundary
+        pallas_sort = pallas_sort_enabled()
+    return _sort_words_rows_planes_jit(
+        words_le, inval_be, n_own, k, canonical, interpret, row_len,
+        pallas_sort,
+    )
 
 
 def word_sentinel(dtype):

@@ -107,27 +107,42 @@ def _capacity(n_windows: int, D: int, canonical: bool) -> int:
     return min(-(-cap_mult * n_windows // D) + 64, n_windows)
 
 
+def _hash_owner(mini, D: int):
+    """Fibonacci hash of a minimizer value, range-partitioned by
+    multiply-shift (balanced for any D) — the ONE owner function both the
+    positional (XLA scan) and in-kernel minimizer planes feed, so the two
+    encode routes route every window identically by construction."""
+    h32 = mini.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+    return (((h32 >> 16) * jnp.uint32(D)) >> 16).astype(jnp.int32)
+
+
 def _route_owner(b, hi, lo, valid, k, D, owner_mode, minimizer_m,
-                 shift, t_bits, use_hi):
+                 shift, t_bits, use_hi, mins=None):
     """Owner id per window (D for invalid) — shared by the aggregated and
-    raw exchanges so they route identically by construction."""
+    raw exchanges so they route identically by construction. mins: the v2
+    kernel's order-aligned minimizer plane (minimizer mode only; when
+    absent, minimizers are computed positionally from the base stream)."""
     if owner_mode == "minimizer":
-        # KMC-style routing: Fibonacci hash of the window's minimizer,
-        # range-partitioned by multiply-shift (balanced for any D).
-        mini = window_minimizers(b, k, minimizer_m)
-        h32 = mini.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
-        owner = (((h32 >> 16) * jnp.uint32(D)) >> 16).astype(jnp.int32)
-        if owner.shape[0] < valid.shape[0]:
-            # Pallas-encoded planes carry a tile-padding tail past T-k+1;
-            # those entries are invalid (sentinels) and route to D.
-            owner = jnp.concatenate(
-                [
-                    owner,
-                    jnp.full(
-                        (valid.shape[0] - owner.shape[0],), D, jnp.int32
-                    ),
-                ]
-            )
+        if mins is not None:
+            # v2 route: the kernel emitted each window's minimizer in the
+            # same residue-permuted order as the words.
+            owner = _hash_owner(mins, D)
+        else:
+            # KMC-style routing: positional minimizer scan over the base
+            # stream (order-preserving v1/XLA encode only).
+            mini = window_minimizers(b, k, minimizer_m)
+            owner = _hash_owner(mini, D)
+            if owner.shape[0] < valid.shape[0]:
+                # Pallas-encoded planes carry a tile-padding tail past
+                # T-k+1; those entries are invalid (sentinels) -> D.
+                owner = jnp.concatenate(
+                    [
+                        owner,
+                        jnp.full(
+                            (valid.shape[0] - owner.shape[0],), D, jnp.int32
+                        ),
+                    ]
+                )
     else:
         owner_src = hi if use_hi else lo
         top = (owner_src >> shift).astype(jnp.uint32)
@@ -141,11 +156,11 @@ def _encode_shard_words(b, n_own, k, canonical, pallas,
     the single-chip path (ops/sparse._encode_words — Pallas fused encoder
     when pallas is set), so every chip of the mesh runs the fast encode.
 
-    positional=True pins the ORDER-PRESERVING v1 kernel: minimizer owner
-    routing pairs each word with a per-window minimizer computed from the
-    base stream at the window's position, so the v2 kernel's residue-
-    permuted order would misalign them (prefix routing derives owners
-    from the word VALUES and takes the faster v2 route).
+    This is the BASE-STREAM route (v1 kernel / XLA): positional=True
+    documents call sites whose owner routing reads the stream positionally
+    (minimizer mode). The v2 packed-word route lives in
+    _encode_shard_planes — it serves staged_planes=True exchanges, where
+    minimizer owners come from the kernel's own order-aligned plane.
 
     Returns (hi, lo, valid): hi in its native width (None for k <= 15,
     uint16 for 16 <= k <= 23, else uint32), lo uint32, both holding
@@ -163,14 +178,42 @@ def _encode_shard_words(b, n_own, k, canonical, pallas,
     return hi, lo, hi != sparse_ops.word_sentinel(hi.dtype)
 
 
+def _encode_shard_planes(w, iv, n_own, k, canonical, interpret,
+                         owner_mode, minimizer_m):
+    """One shard's v2 encode for the bucketed exchanges: HOST-STAGED u32
+    planes -> (hi, lo, valid, mins) via the packed SWAR kernel
+    (ops/encode_pallas.rolling_codes_split_packed_pallas, words_le route —
+    the same 2.5x-measured program as the single-chip/DP-sparse paths).
+    mins is the kernel's order-aligned minimizer plane in minimizer owner
+    mode (None in prefix mode, whose owners derive from word VALUES and
+    need no positional data). hi keeps its native width."""
+    from dna_kmeres_parallel_tpu.ops.encode_pallas import (
+        rolling_codes_split_packed_pallas,
+    )
+
+    mm = minimizer_m if owner_mode == "minimizer" else None
+    out = rolling_codes_split_packed_pallas(
+        w, iv, n_own, k, canonical, interpret=interpret, words_le=True,
+        minimizer_m=mm,
+    )
+    if mm is not None:
+        hi, lo, mins = out
+    else:
+        (hi, lo), mins = out, None
+    if hi is None:
+        return None, lo, lo != _SENTINEL, mins
+    return hi, lo, hi != sparse_ops.word_sentinel(hi.dtype), mins
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "canonical", "mesh", "axis", "owner_mode", "minimizer_m", "pallas"
+        "k", "canonical", "mesh", "axis", "owner_mode", "minimizer_m",
+        "pallas", "staged_planes",
     ),
 )
 def count_bucket_sharded(
-    bases: jax.Array,
+    bases,
     n_own_per_shard: jax.Array,
     k: int,
     canonical: bool,
@@ -179,11 +222,17 @@ def count_bucket_sharded(
     owner_mode: str = "prefix",
     minimizer_m: int = 7,
     pallas: str | None = None,
+    staged_planes: bool = False,
 ):
     """Bucket-sharded sparse count of a sharded base stream.
 
     bases: [D, T + k - 1] uint8 — one stream shard per device, each carrying
       its own k-1 halo (host-prepared; see models/pipeline.py feeder).
+      With staged_planes=True: a (words_le, inval_be) tuple of [D, Tw]
+      uint32 planes instead (stage_shard_planes) — the v2 packed-kernel
+      route, where each chip runs the SWAR encoder alone (owners come
+      from word values in prefix mode and from the kernel's order-aligned
+      minimizer plane in minimizer mode).
     n_own_per_shard: [D] int32 — windows owned by each shard.
     owner_mode: 'prefix' routes by the code's top bits (per-device tables
       concatenate globally sorted); 'minimizer' routes by a multiplicative
@@ -199,7 +248,10 @@ def count_bucket_sharded(
         (results invalid; re-run with a larger batch split).
     """
     D = mesh.shape[axis]
-    n_windows = bases.shape[1] - k + 1
+    if staged_planes:
+        n_windows = bases[0].shape[1] * 16 - k + 1
+    else:
+        n_windows = bases.shape[1] - k + 1
     # Capacity is in DISTINCT codes per owner (local RLE collapses duplicates
     # before routing, so skewed data like homopolymers can't overflow on
     # multiplicity).
@@ -232,12 +284,21 @@ def count_bucket_sharded(
         return run_starts, totals
 
     def shard_fn(b, n_own):
-        b = b.reshape(-1)
         n_own = n_own.reshape(())
-        hi_n, lo, valid = _encode_shard_words(
-            b, n_own, k, canonical, pallas,
-            positional=(owner_mode == "minimizer"),
-        )
+        if staged_planes:
+            w, iv = b[0].reshape(-1), b[1].reshape(-1)
+            hi_n, lo, valid, mins = _encode_shard_planes(
+                w, iv, n_own, k, canonical, (pallas == "interpret"),
+                owner_mode, minimizer_m,
+            )
+            b = None
+        else:
+            b = b.reshape(-1)
+            hi_n, lo, valid = _encode_shard_words(
+                b, n_own, k, canonical, pallas,
+                positional=(owner_mode == "minimizer"),
+            )
+            mins = None
         # This path's sorts and searchsorted edges work in u32 hi space;
         # widen the native-width plane (sentinel-preserving).
         if hi_n is None:
@@ -256,7 +317,7 @@ def count_bucket_sharded(
         prefix_fast = owner_mode != "minimizer" and use_hi
 
         owner = _route_owner(b, hi, lo, valid, k, D, owner_mode,
-                             minimizer_m, shift, t_bits, use_hi)
+                             minimizer_m, shift, t_bits, use_hi, mins=mins)
 
         # Local pre-aggregation: group by (owner, code) and collapse
         # duplicates, so only DISTINCT (code, count) pairs travel over ICI.
@@ -344,10 +405,13 @@ def count_bucket_sharded(
             ov[None],
         )
 
+    in_spec0 = (
+        (P(axis, None), P(axis, None)) if staged_planes else P(axis, None)
+    )
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis)),
+        in_specs=(in_spec0, P(axis)),
         out_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis, None), P(axis)),
         check_vma=False,
     )
@@ -358,11 +422,12 @@ def count_bucket_sharded(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "canonical", "mesh", "axis", "owner_mode", "minimizer_m", "pallas"
+        "k", "canonical", "mesh", "axis", "owner_mode", "minimizer_m",
+        "pallas", "staged_planes",
     ),
 )
 def exchange_words_bucket_sharded(
-    bases: jax.Array,
+    bases,
     n_own_per_shard: jax.Array,
     k: int,
     canonical: bool,
@@ -371,6 +436,7 @@ def exchange_words_bucket_sharded(
     owner_mode: str = "prefix",
     minimizer_m: int = 7,
     pallas: str | None = None,
+    staged_planes: bool = False,
 ):
     """RAW-exchange variant of count_bucket_sharded for the no-device-sort
     era: each chip sorts its windows by OWNER ONLY (one sort key + the
@@ -392,26 +458,43 @@ def exchange_words_bucket_sharded(
     Returns (words, overflow): words = per-k word-plane tuple, each
     [D, D * cap] with all-ones sentinels padding unused capacity; device d
     holds only codes owned by d.
+
+    staged_planes=True: bases is the (words_le, inval_be) [D, Tw] plane
+    tuple (stage_shard_planes) and each shard runs the v2 packed SWAR
+    kernel alone — prefix owners from word values, minimizer owners from
+    the kernel's order-aligned minimizer plane.
     """
     D = mesh.shape[axis]
-    n_windows = bases.shape[1] - k + 1
+    if staged_planes:
+        n_windows = bases[0].shape[1] * 16 - k + 1
+    else:
+        n_windows = bases.shape[1] - k + 1
     cap = _capacity(n_windows, D, canonical)
     shift, t_bits, use_hi = _owner_bits(k, D)
     single = k <= sparse_ops.MAX_SINGLE_WORD_K
     narrow16 = (not single) and k <= sparse_ops.MAX_U16_HI_K
 
     def shard_fn(b, n_own):
-        b = b.reshape(-1)
         n_own = n_own.reshape(())
         # Native-width planes (hi u16 for 16 <= k <= 23 — already narrowed
         # by _encode_words, halving both the sort payload and ICI volume).
-        hi, lo, valid = _encode_shard_words(
-            b, n_own, k, canonical, pallas,
-            positional=(owner_mode == "minimizer"),
-        )
+        if staged_planes:
+            w, iv = b[0].reshape(-1), b[1].reshape(-1)
+            hi, lo, valid, mins = _encode_shard_planes(
+                w, iv, n_own, k, canonical, (pallas == "interpret"),
+                owner_mode, minimizer_m,
+            )
+            b = None
+        else:
+            b = b.reshape(-1)
+            hi, lo, valid = _encode_shard_words(
+                b, n_own, k, canonical, pallas,
+                positional=(owner_mode == "minimizer"),
+            )
+            mins = None
 
         owner = _route_owner(b, hi, lo, valid, k, D, owner_mode,
-                             minimizer_m, shift, t_bits, use_hi)
+                             minimizer_m, shift, t_bits, use_hi, mins=mins)
 
         # ONE owner-key sort; words travel as payload operands (invalid
         # windows route to pseudo-owner D past every real segment). For
@@ -449,10 +532,13 @@ def exchange_words_bucket_sharded(
         recv_hi = jax.lax.all_to_all(send_hi, axis, 0, 0, tiled=True)
         return recv_hi.reshape(-1)[None], recv_lo.reshape(-1)[None], ov[None]
 
+    in_spec0 = (
+        (P(axis, None), P(axis, None)) if staged_planes else P(axis, None)
+    )
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis)),
+        in_specs=(in_spec0, P(axis)),
         out_specs=(P(axis, None), P(axis, None), P(axis)),
         check_vma=False,
     )
@@ -465,6 +551,21 @@ def exchange_words_bucket_sharded(
     else:
         words = (hi, lo)
     return words, jnp.any(ov > 0)
+
+
+def _stage_exchange_inputs(shards, pallas):
+    """The exchanges' device-input staging: the v2 plane-staged route
+    (host-built u32 planes -> packed SWAR kernel per shard) when the v2
+    encoder is active, else the raw base shards (v1/XLA encode). Returns
+    (inputs, staged_planes)."""
+    if pallas is not None and sparse_ops._enc_v2_active():
+        from dna_kmeres_parallel_tpu.parallel.sharded_sparse import (
+            stage_shard_planes,
+        )
+
+        w_le, iv_be = stage_shard_planes(shards)
+        return (jnp.asarray(w_le), jnp.asarray(iv_be)), True
+    return jnp.asarray(shards), False
 
 
 def count_bucket_sharded_raw(
@@ -482,7 +583,8 @@ def count_bucket_sharded_raw(
     exchange unsorted words, radix-compact each device's plane on host,
     merge. Raises on send-capacity overflow (see
     exchange_words_bucket_sharded for the skew trade-off).
-    pallas: 'auto' resolves per backend (fused Pallas encoder on TPU)."""
+    pallas: 'auto' resolves per backend (fused Pallas encoder on TPU;
+    the v2 plane-staged route when active — both owner modes)."""
     from dna_kmeres_parallel_tpu.models.sparse_engine import (
         compact_unsorted,
         fetch_words,
@@ -494,8 +596,9 @@ def count_bucket_sharded_raw(
 
         pallas = runtime.pallas_mode()
     shards, n_own = shard_stream_with_halo(flat, k, mesh, axis, total_own)
+    inputs, staged = _stage_exchange_inputs(shards, pallas)
     words, overflow = exchange_words_bucket_sharded(
-        jnp.asarray(shards),
+        inputs,
         jnp.asarray(n_own),
         k,
         canonical,
@@ -504,6 +607,7 @@ def count_bucket_sharded_raw(
         owner_mode,
         minimizer_m,
         pallas=pallas,
+        staged_planes=staged,
     )
     if bool(overflow):
         raise OverflowError(
@@ -566,8 +670,9 @@ def count_bucket_auto(
     # any owner's share by its DISTINCT codes, which the skewed inputs that
     # overflow the raw path (few distinct codes, many copies) cannot exceed.
     shards, n_own = shard_stream_with_halo(flat, k, mesh, axis, total_own)
+    inputs, staged = _stage_exchange_inputs(shards, pallas)
     hi, lo, counts, starts, overflow = count_bucket_sharded(
-        jnp.asarray(shards),
+        inputs,
         jnp.asarray(n_own),
         k,
         canonical,
@@ -576,6 +681,7 @@ def count_bucket_auto(
         owner_mode,
         minimizer_m,
         pallas=pallas,
+        staged_planes=staged,
     )
     if bool(overflow):
         raise OverflowError(

@@ -428,19 +428,48 @@ def count_file_bucketed_multihost_resumable(
             piece = seg[s0 : s0 + span + halo]
             local[r, : piece.shape[0]] = piece
             n_own_local[r] = int(np.clip(batch - s0, 0, span))
-        if pcount == 1:
-            shards_g = jax.device_put(local, sharding2)
-            n_own_g = jax.device_put(n_own_local, sharding1)
+        from dna_kmeres_parallel_tpu.ops import sparse as sparse_ops
+
+        use_planes = pallas is not None and sparse_ops._enc_v2_active()
+        if use_planes:
+            # v2 plane-staged route: each process stages ITS devices'
+            # plane rows; Tw is process-uniform (span/halo are global).
+            from dna_kmeres_parallel_tpu.parallel.sharded_sparse import (
+                stage_shard_planes,
+            )
+
+            w_le, iv_be = stage_shard_planes(local)
+            if pcount == 1:
+                inputs = (
+                    jax.device_put(np.ascontiguousarray(w_le), sharding2),
+                    jax.device_put(np.ascontiguousarray(iv_be), sharding2),
+                )
+            else:
+                Tw = w_le.shape[1]
+                inputs = (
+                    jax.make_array_from_process_local_data(
+                        sharding2, np.ascontiguousarray(w_le), (D, Tw)
+                    ),
+                    jax.make_array_from_process_local_data(
+                        sharding2, np.ascontiguousarray(iv_be), (D, Tw)
+                    ),
+                )
+        elif pcount == 1:
+            inputs = jax.device_put(local, sharding2)
         else:
-            shards_g = jax.make_array_from_process_local_data(
+            inputs = jax.make_array_from_process_local_data(
                 sharding2, local, (D, span + halo)
             )
+        if pcount == 1:
+            n_own_g = jax.device_put(n_own_local, sharding1)
+        else:
             n_own_g = jax.make_array_from_process_local_data(
                 sharding1, n_own_local, (D,)
             )
         hi, lo_w, cnt, starts, overflow = bucketed.count_bucket_sharded(
-            shards_g, n_own_g, k, config.canonical, mesh, axis,
+            inputs, n_own_g, k, config.canonical, mesh, axis,
             owner_mode=owner_mode, pallas=pallas,
+            staged_planes=use_planes,
         )
         if bool(overflow):
             raise RuntimeError(

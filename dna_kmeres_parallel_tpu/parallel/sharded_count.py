@@ -150,19 +150,27 @@ def count_sharded(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "axis", "row_block")
+    jax.jit, static_argnames=("mesh", "axis", "row_block", "pallas")
 )
 def min_sum_matrix_sharded(
     counts: jax.Array,
     mesh: jax.sharding.Mesh,
     axis: str = DATA_AXIS,
     row_block: int = 128,
+    pallas: str | None = None,
 ) -> jax.Array:
     """Row-sharded (min,+) matrix: device d computes rows of its block
     against the all-gathered counts matrix. [S, bins] -> [S, S] int32.
 
     S must be divisible by the mesh axis; pad rows upstream.
+    pallas='compiled'/'interpret' runs the same tiled Pallas (min,+)
+    kernel as the single-chip engine on every shard (bins must be within
+    distance_pallas._MAX_BINS — callers gate like the engine does);
+    None keeps the portable jnp reduction. Integer results are identical
+    either way.
     """
+    from dna_kmeres_parallel_tpu.ops import distance_pallas
+
     S = counts.shape[0]
     n_dev = mesh.shape[axis]
     if S % n_dev:
@@ -170,6 +178,10 @@ def min_sum_matrix_sharded(
 
     def shard_fn(rows_local):
         full = jax.lax.all_gather(rows_local, axis, tiled=True)  # [S, bins]
+        if pallas is not None:
+            return distance_pallas.min_sum_matrix_pallas(
+                rows_local, full, interpret=(pallas == "interpret")
+            )
         return dist_ops.min_sum_matrix(
             rows_local, row_block=min(row_block, rows_local.shape[0]), counts_other=full
         )
@@ -179,6 +191,58 @@ def min_sum_matrix_sharded(
         check_vma=False,
     )
     return fn(counts)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "axis", "pallas", "row_block")
+)
+def min_sum_panel_sharded(
+    panel: jax.Array,
+    other: jax.Array,
+    mesh: jax.sharding.Mesh,
+    axis: str = DATA_AXIS,
+    pallas: str | None = None,
+    row_block: int = 128,
+) -> jax.Array:
+    """PARTNER-sharded (min,+) panel: [Pr, bins] x [S2, bins] -> [Pr, S2].
+
+    The multi-chip production distance program (r4): the row panel is
+    replicated, the partner matrix is row-sharded over the mesh axis, and
+    device d computes panel x its own S2/D partner rows with the SAME
+    kernel as the single-chip path (Pallas when routed, jnp otherwise) —
+    no collectives at all, and the output concatenates along columns.
+    Column sharding keeps the streamed path's triangle trim (callers pass
+    only partner rows >= the panel start), so devices never redo the
+    rectangle the single-chip stream already avoids, and the work per
+    device is balanced by construction. S2 must divide by the mesh axis;
+    pad with zero-count rows upstream (their min-sums are 0, sliced off
+    by the caller).
+    """
+    from dna_kmeres_parallel_tpu.ops import distance_pallas
+
+    n_dev = mesh.shape[axis]
+    if other.shape[0] % n_dev:
+        raise ValueError(
+            f"S2={other.shape[0]} not divisible by mesh axis {n_dev}"
+        )
+
+    def shard_fn(p, o):
+        if pallas is not None:
+            return distance_pallas.min_sum_matrix_pallas(
+                p, o, interpret=(pallas == "interpret")
+            )
+        return dist_ops.min_sum_matrix(
+            p, row_block=min(row_block, p.shape[0]), counts_other=o
+        )
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=P(None, axis),
+        check_vma=False,
+    )
+    return fn(panel, other)
 
 
 def device_put_sharded_stream(

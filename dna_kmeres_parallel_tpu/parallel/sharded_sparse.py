@@ -196,6 +196,49 @@ def encode_words_planes_sharded(
     return fn(words_le, inval_be, n_own_per_shard)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "canonical", "mesh", "axis", "row_len", "interpret"),
+)
+def sort_words_rows_planes_sharded(
+    words_le: jax.Array,
+    inval_be: jax.Array,
+    n_own_per_shard: jax.Array,
+    k: int,
+    canonical: bool,
+    mesh: jax.sharding.Mesh,
+    axis: str = DATA_AXIS,
+    row_len: int = 2048,
+    interpret: bool = False,
+):
+    """The v2 DEVICE-SORT DP program: host-staged plane shards [D, Tw] ->
+    per-device row-sorted word planes [D, rows, row_len]. Each chip runs
+    the packed SWAR kernel (the 2.5x-measured v2 encode) followed by the
+    independent row sorts; rows sort segments of the residue-permuted
+    stream, which the host row compactor merges as bags — identical
+    tables to the v1 route at any device count."""
+
+    def shard_fn(w, iv, n_own):
+        words = sparse_ops.encode_words_planes(
+            w.reshape(-1), iv.reshape(-1), n_own.reshape(()), k, canonical,
+            interpret=interpret,
+        )
+        out = sparse_ops._sort_words_as_rows(
+            words, "interpret" if interpret else "compiled", row_len
+        )
+        return tuple(o[None] for o in out)
+
+    n_words = 1 if k <= sparse_ops.MAX_SINGLE_WORD_K else 2
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis)),
+        out_specs=tuple(P(axis, None, None) for _ in range(n_words)),
+        check_vma=False,
+    )
+    return fn(words_le, inval_be, n_own_per_shard)
+
+
 def count_sparse_sharded(
     flat: np.ndarray,
     k: int,
@@ -226,7 +269,21 @@ def count_sparse_sharded(
 
         pallas = runtime.pallas_mode()
     shards, n_own = shard_stream_with_halo(flat, k, mesh, axis, total_own)
-    if device_sort:
+    if device_sort and pallas is not None and sparse_ops._enc_v2_active():
+        # v2 plane-staged route + device row sorts (non-native hosts).
+        w_le, iv_be = stage_shard_planes(shards)
+        words = sort_words_rows_planes_sharded(
+            jnp.asarray(w_le),
+            jnp.asarray(iv_be),
+            jnp.asarray(n_own),
+            k,
+            canonical,
+            mesh,
+            axis,
+            row_len,
+            interpret=(pallas == "interpret"),
+        )
+    elif device_sort:
         words = sort_words_rows_sharded(
             jnp.asarray(shards),
             jnp.asarray(n_own),

@@ -348,3 +348,81 @@ def test_unpack_stream_roundtrip(make_dna):
     got = np.asarray(encode_ops.unpack_stream(jnp.asarray(data), jnp.asarray(mask)))
     want = np.where(bases < 4, bases, 0xFF)
     assert np.array_equal(got[:n], want)
+
+
+def test_distance_sequences_mesh_matches_single(make_dna):
+    # Multi-chip dense distances (r4): partner-sharded panels over the
+    # virtual 8-device mesh — packed distances bit-identical to the
+    # single-chip path.
+    seqs = [make_dna(70 + 9 * i, invalid_frac=0.02) for i in range(13)]
+    single = KmerEngine(KmerConfig(k=4)).distance_sequences(seqs).packed
+    meshed = (
+        KmerEngine(KmerConfig(k=4, mesh_shape=(8,)))
+        .distance_sequences(seqs)
+        .packed
+    )
+    assert np.array_equal(single, meshed)
+
+
+def test_distance_stream_to_csv_mesh_byte_identical(tmp_path, make_dna):
+    seqs = [make_dna(80 + 7 * i, invalid_frac=0.02) for i in range(23)]
+    a, b = tmp_path / "a.csv", tmp_path / "b.csv"
+    KmerEngine(KmerConfig(k=3)).distance_stream_to_csv(seqs, a, panel_rows=5)
+    KmerEngine(KmerConfig(k=3, mesh_shape=(8,))).distance_stream_to_csv(
+        seqs, b, panel_rows=5
+    )
+    assert a.read_bytes() == b.read_bytes()
+
+
+def test_distance_stream_checkpoint_resume(tmp_path, make_dna):
+    # Interrupt after 2 panels, corrupt the tail past the last durable
+    # checkpoint (simulating a mid-write kill), resume: the final CSV is
+    # byte-identical to a single-shot run (SURVEY.md §5 mandate for the
+    # framework's longest job).
+    seqs = [make_dna(80 + 7 * i, invalid_frac=0.02) for i in range(23)]
+    engine = KmerEngine(KmerConfig(k=3))
+    ref = tmp_path / "ref.csv"
+    engine.distance_stream_to_csv(seqs, ref, panel_rows=5)
+    out = tmp_path / "out.csv"
+    ck = tmp_path / "d.ckpt.json"
+    r1 = engine.distance_stream_to_csv(
+        seqs, out, panel_rows=5, checkpoint_path=ck, max_panels=2
+    )
+    assert not r1["completed"] and ck.exists()
+    with open(out, "ab") as f:  # partial panel written after the ckpt
+        f.write(b"garbage-from-interrupted-panel")
+    r2 = engine.distance_stream_to_csv(
+        seqs, out, panel_rows=5, checkpoint_path=ck
+    )
+    assert r2["completed"] and r2["resumed"]
+    assert out.read_bytes() == ref.read_bytes()
+    assert r2["n_pairs"] == 23 * 22 // 2
+    # A mismatched run shape refuses the checkpoint instead of corrupting.
+    with pytest.raises(ValueError, match="checkpoint does not match"):
+        engine.distance_stream_to_csv(
+            seqs, out, panel_rows=7, checkpoint_path=ck
+        )
+
+
+def test_cli_distance_mesh_and_checkpoint(tmp_path, make_dna, capsys):
+    import json as json_mod
+
+    from dna_kmeres_parallel_tpu import cli
+
+    path = tmp_path / "m.fasta"
+    seqs = [make_dna(60 + 5 * i) for i in range(9)]
+    fasta.write_fasta(path, [(f">s{i}", s) for i, s in enumerate(seqs)])
+    a, b = tmp_path / "a.csv", tmp_path / "b.csv"
+    assert cli.main(["distance", "--k", "3", str(path), "-o", str(a)]) == 0
+    capsys.readouterr()
+    rc = cli.main(
+        [
+            "distance", "--k", "3", "--mesh", "8", str(path),
+            "-o", str(b), "--stream-panel", "4",
+            "--checkpoint", str(tmp_path / "d.ckpt"),
+        ]
+    )
+    assert rc == 0
+    report = json_mod.loads(capsys.readouterr().out)
+    assert report["streamed"] and report["completed"]
+    assert a.read_bytes() == b.read_bytes()

@@ -205,3 +205,51 @@ def test_sharded_counters_empty_stream(make_dna):
     assert c.size == 0
     c, n = bucketed.count_bucket_sharded_raw(flat, 21, False, mesh)
     assert c.size == 0
+
+
+def test_min_sum_panel_sharded_matches_single(make_dna, mesh8):
+    # The partner-sharded panel program (r4 multi-chip distances): same
+    # integer sums as the single-device reduction, jnp and Pallas routes.
+    k = 3
+    panel = oracle.counts_matrix(
+        [make_dna(50 + 3 * i) for i in range(6)], k
+    ).astype(np.int32)
+    other = oracle.counts_matrix(
+        [make_dna(40 + 5 * i) for i in range(24)], k
+    ).astype(np.int32)
+    want = np.asarray(
+        dist_ops.min_sum_matrix(
+            jnp.asarray(panel), counts_other=jnp.asarray(other)
+        )
+    )
+    got = np.asarray(
+        sc.min_sum_panel_sharded(
+            jnp.asarray(panel), jnp.asarray(other), mesh8
+        )
+    )
+    assert np.array_equal(got, want)
+    got_pl = np.asarray(
+        sc.min_sum_panel_sharded(
+            jnp.asarray(panel), jnp.asarray(other), mesh8, pallas="interpret"
+        )
+    )
+    assert np.array_equal(got_pl, want)
+
+
+def test_min_sum_matrix_sharded_pallas(make_dna, mesh8):
+    # The row-sharded library entry with the Pallas kernel per shard.
+    k = 3
+    S = 16
+    counts = oracle.counts_matrix(
+        [make_dna(60 + 5 * i) for i in range(S)], k
+    ).astype(np.int32)
+    counts_dev = jax.device_put(
+        jnp.asarray(counts), NamedSharding(mesh8, P(DATA_AXIS, None))
+    )
+    got = np.asarray(
+        sc.min_sum_matrix_sharded(counts_dev, mesh8, pallas="interpret")
+    )
+    want = np.asarray(
+        dist_ops.min_sum_matrix(jnp.asarray(counts), row_block=8)
+    )
+    assert np.array_equal(got, want)

@@ -162,3 +162,53 @@ def test_dp_sparse_plane_route_off_matches_on(make_dna, mesh8, monkeypatch):
             flat, 17, False, mesh8, device_sort=False, pallas="interpret"
         )
     assert np.array_equal(on[0], off[0]) and np.array_equal(on[1], off[1])
+
+
+@pytest.mark.parametrize("k", [13, 21, 31])
+def test_bucketed_raw_minimizer_planes_matches_oracle(make_dna, k):
+    # Minimizer owner routing on the v2 plane-staged route: owners come
+    # from the kernel's order-aligned minimizer plane (r4), not the
+    # positional XLA scan — exact vs oracle across all key-word bands.
+    seqs = [make_dna(150 + 13 * i, invalid_frac=0.02) for i in range(4)]
+    flat = _flat_stream(seqs)
+    mesh = make_mesh(8)
+    codes, cnts = bucketed.count_bucket_sharded_raw(
+        flat, k, False, mesh, owner_mode="minimizer", pallas="interpret"
+    )
+    want = count_table_any_k(seqs, k, False)
+    got = {codec.code_to_kmer(int(c), k): int(n) for c, n in zip(codes, cnts)}
+    assert got == want
+
+
+@pytest.mark.parametrize("owner_mode", ["prefix", "minimizer"])
+def test_bucketed_agg_planes_driver_matches_oracle(make_dna, owner_mode):
+    # The aggregated exchange through the plane-staging driver
+    # (count_bucket_auto exchange='agg'): the v2 kernel runs on every
+    # shard, canonical folding included.
+    k = 21
+    seqs = [make_dna(160 + 11 * i, invalid_frac=0.02) for i in range(4)]
+    flat = _flat_stream(seqs)
+    mesh = make_mesh(8)
+    codes, cnts = bucketed.count_bucket_auto(
+        flat, k, True, mesh, owner_mode=owner_mode, exchange="agg",
+        pallas="interpret",
+    )
+    want = count_table_any_k(seqs, k, True)
+    got = {codec.code_to_kmer(int(c), k): int(n) for c, n in zip(codes, cnts)}
+    assert got == want
+
+
+def test_bucketed_minimizer_planes_bitidentical_to_positional(make_dna):
+    # Same table whether owners come from the in-kernel minimizer plane
+    # (v2 planes) or the positional scan (XLA encode) — the owner function
+    # is shared, so routing is identical by construction.
+    flat = codec.encode_bases(make_dna(1400, invalid_frac=0.02))
+    mesh = make_mesh(8)
+    a = bucketed.count_bucket_sharded_raw(
+        flat, 21, False, mesh, owner_mode="minimizer", pallas=None
+    )
+    b = bucketed.count_bucket_sharded_raw(
+        flat, 21, False, mesh, owner_mode="minimizer", pallas="interpret"
+    )
+    assert np.array_equal(a[0], b[0])
+    assert np.array_equal(a[1], b[1])
