@@ -33,6 +33,10 @@ def main() -> int:
 
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from dna_kmeres_parallel_tpu.ops.runtime import apply_platform_env
+
+    apply_platform_env()  # no-op for the driver (env unset); lets CPU
+    # smoke runs honor JAX_PLATFORMS despite the sitecustomize override
 
     from dna_kmeres_parallel_tpu.models.benchmarks import (
         run_count_bench,
@@ -76,6 +80,99 @@ def main() -> int:
             )
         )
         return 0
+
+    # BENCH_METRIC=realistic: end-to-end streamed count over a
+    # sequencing-shaped input (reads at BENCH_COVERAGE-x coverage of one
+    # synthetic genome — high k-mer duplication, the distribution the
+    # adversarial all-distinct default cannot exercise) through the
+    # production StreamingCounter with compact routing BENCH_COMPACT
+    # (default 'auto': the EWMA race picks the route). Records
+    # END-TO-END Gbase/s (host + D2H + device), not device-only.
+    if os.environ.get("BENCH_METRIC") == "realistic":
+        import time
+
+        import numpy as np
+
+        from dna_kmeres_parallel_tpu.models.pipeline import StreamingCounter
+        from dna_kmeres_parallel_tpu.utils import datagen
+        from dna_kmeres_parallel_tpu.utils.config import KmerConfig
+
+        k = int(os.environ.get("BENCH_K", "21"))
+        total = int(os.environ.get("BENCH_BASES", str(64 << 20)))
+        coverage = float(os.environ.get("BENCH_COVERAGE", "30"))
+        compact = os.environ.get("BENCH_COMPACT", "auto")
+        path = os.environ.get(
+            "BENCH_REALISTIC_PATH", f"/tmp/bench_realistic_{total}.fasta"
+        )
+        if not (
+            os.path.exists(path) and os.path.getsize(path) >= total
+        ):
+            datagen.realistic_fasta(
+                path,
+                genome_len=max(int(total / coverage), 10_000),
+                coverage=coverage,
+                read_len=150,
+                seed=11,
+            )
+        sc = StreamingCounter(
+            KmerConfig(
+                k=k,
+                compact=compact,
+                batch_bases=int(os.environ.get("BENCH_BATCH", str(16 << 20))),
+            )
+        )
+        t0 = time.perf_counter()
+        res = sc.run(path)
+        wall = time.perf_counter() - t0
+        rep = sc.metrics.report()
+        # Exactness spot-check: total windows must equal the per-read sum
+        # of valid windows, which the native host engine recomputes
+        # independently from the same file.
+        from dna_kmeres_parallel_tpu import native
+        from dna_kmeres_parallel_tpu.utils import codec as codec_mod
+
+        exact = None
+        if native.available():
+            parsed = native.parse_fasta_native(path)
+            _, host_counts = native.count_sparse_host_native(
+                parsed.stream, k, False
+            )
+            exact = int(host_counts.sum()) == int(res.counts.sum()) and (
+                int(np.asarray(res.codes).shape[0]) == host_counts.shape[0]
+            )
+        value = round(res.total_bases / wall / 1e9, 4)
+        print(
+            json.dumps(
+                {
+                    "bench": "realistic",
+                    "k": k,
+                    "coverage": coverage,
+                    "compact": compact,
+                    "total_bases": int(res.total_bases),
+                    "distinct": int(res.codes.shape[0]),
+                    "dup_factor": round(
+                        float(res.counts.sum())
+                        / max(int(res.codes.shape[0]), 1),
+                        2,
+                    ),
+                    "wall_s": round(wall, 2),
+                    "exact_vs_host_engine": exact,
+                    "counters": rep["counters"],
+                }
+            ),
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": f"realistic_e2e_k{k}",
+                    "value": value,
+                    "unit": "Gbase/s/chip",
+                    "vs_baseline": round(value / 1.0, 4),
+                }
+            )
+        )
+        return 0 if exact is not False else 1
 
     # Programs for the default shapes are pre-warmed into the persistent
     # compile cache so the bench runs even when the remote compile service

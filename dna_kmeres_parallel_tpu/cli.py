@@ -91,7 +91,7 @@ def _add_common(p: argparse.ArgumentParser):
     )
     p.add_argument(
         "--compact",
-        choices=("auto", "device", "host", "device-rle"),
+        choices=("auto", "device", "host", "device-rle", "device-super"),
         default="auto",
         help="sparse streamed path: build batch tables from device-shipped "
         "words ('device'), from the host-resident stream with the native "
@@ -99,7 +99,9 @@ def _add_common(p: argparse.ArgumentParser):
         "the first batches and finish with the winner ('auto'), or have "
         "the device sort+RLE-collapse runs and ship only distinct "
         "(code, count) pairs — for high-coverage/duplicated inputs "
-        "('device-rle')",
+        "('device-rle') — or ship packed super-k-mer records, "
+        "~1.5-2 B/window instead of 6-8, for degraded links "
+        "('device-super')",
     )
 
 

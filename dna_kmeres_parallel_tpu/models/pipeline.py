@@ -408,12 +408,12 @@ class StreamingCounter:
                     "dna_kmeres_parallel_tpu/native); it is unavailable"
                 )
             return True
-        if cfg.compact == "device-rle":
+        if cfg.compact in ("device-rle", "device-super"):
             if mesh is not None:
                 raise ValueError(
-                    "compact='device-rle' is a single-chip D2H mode; mesh "
-                    "streams route distinct codes over ICI instead "
-                    "(parallel/bucketed.py aggregated exchange)"
+                    f"compact={cfg.compact!r} is a single-chip D2H mode; "
+                    "mesh streams route compressed records/codes over ICI "
+                    "instead (parallel/bucketed.py exchanges)"
                 )
             return False
         if cfg.compact == "device" or mesh is not None or not native.available():
@@ -463,6 +463,11 @@ class StreamingCounter:
         mesh = self._mesh()
         host_mode = self._resolve_compact(mesh)
         rle = cfg.compact == "device-rle"
+        # Super-k-mer D2H compaction (r4): ship minimizer-run records
+        # (~1.5-2 B/window) instead of word planes (6-8) — the degraded-
+        # link mode; the host expands records and counts with the fused
+        # native engine. Single-chip, any k <= 31.
+        sk = cfg.compact == "device-super"
         if (
             cfg.compact == "auto"
             and host_mode is None
@@ -507,6 +512,7 @@ class StreamingCounter:
         # v2 kernel's residue permutation is invisible downstream.
         use_planes = (
             not rle
+            and not sk
             and cfg.use_pallas
             and runtime.pallas_mode() is not None
             and sparse_ops._enc_v2_active()
@@ -531,8 +537,9 @@ class StreamingCounter:
                 return None
             start, end, T, overlap = bounds
             padded = pad_bounds(bounds)
-            if rle:
-                # sort_words_rle consumes the raw base stream.
+            if rle or sk:
+                # sort_words_rle / superkmer_records_device consume the
+                # raw base stream.
                 return stage_batch(padded, False)
             if mesh is not None:
                 # Multi-chip DP-sparse: host-side halo shards (fixed shapes
@@ -625,6 +632,16 @@ class StreamingCounter:
                     )
 
                     tables.append(table_from_rle(*words))
+                elif sk:
+                    from dna_kmeres_parallel_tpu.parallel.bucketed import (
+                        table_from_superkmers,
+                    )
+
+                    tables.append(
+                        table_from_superkmers(
+                            *words, cfg.k, 7, cfg.canonical
+                        )
+                    )
                 elif mesh is not None:
                     # [D, ...] planes: one table per device's shard.
                     planes = fetch_words(words)
@@ -670,6 +687,7 @@ class StreamingCounter:
                 adaptive
                 and host_mode is not None
                 and not rle
+                and not sk
                 and _COMPACT_RECHECK > 0  # 0 = never re-probe
                 and done_batches % _COMPACT_RECHECK == 0
             )
@@ -733,6 +751,18 @@ class StreamingCounter:
                         lambda: sparse_ops.sort_words_rle(
                             staged, n_own, cfg.k, cfg.canonical,
                             pallas=pallas,
+                        )
+                    )
+                elif sk:
+                    # Super-k-mer records: ~1.5-2 B/window of D2H (drain ->
+                    # table_from_superkmers; host re-encodes + counts).
+                    from dna_kmeres_parallel_tpu.parallel.bucketed import (
+                        superkmer_records_device,
+                    )
+
+                    words = self._with_retry(
+                        lambda: superkmer_records_device(
+                            staged, n_own, cfg.k
                         )
                     )
                 elif mesh is not None:

@@ -987,6 +987,13 @@ T* lsd_radix(T* buf, T* scr, int64_t n, int bits) {
   T* src = buf;
   T* dst = scr;
   int pass = 0;
+  // NOTE (r4, negative result — docs/BENCHMARKS.md "LSD write-combining"):
+  // staging one cache line per digit slot (4096 x 64 B, the MSD
+  // scatter's WcBuf trick) measured 25% SLOWER here even in the
+  // L2-spilling regime it targets (median-of-5 on a skewed 16M-element
+  // single-bucket input: 675 ms staged vs 542 ms plain) — the per-element
+  // staging copy across a 256 KB slot array costs more than the
+  // read-for-ownership it saves. The plain scatter below stands.
   for (int shift = 0; shift < bits; shift += digit, pass++) {
     const int d = std::min(digit, bits - shift);
     const T mask = (T(1) << d) - 1;

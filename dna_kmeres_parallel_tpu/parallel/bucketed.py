@@ -144,7 +144,9 @@ def _route_owner(b, hi, lo, valid, k, D, owner_mode, minimizer_m,
                     ]
                 )
     else:
-        owner_src = hi if use_hi else lo
+        # hi is None in the single-word band; there use_hi only arises at
+        # D=1 (where every owner is 0 regardless of the source word).
+        owner_src = hi if (use_hi and hi is not None) else lo
         top = (owner_src >> shift).astype(jnp.uint32)
         owner = ((top * jnp.uint32(D)) >> t_bits).astype(jnp.int32)
     return jnp.where(valid, owner, jnp.int32(D))
@@ -496,41 +498,77 @@ def exchange_words_bucket_sharded(
         owner = _route_owner(b, hi, lo, valid, k, D, owner_mode,
                              minimizer_m, shift, t_bits, use_hi, mins=mins)
 
-        # ONE owner-key sort; words travel as payload operands (invalid
-        # windows route to pseudo-owner D past every real segment). For
-        # single-word k the hi plane is absent entirely — dropped from the
-        # sort (each extra 32-bit operand costs ~28%) and the exchange.
-        if single:
-            owner_s, lo_s = jax.lax.sort((owner, lo), num_keys=1)
-            hi_s = lo_s  # placeholder; never shipped nor read
+        payloads = (lo,) if single else (hi, lo)
+        sents = (_SENTINEL,) if single else (
+            hi.dtype.type(0xFFFF if narrow16 else 0xFFFFFFFF), _SENTINEL
+        )
+        # The sort below is THE cost of this device program at single-chip
+        # shard sizes (measured r4: ~100 ms of a 108 ms program at 16M
+        # windows; the v2 encode is <1%), so its operand count matters
+        # most (~28% per extra 32-bit operand). A row-sorted grouping with
+        # gather-assembled send buffers measured 20x SLOWER (XLA gather on
+        # TPU — same pathology as scatter-add; docs/BENCHMARKS.md r4).
+        #
+        # PREFIX-FAST (r4): in prefix mode the owner is a multiply-shift
+        # of the routing word's top bits — MONOTONE in that word — so the
+        # owner need not be a sort operand at all: sort by the routing
+        # word itself and find segments by searchsorted at the owners'
+        # code edges (the same trick the aggregated path uses). Valid
+        # routing words sort strictly below their all-ones sentinel
+        # (hi < 2^(2k-32) when use_hi; lo < 2^30 for k <= 15), so the
+        # sentinel tail lands past every real segment. Minimizer mode and
+        # the use_hi=False mid band (where a valid lo can equal the
+        # sentinel) keep the owner-key sort.
+        prefix_fast = owner_mode != "minimizer" and (use_hi or single)
+        if prefix_fast:
+            # The routing word is payloads[0] either way: hi when use_hi,
+            # lo in the single-word band (owner = its top bits).
+            sorted_ops = jax.lax.sort(payloads, num_keys=1)
+            payl_s = sorted_ops
+            route_s = sorted_ops[0]
+            rdt = route_s.dtype
+            edges = jnp.asarray(
+                [((d << t_bits) + D - 1) // D << shift for d in range(D)],
+                rdt,
+            )
+            end_edges = jnp.concatenate(
+                [edges[1:],
+                 jnp.full((1,), jnp.iinfo(rdt).max, rdt)]
+            )
+            starts = jnp.searchsorted(route_s, edges)
+            ends = jnp.searchsorted(route_s, end_edges)
         else:
-            owner_s, hi_s, lo_s = jax.lax.sort((owner, hi, lo), num_keys=1)
-        targets = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0).squeeze(-1)
-        starts = jnp.searchsorted(owner_s, targets)
-        ends = jnp.searchsorted(owner_s, targets, side="right")
+            # Owner-key sort: invalid windows route to pseudo-owner D past
+            # every real segment.
+            sorted_ops = jax.lax.sort((owner, *payloads), num_keys=1)
+            owner_s, payl_s = sorted_ops[0], sorted_ops[1:]
+            targets = jax.lax.broadcasted_iota(
+                jnp.int32, (D, 1), 0
+            ).squeeze(-1)
+            starts = jnp.searchsorted(owner_s, targets)
+            ends = jnp.searchsorted(owner_s, targets, side="right")
         seg_len = ends - starts
-        overflow = jnp.any(seg_len > cap)
-
-        pad_u = jnp.full((cap,), _SENTINEL, jnp.uint32)
-        lo_p = jnp.concatenate([lo_s, pad_u])
         col = jax.lax.broadcasted_iota(jnp.int32, (D, cap), 1)
         in_seg = col < jnp.minimum(seg_len, cap)[:, None]
 
         def take(buf, start):
             return jax.lax.dynamic_slice(buf, (start,), (cap,))
 
-        send_lo = jax.vmap(take, in_axes=(None, 0))(lo_p, starts)
-        send_lo = jnp.where(in_seg, send_lo, _SENTINEL)
-        recv_lo = jax.lax.all_to_all(send_lo, axis, 0, 0, tiled=True)
+        send_bufs = []
+        for p, sent in zip(payl_s, sents):
+            p_pad = jnp.concatenate([p, jnp.full((cap,), sent, p.dtype)])
+            sp = jax.vmap(take, in_axes=(None, 0))(p_pad, starts)
+            send_bufs.append(jnp.where(in_seg, sp, sent))
+        overflow = jnp.any(seg_len > cap)
+        recvs = [
+            jax.lax.all_to_all(sb, axis, 0, 0, tiled=True)
+            for sb in send_bufs
+        ]
         ov = jax.lax.pmax(overflow.astype(jnp.int32), axis)
         if single:
+            recv_lo = recvs[0]
             return recv_lo.reshape(-1)[None], recv_lo.reshape(-1)[None], ov[None]
-        hi_sent = hi_s.dtype.type(0xFFFF if narrow16 else 0xFFFFFFFF)
-        hi_p = jnp.concatenate([hi_s, jnp.full((cap,), hi_sent, hi_s.dtype)])
-        send_hi = jax.vmap(take, in_axes=(None, 0))(hi_p, starts)
-        send_hi = jnp.where(in_seg, send_hi, hi_sent)
-        recv_hi = jax.lax.all_to_all(send_hi, axis, 0, 0, tiled=True)
-        return recv_hi.reshape(-1)[None], recv_lo.reshape(-1)[None], ov[None]
+        return recvs[0].reshape(-1)[None], recvs[1].reshape(-1)[None], ov[None]
 
     in_spec0 = (
         (P(axis, None), P(axis, None)) if staged_planes else P(axis, None)
@@ -909,6 +947,106 @@ def _count_stream_host(
         codes = codec.canonical_code(codes, k)
     codes, counts = np.unique(np.asarray(codes, np.uint64), return_counts=True)
     return codes.astype(np.uint64), counts.astype(np.int64)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "minimizer_m"))
+def superkmer_records_device(
+    bases: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    minimizer_m: int = 7,
+):
+    """SINGLE-CHIP super-k-mer D2H compaction (r4): the compressed record
+    format of the bucketed exchange, applied to the plain device->host
+    stream (KmerConfig.compact='device-super').
+
+    The words D2H modes ship 6-8 B per WINDOW; here consecutive windows
+    sharing a minimizer position collapse to ONE fixed-size record (the
+    run's 2k-m-base extent packed 2-bit into W u32 words + an i32 run
+    length), compacted to the array FRONT by a single-key sort so the
+    host fetches only the ceil(records) prefix — at random-sequence run
+    density 2/(k-m+2) that is (W+1)*4*2/(k-m+2) B/window, e.g. k=21/m=11:
+    1.9 B vs 6 (3.2x); k=31/m=7: 1.5 B vs 8 (5.4x). The receiving host
+    expands records to a sentinel-separated base stream and counts with
+    the fused rolling-encoder radix engine — the same consumer as the
+    super-k-mer exchange (expand_superkmers/_count_stream_host), so
+    canonicalization happens host-side and any k <= 31 is exact.
+
+    The device program is LIGHTER than the words modes' (no k-wide
+    rolling encode, no canonicalization — just the m-mer minimizer scan,
+    the packing ladder, and one single-key sort), trading host re-encode
+    work for a ~3-5x smaller transfer: the degraded-link mode.
+
+    Returns (planes tuple [W] of u32 [n], meta i32 [n], n_records i32);
+    records occupy the first n_records entries, the tail is zeros.
+    """
+    b = bases
+    n = b.shape[0] - k + 1
+    skmax, W = superkmer_geometry(k, minimizer_m)
+    mini, pos, vwin = window_minimizers_pos(b, k, minimizer_m)
+    del mini  # single chip: no owner to route to
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    valid = vwin & (idx < n_own)
+
+    def shift1(x, fill):
+        return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
+
+    brk = (
+        (pos != shift1(pos, jnp.int32(-1)))
+        | (valid != shift1(valid, False))
+    )
+    run_start = brk & valid
+    flagged = jnp.where(brk, idx, n)
+    nxt = jax.lax.cummin(flagged, reverse=True)
+    after = jnp.concatenate([nxt[1:], jnp.full((1,), n, jnp.int32)])
+    run_len = after - idx
+
+    from dna_kmeres_parallel_tpu.ops.encode import INVALID
+
+    bp = jnp.concatenate(
+        [b, jnp.full((k - minimizer_m,), INVALID, jnp.uint8)]
+    )
+    b2 = (bp & 3).astype(jnp.uint32)
+    planes = []
+    for w in range(W):
+        acc = jnp.zeros((n,), jnp.uint32)
+        for t in range(16):
+            j = w * 16 + t
+            if j >= skmax:
+                break
+            acc = acc | (
+                jax.lax.slice_in_dim(b2, j, j + n, axis=0) << (2 * t)
+            )
+        planes.append(acc)
+    meta = jnp.where(run_start, run_len, 0)
+    # Distinct-first compaction: records sort to the front by stream
+    # position (their natural order), zeros behind — the host fetches
+    # only the prefix.
+    key = jnp.where(run_start, idx, jnp.int32(n))
+    parts = jax.lax.sort((key, meta, *planes), num_keys=1)
+    meta_s = parts[1]
+    planes_s = parts[2:]
+    n_records = jnp.sum(run_start.astype(jnp.int32))
+    return tuple(planes_s), meta_s, n_records
+
+
+def table_from_superkmers(
+    planes, meta, n_records, k: int, minimizer_m: int, canonical: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """superkmer_records_device output -> sorted-unique (codes, counts).
+
+    Fetches ONLY the record prefix (power-of-two shape bucket, like
+    table_from_rle), expands to the sentinel-separated stream, counts
+    with the fused host engine."""
+    m = int(np.asarray(n_records))
+    if m == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    n = int(meta.shape[0])
+    mp = min(max(1 << (m - 1).bit_length(), 128), n)
+    meta_h = np.asarray(meta[:mp])[:m]
+    planes_h = [np.asarray(p[:mp])[:m] for p in planes]
+    stream = expand_superkmers(planes_h, meta_h, k, minimizer_m)
+    return _count_stream_host(stream, k, canonical)
 
 
 def count_bucket_sharded_super(

@@ -69,7 +69,13 @@ class KmerConfig:
          scale with distinct codes (~10/dup B per window; sequencing
          reads carry 30-50x coverage) and the host merges already-sorted
          tables with no radix pass. Explicit opt-in: at dup ~1 the
-         device sort costs more than it saves.
+         device sort costs more than it saves. 'device-super' (r4) ships
+         SUPER-K-MER records (each minimizer run's 2k-m bases packed
+         2-bit + a run length) instead of word planes — ~1.5-2 B/window
+         of D2H instead of 6-8 (k=21/m=7: 3x), with the host expanding
+         records and re-counting via the fused native engine: the
+         degraded-link mode when the host must NOT count the resident
+         stream itself (e.g. it feeds several chips).
     """
 
     k: int = 3
@@ -94,7 +100,9 @@ class KmerConfig:
             raise ValueError(f"k must be in [1, 31], got {self.k}")
         if self.parser_variant not in ("modern", "blank_line", "no_blank_line"):
             raise ValueError(f"bad parser_variant {self.parser_variant!r}")
-        if self.compact not in ("auto", "device", "host", "device-rle"):
+        if self.compact not in (
+            "auto", "device", "host", "device-rle", "device-super"
+        ):
             raise ValueError(f"bad compact {self.compact!r}")
 
     @property

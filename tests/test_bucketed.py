@@ -411,3 +411,28 @@ def test_bucket_auto_falls_back_on_skew(mesh8):
     )
     assert codes.tolist() == [0]
     assert cnts.tolist() == [4096 - k + 1]
+
+
+@pytest.mark.parametrize("k", [8, 13, 21, 31])
+def test_raw_exchange_prefix_fast_matches_engine(make_dna, k):
+    # The prefix-fast raw exchange (r4: routing-word sort, no owner
+    # operand — including the single-word band where owners come from
+    # lo's top bits) must produce the exact single-chip engine table.
+    # 80 Kbase streams also cover all-T windows (lo == 0xFFFFFFFF at
+    # k >= 16, which must still sort strictly before the hi sentinel).
+    from dna_kmeres_parallel_tpu.models.sparse_engine import (
+        SparseKmerEngine,
+    )
+    from dna_kmeres_parallel_tpu.utils.config import KmerConfig
+
+    s = make_dna(80_000, invalid_frac=0.01) + "T" * 40
+    flat = codec.encode_bases(s)
+    mesh = make_mesh(8)
+    codes, counts = bucketed.count_bucket_sharded_raw(
+        flat, k, False, mesh, pallas=None
+    )
+    want = SparseKmerEngine(KmerConfig(k=k, use_pallas=False)).count_stream(
+        flat, flat.shape[0], 1
+    )
+    assert np.array_equal(codes, want.codes)
+    assert np.array_equal(counts, want.counts)

@@ -526,3 +526,24 @@ def test_bucketed_resumable_two_processes_kill_and_resume(tmp_path, make_dna):
         gb, gc = np.load(ob), np.load(oc)
         assert np.array_equal(gb["codes"], gc["codes"])
         assert np.array_equal(gb["counts"], gc["counts"])
+
+
+def test_bucketed_resumable_planes_route(big_fasta, tmp_path, monkeypatch):
+    """The r4 v2 plane-staged route through the multihost bucketed path
+    (interpret-mode Pallas; single process on the virtual mesh): exact vs
+    the XLA route's table."""
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    monkeypatch.setenv("KMER_TPU_PALLAS_INTERPRET", "1")
+    path, seqs = big_fasta
+    k = 17
+    cfg = KmerConfig(k=k)
+    mesh = make_mesh(8)
+    codes, counts, *_ = multihost.count_file_bucketed_multihost_resumable(
+        path, cfg, mesh, batch_bases=2048
+    )
+    monkeypatch.delenv("KMER_TPU_PALLAS_INTERPRET")
+    c2, n2, *_ = multihost.count_file_bucketed_multihost_resumable(
+        path, KmerConfig(k=k, use_pallas=False), mesh, batch_bases=2048
+    )
+    assert np.array_equal(codes, c2) and np.array_equal(counts, n2)

@@ -946,3 +946,71 @@ def test_dense_distance_preferred_cost_gate():
     assert dense_distance_preferred(64, 4, [30] * 64)
     # The memory ceiling still rules: infeasible shapes are never dense.
     assert not dense_distance_preferred(1 << 20, 12, [100] * 4)
+
+
+@pytest.mark.parametrize("k,canonical", [(13, False), (21, True), (31, False)])
+def test_superkmer_records_device_matches_oracle(make_dna, k, canonical):
+    # Single-chip super-k-mer D2H compaction (r4): device records ->
+    # host expand+count == oracle, across key-word bands + canonical.
+    from dna_kmeres_parallel_tpu.parallel.bucketed import (
+        superkmer_records_device,
+        table_from_superkmers,
+    )
+
+    seqs = [make_dna(150 + 17 * i, invalid_frac=0.03) for i in range(4)]
+    flat = codec.concat_with_sentinels(seqs)
+    n_own = jnp.int32(flat.shape[0])
+    planes, meta, n_rec = superkmer_records_device(
+        jnp.asarray(flat), n_own, k
+    )
+    codes, counts = table_from_superkmers(planes, meta, n_rec, k, 7, canonical)
+    want = oracle.count_table_any_k(seqs, k, canonical)
+    got = {codec.code_to_kmer(int(c), k): int(n) for c, n in zip(codes, counts)}
+    assert got == want
+
+
+def test_superkmer_records_ownership_boundary(make_dna):
+    # Batch-overlap rule: runs split at the ownership edge; the two
+    # batches' tables merge to the full-stream count exactly.
+    from dna_kmeres_parallel_tpu.models.sparse_engine import (
+        merge_sparse_tables,
+    )
+    from dna_kmeres_parallel_tpu.parallel.bucketed import (
+        superkmer_records_device,
+        table_from_superkmers,
+    )
+
+    k = 21
+    s = make_dna(700, invalid_frac=0.02)
+    flat = codec.encode_bases(s)
+    cut = 333
+    parts = []
+    for start, end in ((0, cut), (cut, flat.shape[0])):
+        seg = flat[start : min(end + k - 1, flat.shape[0])]
+        planes, meta, n_rec = superkmer_records_device(
+            jnp.asarray(seg), jnp.int32(end - start), k
+        )
+        parts.append(table_from_superkmers(planes, meta, n_rec, k, 7, False))
+    got_codes, got_counts = merge_sparse_tables(parts)
+    want = oracle.count_table_any_k([s], k, False)
+    got = {
+        codec.code_to_kmer(int(c), k): int(n)
+        for c, n in zip(got_codes, got_counts)
+    }
+    assert got == want
+
+
+def test_stream_device_super_matches_oracle(tmp_path, make_dna):
+    from dna_kmeres_parallel_tpu.models.oracle import count_table_any_k
+    from dna_kmeres_parallel_tpu.models.pipeline import StreamingCounter
+    from dna_kmeres_parallel_tpu.utils import fasta
+    from dna_kmeres_parallel_tpu.utils.config import KmerConfig
+
+    core = make_dna(200)
+    records = [(f">r{i}", core) for i in range(6)] + [(">x", make_dna(333))]
+    path = tmp_path / "dup.fasta"
+    fasta.write_fasta(path, records)
+    result = StreamingCounter(
+        KmerConfig(k=21, batch_bases=512, compact="device-super")
+    ).run(str(path))
+    assert result.table() == count_table_any_k([s for _, s in records], 21)
