@@ -492,7 +492,28 @@ class StreamingCounter:
         # probe-window hiccup (this link swings 5-30x run-to-run) can no
         # longer lock a GB run into the wrong mode.
         adaptive = host_mode is None
-        rate: dict[str, float | None] = {"device": None, "host": None}
+        rate: dict[str, float | None] = {
+            "device": None, "host": None, "super": None
+        }
+        # Super-k-mer sub-route of the device arm (r4 auto-gating): once
+        # the main race picks the device route, one batch probes the
+        # compressed-record D2H format; the EWMA then selects words vs
+        # super by the same hysteresis as the main race (re-probed on the
+        # recheck cycle, offset from the host probe). The probe only runs
+        # when the device arm is active — when host-resident counting
+        # wins, super (host counting PLUS a D2H leg) cannot beat it.
+        from dna_kmeres_parallel_tpu import native as _native_mod
+
+        super_eligible = (
+            adaptive
+            and not rle
+            and not sk
+            and mesh is None
+            and cfg.k >= 13
+            and _native_mod.available()
+        )
+        device_route = "words"
+        _state = {"super_warm": False}
 
         def _rate_update(key: str, bases_n: int, wall: float) -> None:
             r = bases_n / max(wall, 1e-9)
@@ -520,6 +541,11 @@ class StreamingCounter:
         )
 
         def stage_default(padded):
+            if super_eligible and device_route == "super":
+                # Steady-state super sub-route: records consume the raw
+                # base stream (closure reads the CURRENT sub-route; the
+                # dispatch loop restages on a format mismatch).
+                return stage_batch(padded, False)
             if use_planes:
                 from dna_kmeres_parallel_tpu.models.engine import (
                     stage_batch_planes,
@@ -610,29 +636,46 @@ class StreamingCounter:
                 since_ckpt = 0
 
         def _maybe_flip():
-            nonlocal host_mode
+            nonlocal host_mode, device_route
             if not adaptive or host_mode is None:
                 return
-            if rate["device"] is None or rate["host"] is None:
+            if (
+                super_eligible
+                and rate["super"] is not None
+                and rate["device"] is not None
+            ):
+                # Device sub-route selection (words vs super D2H format),
+                # same hysteresis as the main race.
+                cur_k = "super" if device_route == "super" else "device"
+                oth_k = "device" if cur_k == "super" else "super"
+                if rate[oth_k] > _COMPACT_HYSTERESIS * rate[cur_k]:
+                    device_route = "super" if oth_k == "super" else "words"
+                    self.metrics.count("compact_super_flips")
+            dev_key = (
+                "super"
+                if device_route == "super" and rate["super"] is not None
+                else "device"
+            )
+            if rate[dev_key] is None or rate["host"] is None:
                 return
             cur, other = (
-                ("host", "device") if host_mode else ("device", "host")
+                ("host", dev_key) if host_mode else (dev_key, "host")
             )
             if rate[other] > _COMPACT_HYSTERESIS * rate[cur]:
                 host_mode = not host_mode
                 self.metrics.count("compact_mode_flips")
 
         def drain(p):
-            words, p_start, p_end, p_idx = p
+            words, p_start, p_end, p_idx, tag = p
             t_d = time.perf_counter()
             with self.metrics.phase("compact"):
-                if rle:
+                if tag == "rle":
                     from dna_kmeres_parallel_tpu.models.sparse_engine import (
                         table_from_rle,
                     )
 
                     tables.append(table_from_rle(*words))
-                elif sk:
+                elif tag == "super":
                     from dna_kmeres_parallel_tpu.parallel.bucketed import (
                         table_from_superkmers,
                     )
@@ -660,11 +703,17 @@ class StreamingCounter:
                 # This wall covers device exec + D2H fetch + host
                 # compaction — the full per-batch cost of the device route
                 # in the pipelined steady state (batch 1 pays the compiles
-                # and is excluded).
-                _rate_update(
-                    "device", p_end - p_start, time.perf_counter() - t_d
-                )
-                _maybe_flip()
+                # and is excluded; the super sub-route's FIRST batch pays
+                # its own compile and only warms).
+                if tag == "super" and not _state["super_warm"]:
+                    _state["super_warm"] = True
+                else:
+                    _rate_update(
+                        "super" if tag == "super" else "device",
+                        p_end - p_start,
+                        time.perf_counter() - t_d,
+                    )
+                    _maybe_flip()
             book(p_start, p_end)
 
         for (start, end, T, overlap), staged in _prefetched(
@@ -696,15 +745,66 @@ class StreamingCounter:
                 if host_mode is not None
                 else done_batches == 4
             )
+            # Device sub-route for THIS batch: the super probe runs once
+            # the main race has decided for the device arm (rate unset),
+            # then the LOSING sub-route re-probes on the recheck cycle,
+            # offset from the host probe so the two never collide.
+            if not use_host and super_eligible and host_mode is False:
+                sub_probe = (
+                    rate["super"] is None
+                    or (
+                        _COMPACT_RECHECK > 0
+                        and done_batches % _COMPACT_RECHECK
+                        == max(_COMPACT_RECHECK // 2, 1)
+                        and not probe
+                    )
+                )
+                if sub_probe and rate["super"] is None:
+                    batch_route = "super"
+                elif sub_probe:
+                    batch_route = (
+                        "words" if device_route == "super" else "super"
+                    )
+                else:
+                    batch_route = device_route
+                if batch_route == "super":
+                    self.metrics.count("compact_super_batches")
+            else:
+                batch_route = "words"
+            want_super = sk or (not use_host and batch_route == "super")
             if not use_host and staged is None:
                 # Device batch requested while the prefetch closure staged
                 # for host mode (a probe, or the 1-2 batch skew around a
-                # flip): stage synchronously. Probing is single-chip,
-                # non-rle by construction (see `probe` above), so the
-                # default stage_batch format is the only one needed.
-                staged = stage_default(
-                    pad_bounds((start, end, T, overlap))
+                # flip): stage synchronously.
+                if want_super and not sk:
+                    staged = stage_batch(
+                        pad_bounds((start, end, T, overlap)), False
+                    )
+                else:
+                    staged = stage_default(
+                        pad_bounds((start, end, T, overlap))
+                    )
+            elif not use_host:
+                # Sub-route / prefetch format mismatches restage
+                # synchronously (rare: probes and the 1-2 batch skew
+                # around a sub-route flip).
+                is_raw = (
+                    not isinstance(staged, tuple)
+                    and getattr(staged, "dtype", None) == jnp.uint8
                 )
+                if want_super and not (sk or rle) and not is_raw:
+                    staged = stage_batch(
+                        pad_bounds((start, end, T, overlap)), False
+                    )
+                elif (
+                    (not want_super)
+                    and not (sk or rle)
+                    and is_raw
+                    and (use_planes or cfg.pack_input)
+                ):
+                    staged = stage_default(
+                        pad_bounds((start, end, T, overlap))
+                    )
             if use_host:
                 # ZERO-D2H route: count the batch straight off the
                 # host-resident stream with the fused native engine (the
@@ -753,9 +853,11 @@ class StreamingCounter:
                             pallas=pallas,
                         )
                     )
-                elif sk:
+                elif want_super:
                     # Super-k-mer records: ~1.5-2 B/window of D2H (drain ->
                     # table_from_superkmers; host re-encodes + counts).
+                    # Forced (compact='device-super') or the auto race's
+                    # device sub-route/probe.
                     from dna_kmeres_parallel_tpu.parallel.bucketed import (
                         superkmer_records_device,
                     )
@@ -871,7 +973,13 @@ class StreamingCounter:
                     )
             if pending is not None:
                 drain(pending)
-            pending = (words, start, end, done_batches)
+            pending = (
+                words,
+                start,
+                end,
+                done_batches,
+                "rle" if rle else ("super" if want_super else "words"),
+            )
         if pending is not None:
             drain(pending)
         with self.metrics.phase("merge"):

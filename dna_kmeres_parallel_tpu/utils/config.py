@@ -63,7 +63,10 @@ class KmerConfig:
          (default) RACES the two on the first batches of a multi-batch
          stream and finishes with the winner (self-calibrating: no link
          or CPU model needed; single-chip streams only — mesh runs are
-         link-bound by design and stay on device). 'device-rle' is the
+         link-bound by design and stay on device); when the device arm
+         wins (k >= 13, native present) it additionally probes the
+         super-k-mer D2H format as a device SUB-ROUTE and keeps
+         whichever the measured rates favor (r4). 'device-rle' is the
          HIGH-DUPLICATION mode: the device sorts and RLE-collapses runs,
          shipping only DISTINCT (code, count) pairs — D2H and host work
          scale with distinct codes (~10/dup B per window; sequencing

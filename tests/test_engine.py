@@ -426,3 +426,17 @@ def test_cli_distance_mesh_and_checkpoint(tmp_path, make_dna, capsys):
     report = json_mod.loads(capsys.readouterr().out)
     assert report["streamed"] and report["completed"]
     assert a.read_bytes() == b.read_bytes()
+
+
+def test_distance_stream_mesh_s2048_byte_identical(tmp_path, make_dna):
+    # VERDICT r3 item 2's scale bar: S >= 2048 on the virtual 8-device
+    # mesh, byte-identical streamed CSV vs the single-chip path.
+    seqs = [make_dna(48 + (i % 7)) for i in range(2048)]
+    a, b = tmp_path / "a.csv", tmp_path / "b.csv"
+    KmerEngine(KmerConfig(k=3, use_pallas=False)).distance_stream_to_csv(
+        seqs, a, panel_rows=512
+    )
+    KmerEngine(
+        KmerConfig(k=3, mesh_shape=(8,), use_pallas=False)
+    ).distance_stream_to_csv(seqs, b, panel_rows=512)
+    assert a.read_bytes() == b.read_bytes()

@@ -302,3 +302,37 @@ def test_sample_duplication_estimates(make_dna):
     assert sc._sample_duplication(uniform, 0) < 1.5
     dup = codec_mod.concat_with_sentinels([make_dna(256)] * 32)
     assert sc._sample_duplication(dup, 0) > 10
+
+
+def test_sparse_compact_auto_probes_super_subroute(fasta_file, monkeypatch):
+    """r4: once the auto race picks the device arm, the super-k-mer D2H
+    sub-route gets probed (first batch warms its compile, later ones
+    rate it) and the table stays exact whatever the EWMA decides."""
+    import time as _time
+
+    from dna_kmeres_parallel_tpu import native
+    from dna_kmeres_parallel_tpu.models import pipeline as pl
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    real = native.count_sparse_host_native
+    state = {"calls": 0}
+
+    def slow_host(seg, k, canonical):
+        # Slow the HOST-mode probe batch so the device arm wins, but keep
+        # the super drain's expand+count path fast (it passes larger
+        # sentinel-separated streams, distinguished by the call order).
+        state["calls"] += 1
+        if state["calls"] <= 2:
+            _time.sleep(0.2)
+        return real(seg, k, canonical)
+
+    monkeypatch.setattr(native, "count_sparse_host_native", slow_host)
+    monkeypatch.setattr(pl, "_COMPACT_RECHECK", 100)  # no host re-probes
+    path, seqs = fasta_file
+    sc = StreamingCounter(KmerConfig(k=21, batch_bases=128, compact="auto"))
+    result = sc.run(path)
+    assert result.table() == oracle.count_table_any_k(seqs, 21)
+    rep = sc.metrics.report()
+    assert rep["counters"].get("compact_host_selected") == 0
+    assert rep["counters"].get("compact_super_batches", 0) >= 1
