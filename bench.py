@@ -125,11 +125,18 @@ def main() -> int:
         res = sc.run(path)
         wall = time.perf_counter() - t0
         rep = sc.metrics.report()
+        # k <= 12 streams return the dense CountResult (hist), k >= 13
+        # the sparse one (codes/counts) — normalize.
+        if hasattr(res, "codes"):
+            total_kmers = int(res.counts.sum())
+            distinct = int(res.codes.shape[0])
+        else:
+            total_kmers = int(res.hist.sum())
+            distinct = int(np.count_nonzero(res.hist))
         # Exactness spot-check: total windows must equal the per-read sum
         # of valid windows, which the native host engine recomputes
         # independently from the same file.
         from dna_kmeres_parallel_tpu import native
-        from dna_kmeres_parallel_tpu.utils import codec as codec_mod
 
         exact = None
         if native.available():
@@ -137,8 +144,8 @@ def main() -> int:
             _, host_counts = native.count_sparse_host_native(
                 parsed.stream, k, False
             )
-            exact = int(host_counts.sum()) == int(res.counts.sum()) and (
-                int(np.asarray(res.codes).shape[0]) == host_counts.shape[0]
+            exact = int(host_counts.sum()) == total_kmers and (
+                distinct == host_counts.shape[0]
             )
         value = round(res.total_bases / wall / 1e9, 4)
         print(
@@ -149,11 +156,9 @@ def main() -> int:
                     "coverage": coverage,
                     "compact": compact,
                     "total_bases": int(res.total_bases),
-                    "distinct": int(res.codes.shape[0]),
+                    "distinct": distinct,
                     "dup_factor": round(
-                        float(res.counts.sum())
-                        / max(int(res.codes.shape[0]), 1),
-                        2,
+                        float(total_kmers) / max(distinct, 1), 2
                     ),
                     "wall_s": round(wall, 2),
                     "exact_vs_host_engine": exact,

@@ -265,7 +265,10 @@ class KmerEngine:
         return runtime.pallas_mode()
 
     def _mesh(self):
-        """Device mesh from config.mesh_shape (None = single chip)."""
+        """Device mesh from config.mesh_shape (None = single chip;
+        mesh_shape=(1,) also resolves to None — the single-chip triangle
+        kernel beats a 1-device shard_map of the full square, matching
+        StreamingCounter._mesh)."""
         if not self.config.mesh_shape:
             return None
         from dna_kmeres_parallel_tpu.parallel.mesh import make_mesh
@@ -273,7 +276,7 @@ class KmerEngine:
         n = 1
         for d in self.config.mesh_shape:
             n *= d
-        return make_mesh(n)
+        return make_mesh(n) if n > 1 else None
 
     def _min_sum_panel_mesh(self, panel, other, mesh, pallas):
         """Column-sharded (min,+) panel over the mesh: [Pr, bins] x
@@ -296,6 +299,7 @@ class KmerEngine:
             if (
                 pallas is not None
                 and self.config.bins <= distance_pallas._ROUTE_MAX_BINS
+                and not getattr(self, "_mesh_pallas_broken", False)
             )
             else None
         )
@@ -309,6 +313,11 @@ class KmerEngine:
                           "resource_exhausted", "out of memory")
             ):
                 raise
+            # Sticky degradation: a streamed run dispatches one panel per
+            # loop iteration — re-attempting the failing compile every
+            # panel would pay the multi-minute remote failure ~30x at
+            # design scale.
+            self._mesh_pallas_broken = True
             sums = min_sum_panel_sharded(panel, other, mesh, pallas=None)
         return np.asarray(sums)[:, :S2]
 
@@ -607,11 +616,20 @@ class KmerEngine:
 
         from dna_kmeres_parallel_tpu import native
 
+        import hashlib
+
         cfg = self.config
         t0 = time.perf_counter()
         S = len(seqs)
         counts = jnp.asarray(self.counts_matrix(seqs))
         lengths = np.array([len(s) for s in seqs], dtype=np.int64)
+        # Input fingerprint: (k, canonical, S) alone cannot tell two
+        # same-sized datasets apart — resuming against the wrong input
+        # must refuse, not silently mix panels.
+        input_sha = hashlib.sha256(
+            np.ascontiguousarray(lengths).tobytes()
+            + b"|".join(s[:64].encode() for s in seqs[:32])
+        ).hexdigest()[:16]
         pallas = self._pallas()
         mesh = self._mesh()
         n_pairs = 0
@@ -627,11 +645,13 @@ class KmerEngine:
                 or ck["canonical"] != cfg.canonical
                 or ck["n_seqs"] != S
                 or ck["panel_rows"] != panel_rows
+                or ck.get("input_sha") != input_sha
             ):
                 raise ValueError(
                     "distance checkpoint does not match this run "
                     f"(found k={ck.get('k')} n_seqs={ck.get('n_seqs')} "
-                    f"panel_rows={ck.get('panel_rows')})"
+                    f"panel_rows={ck.get('panel_rows')} "
+                    f"input_sha={ck.get('input_sha')})"
                 )
             start_r0 = int(ck["next_r0"])
             csv_bytes = int(ck["csv_bytes"])
@@ -641,6 +661,15 @@ class KmerEngine:
                 raise FileNotFoundError(
                     f"distance checkpoint present but CSV missing: "
                     f"{output_path}"
+                )
+            if os.path.getsize(output_path) < csv_bytes:
+                # truncate() would EXTEND a short file with NULs and the
+                # stream would continue after the hole — refuse instead.
+                raise ValueError(
+                    f"distance CSV shorter than the checkpoint's durable "
+                    f"offset ({os.path.getsize(output_path)} < {csv_bytes} "
+                    f"bytes): the output was damaged; delete both to "
+                    f"restart"
                 )
 
         def _save_ckpt(next_r0: int) -> None:
@@ -656,6 +685,7 @@ class KmerEngine:
                         "next_r0": next_r0,
                         "csv_bytes": csv_bytes,
                         "n_pairs": n_pairs,
+                        "input_sha": input_sha,
                     },
                     cf,
                 )

@@ -540,12 +540,10 @@ class StreamingCounter:
             and (cfg.pack_input or mesh is not None)
         )
 
-        def stage_default(padded):
-            if super_eligible and device_route == "super":
-                # Steady-state super sub-route: records consume the raw
-                # base stream (closure reads the CURRENT sub-route; the
-                # dispatch loop restages on a format mismatch).
-                return stage_batch(padded, False)
+        def stage_words(padded):
+            """Stage for the WORDS device route (planes / packed / raw by
+            config) — independent of the current sub-route, so words
+            re-probes while device_route=='super' stage correctly."""
             if use_planes:
                 from dna_kmeres_parallel_tpu.models.engine import (
                     stage_batch_planes,
@@ -553,6 +551,14 @@ class StreamingCounter:
 
                 return stage_batch_planes(padded)
             return stage_batch(padded, cfg.pack_input)
+
+        def stage_default(padded):
+            if super_eligible and device_route == "super":
+                # Steady-state super sub-route: records consume the raw
+                # base stream (closure reads the CURRENT sub-route; the
+                # dispatch loop restages on a format mismatch).
+                return stage_batch(padded, False)
+            return stage_words(padded)
 
         def prep(bounds):
             if host_mode is True:
@@ -651,11 +657,16 @@ class StreamingCounter:
                 if rate[oth_k] > _COMPACT_HYSTERESIS * rate[cur_k]:
                     device_route = "super" if oth_k == "super" else "words"
                     self.metrics.count("compact_super_flips")
-            dev_key = (
-                "super"
-                if device_route == "super" and rate["super"] is not None
-                else "device"
-            )
+            # The device arm's representative rate: the BEST available
+            # sub-route rate. In host mode only the words route re-probes
+            # (super's EWMA freezes — its probe needs the device arm), so
+            # taking the max keeps the host-vs-device flip responsive to
+            # the fresh measurements instead of a stale super number.
+            dev_key = "device"
+            if rate["super"] is not None and (
+                rate["device"] is None or rate["super"] > rate["device"]
+            ):
+                dev_key = "super"
             if rate[dev_key] is None or rate["host"] is None:
                 return
             cur, other = (
@@ -663,6 +674,10 @@ class StreamingCounter:
             )
             if rate[other] > _COMPACT_HYSTERESIS * rate[cur]:
                 host_mode = not host_mode
+                if not host_mode:
+                    # Entering device mode: start on the sub-route whose
+                    # rate won the comparison.
+                    device_route = "super" if dev_key == "super" else "words"
                 self.metrics.count("compact_mode_flips")
 
         def drain(p):
@@ -775,19 +790,21 @@ class StreamingCounter:
             if not use_host and staged is None:
                 # Device batch requested while the prefetch closure staged
                 # for host mode (a probe, or the 1-2 batch skew around a
-                # flip): stage synchronously.
+                # flip): stage synchronously for THIS batch's route.
                 if want_super and not sk:
                     staged = stage_batch(
                         pad_bounds((start, end, T, overlap)), False
                     )
                 else:
-                    staged = stage_default(
+                    staged = stage_words(
                         pad_bounds((start, end, T, overlap))
                     )
             elif not use_host:
                 # Sub-route / prefetch format mismatches restage
                 # synchronously (rare: probes and the 1-2 batch skew
-                # around a sub-route flip).
+                # around a sub-route flip). stage_words, NOT
+                # stage_default: a words re-probe while the sub-route is
+                # 'super' must get the words format.
                 is_raw = (
                     not isinstance(staged, tuple)
                     and getattr(staged, "dtype", None) == jnp.uint8
@@ -802,7 +819,7 @@ class StreamingCounter:
                     and is_raw
                     and (use_planes or cfg.pack_input)
                 ):
-                    staged = stage_default(
+                    staged = stage_words(
                         pad_bounds((start, end, T, overlap))
                     )
             if use_host:

@@ -566,9 +566,16 @@ def dense_distance_preferred(
     """
     import os
 
+    from dna_kmeres_parallel_tpu import native
+
     if not dense_distance_feasible(n_seqs, k, budget_bytes):
         return False
     if k <= 8 or seq_lengths is None:
+        return True
+    if not native.available():
+        # The sparse constants model the native THREADED two-pointer; the
+        # pure-Python fallback is orders of magnitude slower than the
+        # dense device route — keep the pre-r4 memory-only behavior.
         return True
     bins = 4**k
     lengths = np.asarray(seq_lengths, dtype=np.float64)

@@ -103,6 +103,12 @@ class KmerConfig:
             raise ValueError(f"k must be in [1, 31], got {self.k}")
         if self.parser_variant not in ("modern", "blank_line", "no_blank_line"):
             raise ValueError(f"bad parser_variant {self.parser_variant!r}")
+        if self.compact == "device-super" and self.k < 8:
+            # The record format needs a minimizer m < k (m=7): reject at
+            # config time, not mid-stream inside a traced program.
+            raise ValueError(
+                f"compact='device-super' needs k >= 8, got k={self.k}"
+            )
         if self.compact not in (
             "auto", "device", "host", "device-rle", "device-super"
         ):

@@ -82,7 +82,9 @@ def main() -> int:
             for label, staged in (("v2", True), ("v1", False)):
 
                 @jax.jit
-                def prog(st):
+                def prog(st, base):
+                    # `base` differs per dispatch: byte-identical
+                    # dispatches get deduped in the tunnel (CLAUDE.md).
                     def body(acc, xs):
                         if staged:
                             inp = (xs["w"], xs["iv"])
@@ -95,14 +97,14 @@ def main() -> int:
                         )
                         return acc + sig(words) + ov.astype(jnp2.int32), None
 
-                    acc, _ = jax.lax.scan(body, jnp2.int32(0), st)
+                    acc, _ = jax.lax.scan(body, base, st)
                     return acc
 
-                _ = int(prog(st))  # compile + warm
+                _ = int(prog(st, jnp2.int32(100)))  # compile + warm
                 best = None
-                for _ in range(3):
+                for r in range(3):
                     t0 = time.perf_counter()
-                    _ = int(prog(st))
+                    _ = int(prog(st, jnp2.int32(r)))
                     dt = time.perf_counter() - t0
                     best = dt if best is None else min(best, dt)
                 gbps = total * scan_reps / best / 1e9

@@ -41,14 +41,15 @@ def main() -> int:
     n_pairs = S * (S - 1) // 2
 
     # Dense route (what the pre-r4 memory-only gate picked when it fit).
+    # Warm the compiles on a DISTINCT same-shape input, then time ONE run
+    # on the real input — never two identical dispatches (tunnel dedupe
+    # trap, CLAUDE.md).
+    warm = ["".join(rng.choice(list("ACGT"), size=L)) for _ in range(S)]
     eng = KmerEngine(KmerConfig(k=k))
+    eng.distance_sequences(warm)
     t0 = time.perf_counter()
     dense = eng.distance_sequences(seqs).packed
     dense_s = time.perf_counter() - t0
-    # Second run: exclude compile time.
-    t0 = time.perf_counter()
-    dense = eng.distance_sequences(seqs).packed
-    dense_s = min(dense_s, time.perf_counter() - t0)
 
     t0 = time.perf_counter()
     sparse = sparse_engine.distance_sparse_packed(seqs, k, False)

@@ -336,3 +336,80 @@ def test_sparse_compact_auto_probes_super_subroute(fasta_file, monkeypatch):
     rep = sc.metrics.report()
     assert rep["counters"].get("compact_host_selected") == 0
     assert rep["counters"].get("compact_super_batches", 0) >= 1
+
+
+def test_sparse_compact_auto_super_steady_state_with_words_reprobe(
+    fasta_file, monkeypatch
+):
+    """Regression (r4 review): once device_route flips to 'super', the
+    periodic WORDS re-probe must restage the words format (a stage_default
+    that returns raw again crashed the stream). Force the flip by slowing
+    both the host probe and the words drain."""
+    import time as _time
+
+    from dna_kmeres_parallel_tpu import native
+    from dna_kmeres_parallel_tpu.models import pipeline as pl
+    from dna_kmeres_parallel_tpu.models import sparse_engine
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    real_host = native.count_sparse_host_native
+    real_compact = sparse_engine.compact_unsorted
+
+    def slow_host(seg, k, canonical):
+        # Called by the host-mode probe batch AND by the super drains'
+        # expand+count. The probe's seg is one raw 128-base batch
+        # (+halo); super's expanded record streams are larger — slow
+        # only the probe so the race lands: host slowest, then words,
+        # super fastest.
+        if seg.shape[0] < 300:
+            _time.sleep(0.5)
+        return real_host(seg, k, canonical)
+
+    def slow_words_compact(words, k):
+        _time.sleep(0.2)  # make the words sub-route the EWMA loser
+        return real_compact(words, k)
+
+    monkeypatch.setattr(native, "count_sparse_host_native", slow_host)
+    monkeypatch.setattr(
+        sparse_engine, "compact_unsorted", slow_words_compact
+    )
+    monkeypatch.setattr(pl, "_COMPACT_RECHECK", 4)
+    path, seqs = fasta_file
+    sc = StreamingCounter(KmerConfig(k=21, batch_bases=128, compact="auto"))
+    result = sc.run(path)
+    assert result.table() == oracle.count_table_any_k(seqs, 21)
+    rep = sc.metrics.report()
+    assert rep["counters"].get("compact_super_batches", 0) >= 2
+
+
+def test_distance_checkpoint_refuses_wrong_input_and_short_csv(
+    tmp_path, make_dna
+):
+    """Regression (r4 review): resuming against a different same-shape
+    dataset or a damaged (short) CSV must refuse, not corrupt."""
+    from dna_kmeres_parallel_tpu.models.engine import KmerEngine
+
+    seqs_a = [make_dna(60 + 3 * i) for i in range(12)]
+    seqs_b = [make_dna(60 + 3 * i, invalid_frac=0.1) for i in range(12)]
+    eng = KmerEngine(KmerConfig(k=3))
+    out, ck = tmp_path / "d.csv", tmp_path / "d.ckpt"
+    eng.distance_stream_to_csv(
+        seqs_a, out, panel_rows=4, checkpoint_path=ck, max_panels=1
+    )
+    with pytest.raises(ValueError, match="does not match"):
+        eng.distance_stream_to_csv(
+            seqs_b, out, panel_rows=4, checkpoint_path=ck
+        )
+    # Damaged CSV (shorter than the durable offset) refuses too.
+    data = out.read_bytes()
+    out.write_bytes(data[: max(len(data) - 5, 0)])
+    with pytest.raises(ValueError, match="shorter than"):
+        eng.distance_stream_to_csv(
+            seqs_a, out, panel_rows=4, checkpoint_path=ck
+        )
+
+
+def test_compact_device_super_rejects_small_k():
+    with pytest.raises(ValueError, match="device-super"):
+        KmerConfig(k=3, compact="device-super")
