@@ -221,6 +221,23 @@ def cmd_count(args) -> int:
             if (args.output and not npz and args.min_count <= 1)
             else None
         )
+    elif getattr(args, "mesh", None):
+        # Mesh counting runs through the streaming pipeline (the same
+        # data-parallel engine the stream command uses; the in-memory
+        # engines are single-chip) — `count --mesh N` is `stream --mesh N`
+        # without a checkpoint.
+        from dna_kmeres_parallel_tpu.models.pipeline import StreamingCounter
+
+        inputs = _expand_inputs(args.input)
+        result = StreamingCounter(_build_config(args)).run(
+            inputs if len(inputs) > 1 else inputs[0]
+        )
+        total_kmers, distinct = result.total_kmers, result.distinct_kmers
+        table = (
+            result.table()
+            if (args.output and not npz and args.min_count <= 1)
+            else None
+        )
     elif sparse:
         from dna_kmeres_parallel_tpu.models.sparse_engine import SparseKmerEngine
 

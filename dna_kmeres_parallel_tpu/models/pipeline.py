@@ -636,9 +636,14 @@ class StreamingCounter:
             self.metrics.count("batches")
             since_ckpt += p_end - p_start
             if since_ckpt >= self.checkpoint_every_bases:
-                with self.metrics.phase("merge"):
-                    tables[:] = [merge_sparse_tables(tables)]
-                self._save(p_end, total_bases, sparse=tables[0])
+                # Full-table merges only serve the checkpoint snapshot;
+                # without one, the MergeLadder already bounds memory and
+                # the forced merge-everything was measured at ~40% of a
+                # 1-GBase run's host time (r4).
+                if self.checkpoint_path:
+                    with self.metrics.phase("merge"):
+                        tables[:] = [merge_sparse_tables(tables)]
+                    self._save(p_end, total_bases, sparse=tables[0])
                 since_ckpt = 0
 
         def _maybe_flip():

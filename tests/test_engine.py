@@ -440,3 +440,25 @@ def test_distance_stream_mesh_s2048_byte_identical(tmp_path, make_dna):
         KmerConfig(k=3, mesh_shape=(8,), use_pallas=False)
     ).distance_stream_to_csv(seqs, b, panel_rows=512)
     assert a.read_bytes() == b.read_bytes()
+
+
+def test_cli_count_mesh_matches_single(tmp_path, make_dna, capsys):
+    # `count --mesh N` routes through the DP streaming pipeline (r4) and
+    # must produce the identical table to the single-chip count.
+    import json as json_mod
+
+    from dna_kmeres_parallel_tpu import cli
+
+    path = tmp_path / "cm.fasta"
+    seqs = [make_dna(200 + 11 * i, invalid_frac=0.02) for i in range(4)]
+    fasta.write_fasta(path, [(f">s{i}", s) for i, s in enumerate(seqs)])
+    a, b = tmp_path / "a.csv", tmp_path / "b.csv"
+    assert cli.main(["count", "--k", "17", str(path), "-o", str(a)]) == 0
+    capsys.readouterr()
+    rc = cli.main(
+        ["count", "--k", "17", "--mesh", "8", str(path), "-o", str(b)]
+    )
+    assert rc == 0
+    report = json_mod.loads(capsys.readouterr().out)
+    assert report["total_kmers"] > 0
+    assert a.read_bytes() == b.read_bytes()
