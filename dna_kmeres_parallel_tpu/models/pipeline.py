@@ -26,10 +26,7 @@ from dna_kmeres_parallel_tpu.models.engine import (
     _LANE,
     stage_batch,
 )
-from dna_kmeres_parallel_tpu.models.sparse_engine import (
-    SparseCountResult,
-    merge_sparse_tables,
-)
+from dna_kmeres_parallel_tpu.models.sparse_engine import SparseCountResult
 from dna_kmeres_parallel_tpu.ops import runtime
 from dna_kmeres_parallel_tpu.ops import sparse as sparse_ops
 from dna_kmeres_parallel_tpu.utils import checkpoint as ckpt_mod
@@ -448,11 +445,18 @@ class StreamingCounter:
     def _run_sparse(self, flat, total_bases, n_seqs, t0) -> SparseCountResult:
         cfg = self.config
         total = flat.shape[0]
-        tables: list[tuple[np.ndarray, np.ndarray]] = []
+        # Two-level MergeLadder (r4): bounds memory for arbitrarily long
+        # streams AND collapses batch tables through the native k-way heap
+        # instead of pairwise ladder merges (the old plain list either
+        # grew unboundedly without a checkpoint or paid merge-everything
+        # on the checkpoint cadence).
+        from dna_kmeres_parallel_tpu.models.sparse_engine import MergeLadder
+
+        tables = MergeLadder()
         cursor = 0
         ck = self._maybe_resume(total)
         if ck is not None and not ck.dense:
-            tables.append((ck.sparse_codes, ck.sparse_counts))
+            tables.push((ck.sparse_codes, ck.sparse_counts))
             cursor = ck.cursor
             self.metrics.count("resumed_from_base", cursor)
 
@@ -642,8 +646,9 @@ class StreamingCounter:
                 # 1-GBase run's host time (r4).
                 if self.checkpoint_path:
                     with self.metrics.phase("merge"):
-                        tables[:] = [merge_sparse_tables(tables)]
-                    self._save(p_end, total_bases, sparse=tables[0])
+                        snap = tables.result()
+                        tables.reset_to(snap)
+                    self._save(p_end, total_bases, sparse=snap)
                 since_ckpt = 0
 
         def _maybe_flip():
@@ -694,13 +699,13 @@ class StreamingCounter:
                         table_from_rle,
                     )
 
-                    tables.append(table_from_rle(*words))
+                    tables.push(table_from_rle(*words))
                 elif tag == "super":
                     from dna_kmeres_parallel_tpu.parallel.bucketed import (
                         table_from_superkmers,
                     )
 
-                    tables.append(
+                    tables.push(
                         table_from_superkmers(
                             *words, cfg.k, 7, cfg.canonical
                         )
@@ -710,15 +715,15 @@ class StreamingCounter:
                     planes = fetch_words(words)
                     for d in range(planes[-1].shape[0]):
                         plane = tuple(w[d] for w in planes)
-                        tables.append(
+                        tables.push(
                             compact_table(plane)
                             if dev_sort
                             else compact_unsorted(plane, cfg.k)
                         )
                 elif dev_sort:
-                    tables.append(compact_table(words))
+                    tables.push(compact_table(words))
                 else:
-                    tables.append(compact_unsorted(words, cfg.k))
+                    tables.push(compact_unsorted(words, cfg.k))
             if adaptive and p_idx >= 2:
                 # This wall covers device exec + D2H fetch + host
                 # compaction — the full per-batch cost of the device route
@@ -744,8 +749,9 @@ class StreamingCounter:
                     drain(pending)
                     pending = None
                 with self.metrics.phase("merge"):
-                    tables = [merge_sparse_tables(tables)]
-                self._save(start, total_bases, sparse=tables[0])
+                    snap = tables.result()
+                    tables.reset_to(snap)
+                self._save(start, total_bases, sparse=snap)
                 stopped = True
                 break
             done_batches += 1
@@ -840,7 +846,7 @@ class StreamingCounter:
                 seg = flat[start : min(end + overlap, total)]
                 t_h = time.perf_counter()
                 with self.metrics.phase("host_count"):
-                    tables.append(
+                    tables.push(
                         native.count_sparse_host_native(
                             seg, cfg.k, cfg.canonical
                         )
@@ -1005,7 +1011,7 @@ class StreamingCounter:
         if pending is not None:
             drain(pending)
         with self.metrics.phase("merge"):
-            codes, counts = merge_sparse_tables(tables)
+            codes, counts = tables.result()
         if not stopped:
             self._save(total, total_bases, sparse=(codes, counts))
         return SparseCountResult(
