@@ -164,9 +164,17 @@ def cmd_count(args) -> int:
     from dna_kmeres_parallel_tpu.utils import codec, io
 
     sparse = args.k > 12  # beyond the dense 4^k-bins comfort zone
-    records = _load_records(args)
-    seqs = [r.seq for r in records]
-    total_bases = sum(len(s) for s in seqs)
+    mesh_stream = bool(getattr(args, "mesh", None)) and args.engine == "tpu"
+    if mesh_stream:
+        # The streaming pipeline parses the files itself — loading every
+        # record here too would double I/O and hold the whole dataset in
+        # RAM for the run; n_seqs/total_bases come from the result.
+        seqs = []
+        total_bases = None
+    else:
+        records = _load_records(args)
+        seqs = [r.seq for r in records]
+        total_bases = sum(len(s) for s in seqs)
     npz = bool(args.output) and str(args.output).endswith(".npz")
     result = None
     t0 = time.perf_counter()
@@ -221,7 +229,7 @@ def cmd_count(args) -> int:
             if (args.output and not npz and args.min_count <= 1)
             else None
         )
-    elif getattr(args, "mesh", None):
+    elif mesh_stream:
         # Mesh counting runs through the streaming pipeline (the same
         # data-parallel engine the stream command uses; the in-memory
         # engines are single-chip) — `count --mesh N` is `stream --mesh N`
@@ -232,6 +240,7 @@ def cmd_count(args) -> int:
         result = StreamingCounter(_build_config(args)).run(
             inputs if len(inputs) > 1 else inputs[0]
         )
+        total_bases = result.total_bases
         total_kmers, distinct = result.total_kmers, result.distinct_kmers
         table = (
             result.table()
@@ -288,7 +297,7 @@ def cmd_count(args) -> int:
         "k": args.k,
         "canonical": args.canonical,
         "engine": args.engine + ("/sparse" if sparse and args.engine == "tpu" else ""),
-        "n_seqs": len(seqs),
+        "n_seqs": result.n_seqs if mesh_stream else len(seqs),
         "total_bases": total_bases,
         "total_kmers": total_kmers,
         "distinct_kmers": distinct,

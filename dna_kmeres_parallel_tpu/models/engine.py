@@ -623,13 +623,15 @@ class KmerEngine:
         S = len(seqs)
         counts = jnp.asarray(self.counts_matrix(seqs))
         lengths = np.array([len(s) for s in seqs], dtype=np.int64)
-        # Input fingerprint: (k, canonical, S) alone cannot tell two
-        # same-sized datasets apart — resuming against the wrong input
-        # must refuse, not silently mix panels.
-        input_sha = hashlib.sha256(
-            np.ascontiguousarray(lengths).tobytes()
-            + b"|".join(s[:64].encode() for s in seqs[:32])
-        ).hexdigest()[:16]
+        # Input fingerprint over the FULL content: (k, canonical, S,
+        # lengths) alone cannot tell two same-shaped datasets apart (a
+        # single-base edit must refuse to resume, not silently mix
+        # panels). Hashing every base costs ~0.3 s/GB — noise against
+        # the runs this checkpoint protects.
+        h = hashlib.sha256(np.ascontiguousarray(lengths).tobytes())
+        for s in seqs:
+            h.update(s.encode())
+        input_sha = h.hexdigest()[:16]
         pallas = self._pallas()
         mesh = self._mesh()
         n_pairs = 0
@@ -639,13 +641,17 @@ class KmerEngine:
         if checkpoint_path is not None and os.path.exists(checkpoint_path):
             with open(checkpoint_path, "r", encoding="ascii") as cf:
                 ck = json.load(cf)
+            # Pre-r4 checkpoints carry no input_sha: accept them (the
+            # shape fields still gate) and stamp the sha on the next
+            # save, so in-flight design-scale runs survive the upgrade.
+            sha_ok = ck.get("input_sha") in (None, input_sha)
             if (
                 ck.get("format_version") != 1
                 or ck["k"] != cfg.k
                 or ck["canonical"] != cfg.canonical
                 or ck["n_seqs"] != S
                 or ck["panel_rows"] != panel_rows
-                or ck.get("input_sha") != input_sha
+                or not sha_ok
             ):
                 raise ValueError(
                     "distance checkpoint does not match this run "

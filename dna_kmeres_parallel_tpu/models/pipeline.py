@@ -667,16 +667,22 @@ class StreamingCounter:
                 if rate[oth_k] > _COMPACT_HYSTERESIS * rate[cur_k]:
                     device_route = "super" if oth_k == "super" else "words"
                     self.metrics.count("compact_super_flips")
-            # The device arm's representative rate: the BEST available
-            # sub-route rate. In host mode only the words route re-probes
-            # (super's EWMA freezes — its probe needs the device arm), so
-            # taking the max keeps the host-vs-device flip responsive to
-            # the fresh measurements instead of a stale super number.
-            dev_key = "device"
-            if rate["super"] is not None and (
-                rate["device"] is None or rate["super"] > rate["device"]
-            ):
-                dev_key = "super"
+            # The device arm's representative rate. In HOST mode only the
+            # words route re-probes (super's probe needs the device arm),
+            # so the host-vs-device flip uses the FRESH rate['device']
+            # there — never the frozen super EWMA, which could otherwise
+            # drive a flip on a number the code knows is stale. In DEVICE
+            # mode the sub-route selection above already keeps
+            # device_route on the better-measured sub-route; the flip
+            # compares host against the route actually running.
+            if host_mode:
+                dev_key = "device"
+            else:
+                dev_key = (
+                    "super"
+                    if device_route == "super" and rate["super"] is not None
+                    else "device"
+                )
             if rate[dev_key] is None or rate["host"] is None:
                 return
             cur, other = (
@@ -685,9 +691,9 @@ class StreamingCounter:
             if rate[other] > _COMPACT_HYSTERESIS * rate[cur]:
                 host_mode = not host_mode
                 if not host_mode:
-                    # Entering device mode: start on the sub-route whose
-                    # rate won the comparison.
-                    device_route = "super" if dev_key == "super" else "words"
+                    # Entering device mode on the words route; the
+                    # sub-probe cycle re-rates super promptly.
+                    device_route = "words"
                 self.metrics.count("compact_mode_flips")
 
         def drain(p):

@@ -462,3 +462,26 @@ def test_cli_count_mesh_matches_single(tmp_path, make_dna, capsys):
     report = json_mod.loads(capsys.readouterr().out)
     assert report["total_kmers"] > 0
     assert a.read_bytes() == b.read_bytes()
+
+
+def test_distance_checkpoint_pre_r4_migration(tmp_path, make_dna):
+    # Checkpoints written before the input fingerprint existed (no
+    # input_sha key) must still resume; the sha is stamped on the next
+    # save.
+    import json as json_mod
+
+    seqs = [make_dna(60 + 3 * i) for i in range(12)]
+    eng = KmerEngine(KmerConfig(k=3))
+    ref = tmp_path / "ref.csv"
+    eng.distance_stream_to_csv(seqs, ref, panel_rows=4)
+    out, ck = tmp_path / "d.csv", tmp_path / "d.ckpt"
+    eng.distance_stream_to_csv(
+        seqs, out, panel_rows=4, checkpoint_path=ck, max_panels=1
+    )
+    data = json_mod.loads(ck.read_text())
+    del data["input_sha"]  # simulate a pre-r4 checkpoint
+    ck.write_text(json_mod.dumps(data))
+    r = eng.distance_stream_to_csv(seqs, out, panel_rows=4, checkpoint_path=ck)
+    assert r["completed"] and r["resumed"]
+    assert out.read_bytes() == ref.read_bytes()
+    assert "input_sha" in json_mod.loads(ck.read_text())
