@@ -47,8 +47,9 @@ def main() -> int:
     # BENCH_METRIC=distance: pairwise-distance throughput (the reference's
     # step-2, kernels.h:85-109, as one tiled (min,+) program). BENCH_K
     # selects the band (k=8 = 64K bins, the Pallas bins-tiled kernel's
-    # upper routing edge; k<=8 routes Pallas on TPU, larger k routes jnp).
-    # BENCH_DIST_IMPL=jnp|pallas forces a path for A/B. vs_baseline is
+    # upper routing edge; k<=8 routes Pallas on TPU, larger k routes jnp;
+    # r4: low-multiplicity counts route the MXU threshold matmuls).
+    # BENCH_DIST_IMPL=jnp|pallas|mxu forces a path for A/B. vs_baseline is
     # value / 1e6 pairs/s — an indicative denominator (the reference's own
     # per-query-launch step 2 is launch-latency-bound; it publishes no
     # pairs/s).

@@ -685,21 +685,33 @@ def run_distance_bench(
     counts = _counts_matrix_batch(grid, k, bins, False)
     counts.block_until_ready()
 
+    cmax = int(np.asarray(counts).max())
     if impl == "auto":
-        use_pallas = (
+        # Engine-mirroring: the MXU threshold route when every count is
+        # within the crossover (r4), else Pallas tri, else jnp.
+        if (
+            runtime.pallas_mode() == "compiled"
+            and 0 < cmax <= dist_ops.MXU_CMAX_DEFAULT
+        ):
+            use = "mxu"
+        elif (
             runtime.pallas_mode() == "compiled"
             and bins <= distance_pallas._ROUTE_MAX_BINS
-        )
+        ):
+            use = "pallas"
+        else:
+            use = "jnp"
     else:
-        use_pallas = impl == "pallas"
+        use = impl
     # Engine-equivalent kernel: the symmetric path runs the triangle-only
     # grid (lower tiles are never written, so the signature masks to
     # i <= j — also what the packed-triangle consumer reads).
-    fn = (
-        (lambda c: distance_pallas.min_sum_matrix_pallas_tri(c))
-        if use_pallas
-        else (lambda c: dist_ops.min_sum_matrix(c))
-    )
+    if use == "mxu":
+        fn = lambda c: dist_ops.min_sum_matrix_mxu(c, cmax)  # noqa: E731
+    elif use == "pallas":
+        fn = lambda c: distance_pallas.min_sum_matrix_pallas_tri(c)  # noqa: E731
+    else:
+        fn = lambda c: dist_ops.min_sum_matrix(c)  # noqa: E731
     # In-program repetition (lax.scan over distinct offsets in ONE
     # dispatch): per-dispatch tunnel latency is tens of ms — larger than
     # the kernel itself at this size — and a fetch-roundtrip subtraction
@@ -710,7 +722,10 @@ def run_distance_bench(
     @jax.jit
     def prog(c, base):
         def body(acc, i):
-            o = fn(c + base + i)  # distinct inputs
+            # Distinct inputs per iteration/dispatch via a ROW ROLL
+            # (value-preserving — the old +base shift raised every count
+            # and would break the mxu route's static cmax bound).
+            o = fn(jnp.roll(c, base + i, axis=0))
             r = jax.lax.broadcasted_iota(jnp.int32, o.shape, 0)
             cx = jax.lax.broadcasted_iota(jnp.int32, o.shape, 1)
             return acc + jnp.sum(jnp.where(r <= cx, o, 0)), None
@@ -734,7 +749,8 @@ def run_distance_bench(
     return {
         "bench": "distance",
         "k": k,
-        "impl": "pallas" if use_pallas else "jnp",
+        "impl": use,
+        "cmax": cmax,
         "n_seqs": n_seqs,
         "seq_len": seq_len,
         "n_pairs": n_pairs,

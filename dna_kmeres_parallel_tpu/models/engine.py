@@ -278,12 +278,42 @@ class KmerEngine:
             n *= d
         return make_mesh(n) if n > 1 else None
 
-    def _min_sum_panel_mesh(self, panel, other, mesh, pallas):
+    def _mxu_dist_cmax(self, counts_np) -> int | None:
+        """Whether the MXU threshold route serves this counts matrix:
+        returns the static cmax to use, or None to keep the (min,+)
+        routes. Gates: every count <= the crossover limit
+        (KMER_TPU_MXU_CMAX, default ops.distance.MXU_CMAX_DEFAULT), every
+        row's window total < 2^24 (f32 exactness), and a real TPU
+        backend (KMER_TPU_DIST_MXU=1/0 forces/disables — tests route it
+        on CPU with =1)."""
+        force = os.environ.get("KMER_TPU_DIST_MXU")
+        if force == "0":
+            return None
+        counts_np = np.asarray(counts_np)
+        if counts_np.size == 0:
+            return None
+        cmax = int(counts_np.max(initial=0))
+        limit = int(
+            os.environ.get(
+                "KMER_TPU_MXU_CMAX", str(dist_ops.MXU_CMAX_DEFAULT)
+            )
+        )
+        if not (0 < cmax <= limit):
+            return None
+        if int(counts_np.sum(axis=1).max(initial=0)) >= (1 << 24):
+            return None
+        if force != "1" and runtime.pallas_mode() != "compiled":
+            return None
+        return cmax
+
+    def _min_sum_panel_mesh(self, panel, other, mesh, pallas,
+                            mxu_cmax=None):
         """Column-sharded (min,+) panel over the mesh: [Pr, bins] x
         [S2, bins] -> np.int32 [Pr, S2]. Pads partner rows to a mesh-axis
         multiple with zero-count rows (min-sum 0, sliced off); routes the
-        Pallas kernel per shard exactly like the single-chip engine, with
-        the same compile-failure degradation to jnp."""
+        MXU threshold matmuls (mxu_cmax) or the Pallas kernel per shard
+        exactly like the single-chip engine, with the same
+        compile-failure degradation to jnp."""
         from dna_kmeres_parallel_tpu.parallel.mesh import DATA_AXIS
         from dna_kmeres_parallel_tpu.parallel.sharded_count import (
             min_sum_panel_sharded,
@@ -294,6 +324,11 @@ class KmerEngine:
         pad = (-S2) % D
         if pad:
             other = jnp.pad(other, ((0, pad), (0, 0)))
+        if mxu_cmax is not None:
+            sums = min_sum_panel_sharded(
+                panel, other, mesh, mxu_cmax=mxu_cmax
+            )
+            return np.asarray(sums)[:, :S2]
         use_pl = (
             pallas
             if (
@@ -523,13 +558,25 @@ class KmerEngine:
         lengths = np.array([len(s) for s in seqs], dtype=np.int64)
         pallas = self._pallas()
         mesh = self._mesh()
+        mxu_cmax = self._mxu_dist_cmax(counts) if n else None
         if mesh is not None and n:
             # Multi-chip: one partner-sharded panel covering all rows —
-            # every device runs the same (Pallas-routed) kernel as the
-            # single-chip path; integer sums, so the distances are
+            # every device runs the same (MXU-/Pallas-routed) kernel as
+            # the single-chip path; integer sums, so the distances are
             # bit-identical at any device count.
             sums = self._min_sum_panel_mesh(
-                jnp.asarray(counts), jnp.asarray(counts), mesh, pallas
+                jnp.asarray(counts), jnp.asarray(counts), mesh, pallas,
+                mxu_cmax=mxu_cmax,
+            )
+            square = dist_ops.finish_distances(sums, lengths, cfg.k)
+            rows, cols = np.triu_indices(n, k=1)
+            packed = square[rows, cols]
+        elif mxu_cmax is not None:
+            # MXU threshold route (r4): cmax boolean matmuls on the
+            # systolic array — the low-multiplicity regime's fast path
+            # (ops/distance.min_sum_matrix_mxu; exact, gated above).
+            sums = np.asarray(
+                dist_ops.min_sum_matrix_mxu(jnp.asarray(counts), mxu_cmax)
             )
             square = dist_ops.finish_distances(sums, lengths, cfg.k)
             rows, cols = np.triu_indices(n, k=1)
@@ -621,7 +668,10 @@ class KmerEngine:
         cfg = self.config
         t0 = time.perf_counter()
         S = len(seqs)
-        counts = jnp.asarray(self.counts_matrix(seqs))
+        counts_np = self.counts_matrix(seqs)
+        counts = jnp.asarray(counts_np)
+        mxu_cmax = self._mxu_dist_cmax(counts_np) if S else None
+        del counts_np
         lengths = np.array([len(s) for s in seqs], dtype=np.int64)
         # Input fingerprint over the FULL content: (k, canonical, S,
         # lengths) alone cannot tell two same-shaped datasets apart (a
@@ -727,7 +777,11 @@ class KmerEngine:
                 base = S - n_cols  # first column's sequence index
                 if mesh is not None:
                     sums = self._min_sum_panel_mesh(
-                        panel, other, mesh, pallas
+                        panel, other, mesh, pallas, mxu_cmax=mxu_cmax
+                    )[:rp]
+                elif mxu_cmax is not None:
+                    sums = np.asarray(
+                        dist_ops.min_sum_matrix_mxu(panel, mxu_cmax, other)
                     )[:rp]
                 elif (
                     pallas is not None

@@ -57,6 +57,56 @@ def min_sum_matrix(
     return sums.reshape(nblocks * row_block, -1)[:S]
 
 
+#: largest per-bin count for which the MXU threshold route applies by
+#: default (r4): sum_p min(a,b) costs cmax boolean matmuls there vs ~2
+#: VPU ops/bin-pair on the (min,+) routes. Measured on v5e (S=2048,
+#: BENCHMARKS.md "MXU threshold distances"): 5.1x over the Pallas tri
+#: at k=8/cmax=4; breakeven lands around cmax ~20-35 depending on the
+#: bins band (k=3/cmax=39 measured 0.9x). 16 keeps every routed case
+#: comfortably on the winning side; KMER_TPU_MXU_CMAX overrides.
+MXU_CMAX_DEFAULT = 16
+
+
+@functools.partial(jax.jit, static_argnames=("cmax",))
+def min_sum_matrix_mxu(
+    counts: jax.Array,
+    cmax: int,
+    counts_other: jax.Array | None = None,
+) -> jax.Array:
+    """(min,+) on the MXU via thresholding (r4):
+
+        sum_p min(a_p, b_p) = sum_{t=1..cmax} [a_p >= t] * [b_p >= t]
+
+    i.e. cmax boolean matmuls [S, bins] @ [bins, S2] that ride the
+    systolic array instead of the VPU — the TPU-native reformulation of
+    the reference's per-pair min loop (/root/reference/kernels.h:102-104)
+    for the low-multiplicity regime. EXACT when every count <= cmax and
+    every pair's min-sum < 2^24 (0/1 values are exact in bf16, products
+    accumulate in f32; min-sums are bounded by the window count, so any
+    sequence under 16.7M windows qualifies — callers gate on both).
+    """
+    other = counts if counts_other is None else counts_other
+    S, S2 = counts.shape[0], other.shape[0]
+
+    def body(acc, t):
+        a = (counts >= t).astype(jnp.bfloat16)
+        b = (other >= t).astype(jnp.bfloat16)
+        term = jax.lax.dot_general(
+            a,
+            b,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc + term, None
+
+    acc, _ = jax.lax.scan(
+        body,
+        jnp.zeros((S, S2), jnp.float32),
+        jnp.arange(1, cmax + 1, dtype=jnp.int32),
+    )
+    return acc.astype(jnp.int32)
+
+
 def finish_distances(
     min_sums: np.ndarray, lengths: np.ndarray, k: int
 ) -> np.ndarray:

@@ -194,7 +194,8 @@ def min_sum_matrix_sharded(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "axis", "pallas", "row_block")
+    jax.jit,
+    static_argnames=("mesh", "axis", "pallas", "row_block", "mxu_cmax"),
 )
 def min_sum_panel_sharded(
     panel: jax.Array,
@@ -203,6 +204,7 @@ def min_sum_panel_sharded(
     axis: str = DATA_AXIS,
     pallas: str | None = None,
     row_block: int = 128,
+    mxu_cmax: int | None = None,
 ) -> jax.Array:
     """PARTNER-sharded (min,+) panel: [Pr, bins] x [S2, bins] -> [Pr, S2].
 
@@ -227,6 +229,10 @@ def min_sum_panel_sharded(
         )
 
     def shard_fn(p, o):
+        if mxu_cmax is not None:
+            # MXU threshold route per shard (ops/distance, r4): callers
+            # gate on counts <= cmax and window totals < 2^24.
+            return dist_ops.min_sum_matrix_mxu(p, mxu_cmax, o)
         if pallas is not None:
             return distance_pallas.min_sum_matrix_pallas(
                 p, o, interpret=(pallas == "interpret")

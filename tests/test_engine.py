@@ -485,3 +485,36 @@ def test_distance_checkpoint_pre_r4_migration(tmp_path, make_dna):
     assert r["completed"] and r["resumed"]
     assert out.read_bytes() == ref.read_bytes()
     assert "input_sha" in json_mod.loads(ck.read_text())
+
+
+def test_distance_mxu_route_bit_identical(tmp_path, make_dna, monkeypatch):
+    # The MXU threshold distance route (r4): forced on (CPU), the packed
+    # distances and the streamed CSV must be byte-identical to the
+    # default route's, single-chip and mesh.
+    seqs = [make_dna(70 + 9 * i, invalid_frac=0.02) for i in range(13)]
+    base = KmerEngine(KmerConfig(k=4)).distance_sequences(seqs).packed
+    monkeypatch.setenv("KMER_TPU_DIST_MXU", "1")
+    eng = KmerEngine(KmerConfig(k=4))
+    assert eng._mxu_dist_cmax(eng.counts_matrix(seqs)) is not None
+    got = eng.distance_sequences(seqs).packed
+    assert np.array_equal(base, got)
+    meshed = (
+        KmerEngine(KmerConfig(k=4, mesh_shape=(8,)))
+        .distance_sequences(seqs)
+        .packed
+    )
+    assert np.array_equal(base, meshed)
+    a, b = tmp_path / "a.csv", tmp_path / "b.csv"
+    KmerEngine(KmerConfig(k=4)).distance_stream_to_csv(seqs, a, panel_rows=5)
+    monkeypatch.setenv("KMER_TPU_DIST_MXU", "0")
+    KmerEngine(KmerConfig(k=4)).distance_stream_to_csv(seqs, b, panel_rows=5)
+    assert a.read_bytes() == b.read_bytes()
+
+
+def test_distance_mxu_gate_respects_cmax_limit(make_dna, monkeypatch):
+    monkeypatch.setenv("KMER_TPU_DIST_MXU", "1")
+    eng = KmerEngine(KmerConfig(k=2))
+    # k=2, long sequence: counts far above the crossover limit -> None.
+    counts = eng.counts_matrix([make_dna(4000)])
+    assert int(counts.max()) > 64
+    assert eng._mxu_dist_cmax(counts) is None

@@ -141,3 +141,29 @@ def test_histogram_sorted_matches_oracle(make_dna):
             hist_ops.histogram_sorted(codes, valid, 4**k), dtype=np.int64
         )
         assert np.array_equal(got, oracle.count_vector(s, k))
+
+
+@pytest.mark.parametrize("cmax", [1, 3, 17, 64])
+def test_min_sum_matrix_mxu_exact(cmax):
+    # The MXU threshold identity sum_p min(a,b) = sum_t [a>=t][b>=t]
+    # must be bit-exact against the (min,+) reduction for any counts
+    # bounded by cmax, including zero rows and asymmetric panels.
+    rng = np.random.default_rng(3)
+    counts = rng.integers(0, cmax + 1, (13, 257)).astype(np.int32)
+    counts[3] = 0
+    other = rng.integers(0, cmax + 1, (21, 257)).astype(np.int32)
+    want = np.asarray(
+        dist_ops.min_sum_matrix(
+            jnp.asarray(counts), counts_other=jnp.asarray(other)
+        )
+    )
+    got = np.asarray(
+        dist_ops.min_sum_matrix_mxu(
+            jnp.asarray(counts), cmax, jnp.asarray(other)
+        )
+    )
+    assert np.array_equal(got, want)
+    sym = np.asarray(dist_ops.min_sum_matrix_mxu(jnp.asarray(counts), cmax))
+    assert np.array_equal(
+        sym, np.asarray(dist_ops.min_sum_matrix(jnp.asarray(counts)))
+    )
