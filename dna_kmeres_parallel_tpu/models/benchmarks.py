@@ -685,13 +685,23 @@ def run_distance_bench(
     counts = _counts_matrix_batch(grid, k, bins, False)
     counts.block_until_ready()
 
-    cmax = int(np.asarray(counts).max())
+    # Device max + 4-byte scalar fetch — np.asarray of the full counts
+    # matrix would ship 100s of MB over the ~30-50 MB/s tunnel D2H.
+    cmax = int(jnp.max(counts))
     if impl == "auto":
-        # Engine-mirroring: the MXU threshold route when every count is
-        # within the crossover (r4), else Pallas tri, else jnp.
-        if (
-            runtime.pallas_mode() == "compiled"
-            and 0 < cmax <= dist_ops.MXU_CMAX_DEFAULT
+        # Engine-mirroring (incl. the engine's env overrides): the MXU
+        # threshold route when every count is within the crossover (r4),
+        # else Pallas tri, else jnp.
+        import os as _os
+
+        mxu_force = _os.environ.get("KMER_TPU_DIST_MXU")
+        mxu_limit = int(
+            _os.environ.get(
+                "KMER_TPU_MXU_CMAX", str(dist_ops.MXU_CMAX_DEFAULT)
+            )
+        )
+        if mxu_force != "0" and 0 < cmax <= mxu_limit and (
+            mxu_force == "1" or runtime.pallas_mode() == "compiled"
         ):
             use = "mxu"
         elif (

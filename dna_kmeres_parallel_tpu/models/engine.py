@@ -324,11 +324,25 @@ class KmerEngine:
         pad = (-S2) % D
         if pad:
             other = jnp.pad(other, ((0, pad), (0, 0)))
-        if mxu_cmax is not None:
-            sums = min_sum_panel_sharded(
-                panel, other, mesh, mxu_cmax=mxu_cmax
-            )
-            return np.asarray(sums)[:, :S2]
+        if mxu_cmax is not None and not getattr(
+            self, "_mesh_mxu_broken", False
+        ):
+            try:
+                sums = min_sum_panel_sharded(
+                    panel, other, mesh, mxu_cmax=mxu_cmax
+                )
+                return np.asarray(sums)[:, :S2]
+            except Exception as e:
+                msg = str(e).lower()
+                if not any(
+                    t in msg
+                    for t in ("vmem", "mosaic", "remote_compile",
+                              "resource_exhausted", "out of memory")
+                ):
+                    raise
+                # Sticky: fall through to the Pallas/jnp routes for the
+                # rest of the stream (same policy as below).
+                self._mesh_mxu_broken = True
         use_pl = (
             pallas
             if (
@@ -559,6 +573,7 @@ class KmerEngine:
         pallas = self._pallas()
         mesh = self._mesh()
         mxu_cmax = self._mxu_dist_cmax(counts) if n else None
+        sums = None  # [S, S] int32 min-sums; None -> jnp packed path
         if mesh is not None and n:
             # Multi-chip: one partner-sharded panel covering all rows —
             # every device runs the same (MXU-/Pallas-routed) kernel as
@@ -568,9 +583,6 @@ class KmerEngine:
                 jnp.asarray(counts), jnp.asarray(counts), mesh, pallas,
                 mxu_cmax=mxu_cmax,
             )
-            square = dist_ops.finish_distances(sums, lengths, cfg.k)
-            rows, cols = np.triu_indices(n, k=1)
-            packed = square[rows, cols]
         elif mxu_cmax is not None:
             # MXU threshold route (r4): cmax boolean matmuls on the
             # systolic array — the low-multiplicity regime's fast path
@@ -578,9 +590,6 @@ class KmerEngine:
             sums = np.asarray(
                 dist_ops.min_sum_matrix_mxu(jnp.asarray(counts), mxu_cmax)
             )
-            square = dist_ops.finish_distances(sums, lengths, cfg.k)
-            rows, cols = np.triu_indices(n, k=1)
-            packed = square[rows, cols]
         elif pallas is not None and cfg.bins <= distance_pallas._ROUTE_MAX_BINS:
             try:
                 # Triangle-only grid: ~2x fewer tiles than the full matrix
@@ -605,16 +614,10 @@ class KmerEngine:
                 ):
                     raise
                 sums = None
-            if sums is not None:
-                square = dist_ops.finish_distances(sums, lengths, cfg.k)
-                rows, cols = np.triu_indices(n, k=1)
-                packed = square[rows, cols]
-            else:
-                packed = dist_ops.distance_matrix_packed(
-                    jnp.asarray(counts),
-                    jnp.asarray(lengths, dtype=jnp.int32),
-                    cfg.k,
-                )
+        if sums is not None:
+            square = dist_ops.finish_distances(sums, lengths, cfg.k)
+            rows, cols = np.triu_indices(n, k=1)
+            packed = square[rows, cols]
         else:
             packed = dist_ops.distance_matrix_packed(
                 jnp.asarray(counts), jnp.asarray(lengths, dtype=jnp.int32), cfg.k
@@ -682,6 +685,12 @@ class KmerEngine:
         for s in seqs:
             h.update(s.encode())
         input_sha = h.hexdigest()[:16]
+        # One interim build fingerprinted only a content SAMPLE; accept
+        # its sha on resume too (restamped as full-content on next save).
+        legacy_sha = hashlib.sha256(
+            np.ascontiguousarray(lengths).tobytes()
+            + b"|".join(s[:64].encode() for s in seqs[:32])
+        ).hexdigest()[:16]
         pallas = self._pallas()
         mesh = self._mesh()
         n_pairs = 0
@@ -691,10 +700,11 @@ class KmerEngine:
         if checkpoint_path is not None and os.path.exists(checkpoint_path):
             with open(checkpoint_path, "r", encoding="ascii") as cf:
                 ck = json.load(cf)
-            # Pre-r4 checkpoints carry no input_sha: accept them (the
-            # shape fields still gate) and stamp the sha on the next
-            # save, so in-flight design-scale runs survive the upgrade.
-            sha_ok = ck.get("input_sha") in (None, input_sha)
+            # Pre-fingerprint checkpoints carry no input_sha and the
+            # interim build carried the sampled one: accept both (the
+            # shape fields still gate) and stamp the full-content sha on
+            # the next save, so in-flight runs survive the upgrade.
+            sha_ok = ck.get("input_sha") in (None, input_sha, legacy_sha)
             if (
                 ck.get("format_version") != 1
                 or ck["k"] != cfg.k

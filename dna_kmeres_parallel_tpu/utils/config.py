@@ -103,14 +103,14 @@ class KmerConfig:
             raise ValueError(f"k must be in [1, 31], got {self.k}")
         if self.parser_variant not in ("modern", "blank_line", "no_blank_line"):
             raise ValueError(f"bad parser_variant {self.parser_variant!r}")
-        if self.compact == "device-super" and self.k < 13:
-            # The streamed sparse path (the only consumer of compact
-            # modes) serves k >= 13; smaller k counts dense and would
-            # silently ignore the setting. (The record format itself
-            # needs minimizer m=7 < k; the route bound is the stricter.)
+        if self.compact == "device-super" and self.k < 9:
+            # compact modes are consumed by the streamed SPARSE path,
+            # which serves k >= 9 (k <= 8 counts dense and would
+            # silently ignore the setting); the record format's own
+            # bound (minimizer m=7 < k) is implied by k >= 9.
             raise ValueError(
                 f"compact='device-super' serves the sparse stream "
-                f"(k >= 13), got k={self.k}"
+                f"(k >= 9), got k={self.k}"
             )
         if self.compact not in (
             "auto", "device", "host", "device-rle", "device-super"
