@@ -518,3 +518,14 @@ def test_distance_mxu_gate_respects_cmax_limit(make_dna, monkeypatch):
     counts = eng.counts_matrix([make_dna(4000)])
     assert int(counts.max()) > 64
     assert eng._mxu_dist_cmax(counts) is None
+
+
+def test_distance_mxu_gate_respects_f32_bound(monkeypatch):
+    # Row window totals at/above 2^24 would break f32 exactness in the
+    # threshold accumulation — the gate must refuse regardless of cmax.
+    monkeypatch.setenv("KMER_TPU_DIST_MXU", "1")
+    eng = KmerEngine(KmerConfig(k=4))
+    small = np.full((2, 1 << 10), 4, dtype=np.int32)
+    assert eng._mxu_dist_cmax(small) == 4
+    big = np.full((2, 1 << 22), 4, dtype=np.int32)  # row sum = 2^24
+    assert eng._mxu_dist_cmax(big) is None
