@@ -718,6 +718,11 @@ def run_distance_bench(
     # i <= j — also what the packed-triangle consumer reads).
     if use == "mxu":
         fn = lambda c: dist_ops.min_sum_matrix_mxu(c, cmax)  # noqa: E731
+        # The caller's reps heuristic scales with pairs*bins; the MXU
+        # route is ~10x faster per rep, so a reps=1 timing is mostly
+        # dispatch latency (measured: 50M "bench" vs 105M amortized
+        # pairs/s at k=8) — amortize over at least 4 in-program reps.
+        reps = max(reps, 4)
     elif use == "pallas":
         fn = lambda c: distance_pallas.min_sum_matrix_pallas_tri(c)  # noqa: E731
     else:

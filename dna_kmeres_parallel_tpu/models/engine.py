@@ -283,9 +283,10 @@ class KmerEngine:
         returns the static cmax to use, or None to keep the (min,+)
         routes. Gates: every count <= the crossover limit
         (KMER_TPU_MXU_CMAX, default ops.distance.MXU_CMAX_DEFAULT), every
-        row's window total < 2^24 (f32 exactness), and a real TPU
-        backend (KMER_TPU_DIST_MXU=1/0 forces/disables — tests route it
-        on CPU with =1)."""
+        row's window total < 2^31 (int32 exactness — always true for
+        int32 counts matrices in practice), and a real TPU backend
+        (KMER_TPU_DIST_MXU=1/0 forces/disables — tests route it on CPU
+        with =1)."""
         force = os.environ.get("KMER_TPU_DIST_MXU")
         if force == "0":
             return None
@@ -300,7 +301,7 @@ class KmerEngine:
         )
         if not (0 < cmax <= limit):
             return None
-        if int(counts_np.sum(axis=1).max(initial=0)) >= (1 << 24):
+        if int(counts_np.sum(axis=1).max(initial=0)) >= (1 << 31):
             return None
         if force != "1" and runtime.pallas_mode() != "compiled":
             return None

@@ -80,31 +80,29 @@ def min_sum_matrix_mxu(
     i.e. cmax boolean matmuls [S, bins] @ [bins, S2] that ride the
     systolic array instead of the VPU — the TPU-native reformulation of
     the reference's per-pair min loop (/root/reference/kernels.h:102-104)
-    for the low-multiplicity regime. EXACT when every count <= cmax and
-    every pair's min-sum < 2^24 (0/1 values are exact in bf16, products
-    accumulate in f32; min-sums are bounded by the window count, so any
-    sequence under 16.7M windows qualifies — callers gate on both).
+    for the low-multiplicity regime. int8 planes with int32 accumulation:
+    EXACT whenever every count <= cmax and min-sums stay below 2^31 (they
+    are bounded by the window count — always, in practice; callers gate).
+
+    The t-loop is a STATIC unroll, not a lax.scan: the scan's [S, S2]
+    carry barrier between matmuls costs ~8% vs letting XLA pipeline the
+    unrolled chain (amortized in-program rates at k=8/cmax=4 on v5e:
+    unroll 105.0M pairs/s, scan 96.7M; int8 and bf16 measured identical
+    — int8 keeps the integers exact with no f32 magnitude bound).
     """
     other = counts if counts_other is None else counts_other
-    S, S2 = counts.shape[0], other.shape[0]
-
-    def body(acc, t):
-        a = (counts >= t).astype(jnp.bfloat16)
-        b = (other >= t).astype(jnp.bfloat16)
+    acc = None
+    for t in range(1, cmax + 1):
+        a = (counts >= t).astype(jnp.int8)
+        b = a if counts_other is None else (other >= t).astype(jnp.int8)
         term = jax.lax.dot_general(
             a,
             b,
             (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.int32,
         )
-        return acc + term, None
-
-    acc, _ = jax.lax.scan(
-        body,
-        jnp.zeros((S, S2), jnp.float32),
-        jnp.arange(1, cmax + 1, dtype=jnp.int32),
-    )
-    return acc.astype(jnp.int32)
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def finish_distances(

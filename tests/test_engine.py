@@ -520,12 +520,13 @@ def test_distance_mxu_gate_respects_cmax_limit(make_dna, monkeypatch):
     assert eng._mxu_dist_cmax(counts) is None
 
 
-def test_distance_mxu_gate_respects_f32_bound(monkeypatch):
-    # Row window totals at/above 2^24 would break f32 exactness in the
-    # threshold accumulation — the gate must refuse regardless of cmax.
+def test_distance_mxu_gate_respects_exactness_bound(monkeypatch):
+    # Row window totals at/above 2^31 would overflow the int32 threshold
+    # accumulation — the gate must refuse regardless of cmax.
     monkeypatch.setenv("KMER_TPU_DIST_MXU", "1")
     eng = KmerEngine(KmerConfig(k=4))
-    small = np.full((2, 1 << 10), 4, dtype=np.int32)
+    small = np.full((2, 1 << 22), 4, dtype=np.int32)  # row sum 2^24: fine
     assert eng._mxu_dist_cmax(small) == 4
-    big = np.full((2, 1 << 22), 4, dtype=np.int32)  # row sum = 2^24
+    monkeypatch.setenv("KMER_TPU_MXU_CMAX", "4096")  # isolate the sum gate
+    big = np.full((2, 1 << 20), 2048, dtype=np.int32)  # row sum = 2^31
     assert eng._mxu_dist_cmax(big) is None
