@@ -1,7 +1,12 @@
 """Design-scale kill-and-resume distance run (r4 task-3 capstone):
 54,018 seqs, checkpointed; interrupted after 8 panels with a simulated
 mid-write kill (garbage appended past the durable offset), resumed to
-completion; sampled rows verified byte-for-byte against the oracle."""
+completion; sampled rows verified byte-for-byte against the oracle.
+
+Needs ~14 GB free in /tmp (the 13.13 GB CSV). Measured on TPU v5e,
+2026-08-21: interrupted leg 470.7 s (750.8M pairs), resumed leg
+450.5 s, rows_byte_exact=true — ~5% over the single-shot 875 s
+(docs/BENCHMARKS.md "Design-scale distance run is preemption-safe")."""
 import json, os, time
 cache = os.path.expanduser("~/.cache/dna_kmeres_tpu_xla")
 os.makedirs(cache, exist_ok=True)
