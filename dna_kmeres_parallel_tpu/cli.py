@@ -350,13 +350,14 @@ def cmd_distance(args) -> int:
         from dna_kmeres_parallel_tpu.models import sparse_engine
         from dna_kmeres_parallel_tpu.utils import io as io_mod
 
+        route_info: dict = {}
         if args.engine == "oracle":
             packed = oracle.distance_matrix_packed_sparse(
                 seqs, args.k, args.canonical
             )
         else:
             packed = sparse_engine.distance_sparse_packed(
-                seqs, args.k, args.canonical
+                seqs, args.k, args.canonical, info=route_info
             )
         elapsed = time.perf_counter() - t0
         if args.output:
@@ -368,7 +369,7 @@ def cmd_distance(args) -> int:
                 {
                     "k": args.k,
                     "engine": ("oracle" if args.engine == "oracle"
-                               else "host/sparse"),
+                               else route_info.get("route", "host/sparse")),
                     "n_seqs": len(seqs),
                     "n_pairs": int(packed.shape[0]),
                     "elapsed_s": round(elapsed, 4),

@@ -619,6 +619,219 @@ def dense_distance_preferred(
     return dense_s_per_pair <= sparse_s_per_pair
 
 
+#: Device min-sum throughput model for the union-indexed dense route
+#: (measured on v5e, BENCHMARKS.md "MXU threshold distances" /
+#: "Distance kernel at the band edges"): the MXU threshold chain moves
+#: ~2.75e13 MAC/s at wide shapes (105M pairs/s x 4 thresholds x 64K
+#: bins) with a ~3.9e-11 s per-pair-per-threshold floor at skinny
+#: shapes (fit from the k=3 626M pairs/s point); the Pallas tri kernel
+#: fits t = bins/6.8e11 + 1.3e-9 s/pair across its 64-bin (696M) and
+#: 64K-bin (10.3M) measurements; jnp sustains ~2.3e11 bin-pair terms/s
+#: (_DENSE_BIN_PAIRS_PER_SEC above).
+_MXU_MACS_PER_SEC = 2.75e13
+_MXU_PAIR_THRESH_OVERHEAD_S = 3.9e-11
+_TRI_BIN_PAIRS_PER_SEC = 6.8e11
+_TRI_PAIR_OVERHEAD_S = 1.3e-9
+#: MXU unroll ceiling for the union route: one int8 matmul per
+#: threshold in a static unroll — past ~64 terms compile time and the
+#: per-term floor erase the win over the tri/jnp sub-routes.
+_UNION_MXU_CMAX_MAX = 64
+#: Fixed per-job device cost (dispatch + result D2H floor): keeps tiny
+#: jobs on the host, where the two-pointer finishes before the device
+#: program would even launch.
+_DEVICE_JOB_OVERHEAD_S = 0.05
+#: H2D rate the cost model charges for shipping the [Sp, Dp] matrix —
+#: conservative for PCIe hosts (10-25 GB/s there); KMER_TPU_H2D_BPS
+#: overrides on degraded links (this dev tunnel moves ~30-50 MB/s,
+#: CLAUDE.md — set it low there and small-union jobs stay on host).
+_H2D_BYTES_PER_SEC_DEFAULT = 1e9
+
+
+def union_dense_plan(
+    codes, cnts, offs, *, budget_bytes: int | None = None
+) -> dict | None:
+    """Routing plan for the UNION-INDEXED dense distance route, or None.
+
+    The sparse-table regime (k >= 12, or mid-k past the memory budget)
+    pays a host two-pointer intersection per pair because the dense
+    [S, 4^k] matrix cannot exist. But the pairwise min-sum only ever
+    touches codes that OCCUR: re-indexing every table against the sorted
+    union of distinct codes yields a dense [S, D] counts matrix over
+    D = |union| "observed bins", and the existing device (min,+) routes
+    (MXU threshold matmuls / Pallas tri / jnp) apply unchanged — exact,
+    because absent codes contribute min(0, .) = 0 exactly as the 4^k
+    formulation's empty bins do. For high-sharing data (read sets at
+    coverage, related genomes — the data this tool exists for,
+    /root/reference/main.cu:327-335) D is near the underlying genome
+    length, orders of magnitude below S * E[table], and the systolic
+    array replaces the host's irregular merge.
+
+    Gates (None keeps the host two-pointer):
+    - KMER_TPU_DIST_UNION=0 disables, =1 forces consideration (tests /
+      CPU); default requires a real TPU backend when the native threaded
+      two-pointer exists (a native-less host prefers the device route
+      whenever it fits — the pure-Python fallback is orders slower).
+    - the [Sp, Dp] matrix (shape-bucketed; int8 when counts fit — 4x
+      less H2D) must fit KMER_TPU_UNION_DIST_BUDGET bytes (default
+      2 GiB — same ceiling philosophy as the dense gate), with the
+      [Sp, Sp] output and device operands modeled in;
+    - predicted device time (best sub-route + H2D at KMER_TPU_H2D_BPS +
+      the fixed dispatch floor) must beat the predicted host time
+      (dense_distance_preferred's constants);
+    - int32 exactness: every per-sequence window total < 2^31.
+
+    The returned plan carries the sorted union, chosen sub-route
+    ('mxu'|'pallas'|'jnp'; KMER_TPU_UNION_IMPL overrides), cmax, and the
+    predicted times (logged by the CLI; pinned by routing tests).
+    """
+    import os
+
+    from dna_kmeres_parallel_tpu import native
+    from dna_kmeres_parallel_tpu.ops import runtime
+
+    force = os.environ.get("KMER_TPU_DIST_UNION")
+    if force == "0":
+        return None
+    S = int(offs.shape[0] - 1)
+    N = int(codes.shape[0])
+    if S < 2 or N == 0:
+        return None
+    have_native = native.available()
+    on_device = runtime.pallas_mode() == "compiled"
+    if force != "1" and not on_device and have_native:
+        return None
+    if budget_bytes is None:
+        budget_bytes = int(
+            os.environ.get("KMER_TPU_UNION_DIST_BUDGET", str(2 << 30))
+        )
+    union = np.unique(codes)
+    D = int(union.shape[0])
+    # Shape buckets: S and D round up to powers of two (zero rows /
+    # columns are exact — min(0, .) = 0), so a stream of jobs compiles a
+    # BOUNDED set of device programs (remote compiles cost minutes here;
+    # a per-dataset shape would trace one each).
+    Sp = 1 << max(S - 1, 7).bit_length()
+    Dp = 1 << max(D - 1, 127).bit_length()
+    cmax_true = int(np.asarray(cnts).max(initial=0))
+    # Counts that fit int8 ship as an int8 matrix (4x less H2D; the
+    # device widens for the (min,+) routes, thresholds compare int8
+    # directly) — read tables are almost always in this regime.
+    itemsize = 1 if cmax_true <= 127 else 4
+    # Host matrix + two device operands (shipped + widened/threshold
+    # planes) + the [Sp, Sp] int32 output, at PADDED shapes.
+    approx_bytes = Sp * Dp * (itemsize * 2 + 4) + Sp * Sp * 4
+    if approx_bytes > budget_bytes:
+        return None
+    per_seq_windows = np.add.reduceat(
+        np.asarray(cnts, dtype=np.int64), np.asarray(offs[:-1])
+    ) if N else np.zeros(0, np.int64)
+    if per_seq_windows.size and int(per_seq_windows.max()) >= (1 << 31):
+        return None
+    # cmax rounds up to its power-of-two bucket too (thresholds past the
+    # true max contribute [a>=t][b>=t] = 0 — exact), for the same
+    # bounded-program-count reason.
+    cmax_b = (
+        1 << max(cmax_true - 1, 0).bit_length() if cmax_true > 0 else 0
+    )
+    avg_table = N / S
+
+    cands: dict[str, float] = {
+        "jnp": Dp / _DENSE_BIN_PAIRS_PER_SEC,
+    }
+    if 0 < cmax_b <= _UNION_MXU_CMAX_MAX:
+        cands["mxu"] = cmax_b * (
+            Dp / _MXU_MACS_PER_SEC + _MXU_PAIR_THRESH_OVERHEAD_S
+        )
+    from dna_kmeres_parallel_tpu.ops import distance_pallas
+
+    if runtime.pallas_mode() is not None and distance_pallas.tri_route_ok(
+        Sp, Dp
+    ):
+        cands["pallas"] = Dp / _TRI_BIN_PAIRS_PER_SEC + _TRI_PAIR_OVERHEAD_S
+    impl_force = os.environ.get("KMER_TPU_UNION_IMPL")
+    if impl_force in cands:
+        impl = impl_force
+    else:
+        impl = min(cands, key=cands.get)
+    t_dev_pair = cands[impl]
+    pairs = S * (S - 1) / 2.0
+    if have_native:
+        threads = max(os.cpu_count() or 1, 1)
+        t_host_pair = avg_table / (
+            _SPARSE_ENTRY_PAIRS_PER_SEC_PER_THREAD * threads
+        )
+    else:
+        # Pure-Python np.intersect1d per pair: per-pair sort/merge work
+        # plus interpreter overhead — rough, but the decision it gates
+        # differs by orders of magnitude wherever it fires.
+        t_host_pair = 5e-5 + avg_table / 2e7
+    h2d_bps = float(
+        os.environ.get("KMER_TPU_H2D_BPS", str(_H2D_BYTES_PER_SEC_DEFAULT))
+    )
+    t_dev_total = (
+        pairs * t_dev_pair
+        + _DEVICE_JOB_OVERHEAD_S
+        + Sp * Dp * itemsize / h2d_bps
+    )
+    if force != "1" and t_dev_total >= pairs * t_host_pair:
+        return None
+    return {
+        "union": union,
+        "D": D,
+        "Sp": Sp,
+        "Dp": Dp,
+        "cmax": cmax_b,
+        "cmax_true": cmax_true,
+        "impl": impl,
+        "t_dev_total": t_dev_total,
+        "t_host_pair": t_host_pair,
+    }
+
+
+def union_dense_min_sums(codes, cnts, offs, plan) -> np.ndarray:
+    """Execute a union_dense_plan: packed strict-upper-triangle int64
+    pair min-sums via the planned device sub-route over the [S, D]
+    union-indexed counts matrix (exact; see union_dense_plan)."""
+    from dna_kmeres_parallel_tpu.ops import distance as dist_ops
+    from dna_kmeres_parallel_tpu.ops import distance_pallas, runtime
+
+    union = plan["union"]
+    S = int(offs.shape[0] - 1)
+    # Bucketed [Sp, Dp] shape (see union_dense_plan): zero rows/columns
+    # are exact and keep the compiled-program count bounded. Counts that
+    # fit int8 ship narrow (4x less H2D) and widen on device.
+    dtype = np.int8 if plan["cmax_true"] <= 127 else np.int32
+    mat = np.zeros((plan["Sp"], plan["Dp"]), dtype=dtype)
+    rows = np.repeat(np.arange(S, dtype=np.int64), np.diff(offs))
+    mat[rows, np.searchsorted(union, codes)] = np.asarray(cnts).astype(
+        dtype
+    )
+    impl = plan["impl"]
+    if impl == "mxu":
+        # Thresholds compare the shipped dtype directly — no widening.
+        sq = np.asarray(
+            dist_ops.min_sum_matrix_mxu(jnp.asarray(mat), plan["cmax"])
+        )
+    elif impl == "pallas":
+        # Triangle-only grid: lower-triangle tiles are never computed;
+        # only the i < j entries read below are defined. Widen on
+        # device — the kernel's VMEM tiles are int32.
+        sq = np.asarray(
+            distance_pallas.min_sum_matrix_pallas_tri(
+                jnp.asarray(mat).astype(jnp.int32),
+                interpret=(runtime.pallas_mode() == "interpret"),
+            )
+        )
+    else:
+        # Widen ON DEVICE first — min_sum_matrix's integer sum would
+        # overflow int8 accumulation on a narrow-shipped matrix.
+        sq = np.asarray(
+            dist_ops.min_sum_matrix(jnp.asarray(mat).astype(jnp.int32))
+        )
+    iu, ju = np.triu_indices(S, k=1)
+    return sq[:S, :S][iu, ju].astype(np.int64)
+
+
 def min_sum_pairs_python(codes, counts, offs) -> np.ndarray:
     """Pure-NumPy fallback of native.min_sum_pairs_native (sorted-table
     pairwise intersection min-sums); exact, for native-less hosts."""
@@ -640,7 +853,8 @@ def min_sum_pairs_python(codes, counts, offs) -> np.ndarray:
 
 
 def distance_sparse_packed(
-    seqs: list[str], k: int, canonical: bool = False
+    seqs: list[str], k: int, canonical: bool = False,
+    info: dict | None = None,
 ) -> np.ndarray:
     """Pairwise k-mer distances over SPARSE per-sequence tables — the
     regime where the reference's dense [4^k] count vectors
@@ -649,26 +863,59 @@ def distance_sparse_packed(
     dense_distance_feasible). Completes the framework's distance
     capability for every k its counting supports.
 
-    TPU-first placement: the pairwise sorted-table intersection is an
-    irregular two-pointer merge (data-dependent advance, no MXU shape) —
-    it runs on the host (native kp_min_sum_pairs, threaded) next to the
-    radix compactor that builds the tables; the float32 finish follows
-    contract point 4 (SURVEY.md §2.4.4: host IEEE division). Table
-    building routes like counting does: the host rolling counter for
-    short sequences, the TPU sparse engine for sequences past
+    Routing (r4): when the distinct-code UNION across the tables is
+    small (high-sharing data — read sets, related genomes), the job is
+    re-indexed to a dense [S, |union|] matrix and the device (min,+)
+    routes serve it on the MXU/VPU (union_dense_plan, cost-gated).
+    Otherwise the pairwise sorted-table intersection — an irregular
+    two-pointer merge with data-dependent advance, no MXU shape — runs
+    on the host (native kp_min_sum_pairs, threaded) next to the radix
+    compactor that builds the tables. The float32 finish follows
+    contract point 4 (SURVEY.md §2.4.4: host IEEE division) either way.
+    Table building routes like counting does: the host rolling counter
+    for short sequences, the TPU sparse engine for sequences past
     _TPU_TABLE_MIN_BASES (where the device encoder amortizes).
+
+    info: optional dict the chosen route / union stats are written into
+    (CLI reporting, routing tests).
 
     Returns the packed strict-upper-triangle float32 distance vector
     (same layout/format as the dense engine's, contract point 5).
     """
     codes, cnts, offs = build_pair_tables(seqs, k, canonical)
+    lengths = np.array([len(s) for s in seqs], dtype=np.int64)
+    plan = union_dense_plan(codes, cnts, offs)
+    if plan is not None:
+        try:
+            sums = union_dense_min_sums(codes, cnts, offs, plan)
+        except Exception as e:
+            # Same degradation policy as the engine's dense routes: a
+            # kernel/compile failure falls back (here: to the host
+            # two-pointer), anything else raises.
+            msg = str(e).lower()
+            if not any(
+                t in msg
+                for t in ("vmem", "mosaic", "remote_compile",
+                          "resource_exhausted", "out of memory")
+            ):
+                raise
+            sums = None
+        if sums is not None:
+            if info is not None:
+                info.update(
+                    route=f"union/{plan['impl']}",
+                    union_bins=plan["D"],
+                    cmax=plan["cmax"],
+                )
+            return finish_distances_packed(sums, lengths, k)
     from dna_kmeres_parallel_tpu import native
 
     if native.available():
         sums = native.min_sum_pairs_native(codes, cnts, offs)
     else:
         sums = min_sum_pairs_python(codes, cnts, offs)
-    lengths = np.array([len(s) for s in seqs], dtype=np.int64)
+    if info is not None:
+        info["route"] = "host/sparse"
     return finish_distances_packed(sums, lengths, k)
 
 
