@@ -722,9 +722,12 @@ def union_dense_plan(
     approx_bytes = Sp * Dp * (itemsize * 2 + 4) + Sp * Sp * 4
     if approx_bytes > budget_bytes:
         return None
-    per_seq_windows = np.add.reduceat(
-        np.asarray(cnts, dtype=np.int64), np.asarray(offs[:-1])
-    ) if N else np.zeros(0, np.int64)
+    # Per-sequence window totals via cumsum at the offsets (reduceat
+    # cannot express empty segments — a sequence shorter than k has one).
+    cs = np.concatenate(
+        [[0], np.cumsum(np.asarray(cnts, dtype=np.int64))]
+    )
+    per_seq_windows = cs[np.asarray(offs[1:])] - cs[np.asarray(offs[:-1])]
     if per_seq_windows.size and int(per_seq_windows.max()) >= (1 << 31):
         return None
     # cmax rounds up to its power-of-two bucket too (thresholds past the
@@ -771,7 +774,11 @@ def union_dense_plan(
     t_dev_total = (
         pairs * t_dev_pair
         + _DEVICE_JOB_OVERHEAD_S
-        + Sp * Dp * itemsize / h2d_bps
+        # matrix H2D + [Sp, Sp] min-sum D2H, both charged at the link
+        # rate (measured on the dev tunnel: the whole end-to-end cost
+        # of this route is these two transfers — the matmul chain is
+        # ~1 ms where the link legs are seconds).
+        + (Sp * Dp * itemsize + Sp * Sp * 4) / h2d_bps
     )
     if force != "1" and t_dev_total >= pairs * t_host_pair:
         return None
@@ -809,27 +816,25 @@ def union_dense_min_sums(codes, cnts, offs, plan) -> np.ndarray:
     impl = plan["impl"]
     if impl == "mxu":
         # Thresholds compare the shipped dtype directly — no widening.
-        sq = np.asarray(
-            dist_ops.min_sum_matrix_mxu(jnp.asarray(mat), plan["cmax"])
-        )
+        sq_dev = dist_ops.min_sum_matrix_mxu(jnp.asarray(mat), plan["cmax"])
     elif impl == "pallas":
         # Triangle-only grid: lower-triangle tiles are never computed;
         # only the i < j entries read below are defined. Widen on
         # device — the kernel's VMEM tiles are int32.
-        sq = np.asarray(
-            distance_pallas.min_sum_matrix_pallas_tri(
-                jnp.asarray(mat).astype(jnp.int32),
-                interpret=(runtime.pallas_mode() == "interpret"),
-            )
+        sq_dev = distance_pallas.min_sum_matrix_pallas_tri(
+            jnp.asarray(mat).astype(jnp.int32),
+            interpret=(runtime.pallas_mode() == "interpret"),
         )
     else:
         # Widen ON DEVICE first — min_sum_matrix's integer sum would
         # overflow int8 accumulation on a narrow-shipped matrix.
-        sq = np.asarray(
-            dist_ops.min_sum_matrix(jnp.asarray(mat).astype(jnp.int32))
-        )
+        sq_dev = dist_ops.min_sum_matrix(jnp.asarray(mat).astype(jnp.int32))
+    # Slice the padding rows off ON DEVICE before the fetch — the D2H
+    # leg is the route's dominant cost on slow links (up to ~4x less
+    # when Sp rounded S up).
+    sq = np.asarray(sq_dev[:S, :S])
     iu, ju = np.triu_indices(S, k=1)
-    return sq[:S, :S][iu, ju].astype(np.int64)
+    return sq[iu, ju].astype(np.int64)
 
 
 def min_sum_pairs_python(codes, counts, offs) -> np.ndarray:

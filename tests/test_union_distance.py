@@ -86,6 +86,21 @@ def test_union_route_with_invalid_bases_and_varied_lengths(
     assert np.array_equal(got, want)
 
 
+def test_union_route_with_short_sequences(rng, make_dna, monkeypatch):
+    # A sequence shorter than k has an EMPTY table (zero windows): the
+    # union matrix row is all zeros and its distances match the host
+    # path bit-for-bit (including the shared <=0-denominator finish).
+    monkeypatch.setenv("KMER_TPU_DIST_UNION", "1")
+    genome = make_dna(1200)
+    seqs = _reads(rng, genome, 6, 130) + ["ACGTACGT"]  # < k=17
+    info = {}
+    got = sparse_engine.distance_sparse_packed(seqs, 17, info=info)
+    assert info["route"].startswith("union/")
+    monkeypatch.setenv("KMER_TPU_DIST_UNION", "0")
+    want = sparse_engine.distance_sparse_packed(seqs, 17)
+    assert np.array_equal(got, want)
+
+
 def test_union_plan_gates(rng, make_dna, monkeypatch):
     from dna_kmeres_parallel_tpu import native
 
