@@ -688,26 +688,38 @@ def run_distance_bench(
     # Device max + 4-byte scalar fetch — np.asarray of the full counts
     # matrix would ship 100s of MB over the ~30-50 MB/s tunnel D2H.
     cmax = int(jnp.max(counts))
+    # Production buckets cmax to a power of two (extra thresholds are
+    # exact zeros; bounded compiled-program set) — mirror it.
+    cmax = 1 << max(cmax - 1, 0).bit_length() if cmax > 0 else 0
     if impl == "auto":
         # Engine-mirroring (incl. the engine's env overrides): the MXU
-        # threshold route when every count is within the crossover (r4),
-        # else Pallas tri, else jnp.
+        # threshold route when the COST models predict it beats the
+        # alternative (r4 continuation — engine._mxu_dist_cmax), else
+        # Pallas tri, else jnp.
         import os as _os
 
+        tri_ok = (
+            runtime.pallas_mode() == "compiled"
+            and bins <= distance_pallas._ROUTE_MAX_BINS
+        )
         mxu_force = _os.environ.get("KMER_TPU_DIST_MXU")
-        mxu_limit = int(
-            _os.environ.get(
-                "KMER_TPU_MXU_CMAX", str(dist_ops.MXU_CMAX_DEFAULT)
+        limit_env = _os.environ.get("KMER_TPU_MXU_CMAX")
+        mxu_limit = (
+            int(limit_env) if limit_env else dist_ops.MXU_CMAX_DEFAULT
+        )
+        mxu_wins = limit_env is not None or (
+            dist_ops.mxu_time_per_pair(bins, max(cmax, 1))
+            < (
+                dist_ops.tri_time_per_pair(bins)
+                if tri_ok
+                else dist_ops.jnp_time_per_pair(bins)
             )
         )
-        if mxu_force != "0" and 0 < cmax <= mxu_limit and (
+        if mxu_force != "0" and 0 < cmax <= mxu_limit and mxu_wins and (
             mxu_force == "1" or runtime.pallas_mode() == "compiled"
         ):
             use = "mxu"
-        elif (
-            runtime.pallas_mode() == "compiled"
-            and bins <= distance_pallas._ROUTE_MAX_BINS
-        ):
+        elif tri_ok:
             use = "pallas"
         else:
             use = "jnp"

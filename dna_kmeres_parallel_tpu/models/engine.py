@@ -280,11 +280,22 @@ class KmerEngine:
 
     def _mxu_dist_cmax(self, counts_np) -> int | None:
         """Whether the MXU threshold route serves this counts matrix:
-        returns the static cmax to use, or None to keep the (min,+)
-        routes. Gates: every count <= the crossover limit
-        (KMER_TPU_MXU_CMAX, default ops.distance.MXU_CMAX_DEFAULT), every
-        row's window total < 2^31 (int32 exactness — always true for
-        int32 counts matrices in practice), and a real TPU backend
+        returns the static cmax to use (rounded up to its power-of-two
+        bucket — extra thresholds contribute zero exactly, and a cmax
+        stream then compiles a bounded program set), or None to keep the
+        (min,+) routes.
+
+        Gates (r4 continuation — COST-based, not a fixed crossover):
+        cmax_bucket <= the unroll cap (KMER_TPU_MXU_CMAX, default
+        ops.distance.MXU_CMAX_DEFAULT=64; setting the env skips the cost
+        comparison — an explicit override is trusted), predicted MXU
+        time under the measured per-pair models beats the route the
+        engine would otherwise take (Pallas tri for bins <= 64K on a
+        Pallas backend, jnp past it — mxu_time_per_pair vs
+        tri/jnp_time_per_pair; at 64K bins the breakeven sits near
+        cmax ~40, at 64 bins near ~35, both measured), every row's
+        window total < 2^31 (int32 exactness — always true for int32
+        counts matrices in practice), and a real TPU backend
         (KMER_TPU_DIST_MXU=1/0 forces/disables — tests route it on CPU
         with =1)."""
         force = os.environ.get("KMER_TPU_DIST_MXU")
@@ -294,18 +305,29 @@ class KmerEngine:
         if counts_np.size == 0:
             return None
         cmax = int(counts_np.max(initial=0))
-        limit = int(
-            os.environ.get(
-                "KMER_TPU_MXU_CMAX", str(dist_ops.MXU_CMAX_DEFAULT)
-            )
-        )
-        if not (0 < cmax <= limit):
+        if cmax <= 0:
             return None
+        cmax_b = 1 << max(cmax - 1, 0).bit_length()
+        limit_env = os.environ.get("KMER_TPU_MXU_CMAX")
+        limit = int(limit_env) if limit_env else dist_ops.MXU_CMAX_DEFAULT
+        if cmax_b > limit:
+            return None
+        if limit_env is None:
+            bins = int(counts_np.shape[1])
+            if (
+                self._pallas() is not None
+                and bins <= distance_pallas._ROUTE_MAX_BINS
+            ):
+                t_alt = dist_ops.tri_time_per_pair(bins)
+            else:
+                t_alt = dist_ops.jnp_time_per_pair(bins)
+            if dist_ops.mxu_time_per_pair(bins, cmax_b) >= t_alt:
+                return None
         if int(counts_np.sum(axis=1).max(initial=0)) >= (1 << 31):
             return None
         if force != "1" and runtime.pallas_mode() != "compiled":
             return None
-        return cmax
+        return cmax_b
 
     def _min_sum_panel_mesh(self, panel, other, mesh, pallas,
                             mxu_cmax=None):

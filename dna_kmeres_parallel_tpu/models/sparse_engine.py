@@ -619,23 +619,9 @@ def dense_distance_preferred(
     return dense_s_per_pair <= sparse_s_per_pair
 
 
-#: Device min-sum throughput model for the union-indexed dense route
-#: (measured on v5e, BENCHMARKS.md "MXU threshold distances" /
-#: "Distance kernel at the band edges"): the MXU threshold chain moves
-#: ~2.75e13 MAC/s at wide shapes (105M pairs/s x 4 thresholds x 64K
-#: bins) with a ~3.9e-11 s per-pair-per-threshold floor at skinny
-#: shapes (fit from the k=3 626M pairs/s point); the Pallas tri kernel
-#: fits t = bins/6.8e11 + 1.3e-9 s/pair across its 64-bin (696M) and
-#: 64K-bin (10.3M) measurements; jnp sustains ~2.3e11 bin-pair terms/s
-#: (_DENSE_BIN_PAIRS_PER_SEC above).
-_MXU_MACS_PER_SEC = 2.75e13
-_MXU_PAIR_THRESH_OVERHEAD_S = 3.9e-11
-_TRI_BIN_PAIRS_PER_SEC = 6.8e11
-_TRI_PAIR_OVERHEAD_S = 1.3e-9
-#: MXU unroll ceiling for the union route: one int8 matmul per
-#: threshold in a static unroll — past ~64 terms compile time and the
-#: per-term floor erase the win over the tri/jnp sub-routes.
-_UNION_MXU_CMAX_MAX = 64
+#: The union route's device-time predictions share the measured
+#: per-pair models in ops.distance (mxu/tri/jnp_time_per_pair) and the
+#: MXU unroll cap (ops.distance.MXU_CMAX_DEFAULT).
 #: Fixed per-job device cost (dispatch + result D2H floor): keeps tiny
 #: jobs on the host, where the two-pointer finishes before the device
 #: program would even launch.
@@ -738,19 +724,18 @@ def union_dense_plan(
     )
     avg_table = N / S
 
-    cands: dict[str, float] = {
-        "jnp": Dp / _DENSE_BIN_PAIRS_PER_SEC,
-    }
-    if 0 < cmax_b <= _UNION_MXU_CMAX_MAX:
-        cands["mxu"] = cmax_b * (
-            Dp / _MXU_MACS_PER_SEC + _MXU_PAIR_THRESH_OVERHEAD_S
-        )
+    from dna_kmeres_parallel_tpu.ops import distance as dist_ops
     from dna_kmeres_parallel_tpu.ops import distance_pallas
 
+    cands: dict[str, float] = {
+        "jnp": dist_ops.jnp_time_per_pair(Dp),
+    }
+    if 0 < cmax_b <= dist_ops.MXU_CMAX_DEFAULT:
+        cands["mxu"] = dist_ops.mxu_time_per_pair(Dp, cmax_b)
     if runtime.pallas_mode() is not None and distance_pallas.tri_route_ok(
         Sp, Dp
     ):
-        cands["pallas"] = Dp / _TRI_BIN_PAIRS_PER_SEC + _TRI_PAIR_OVERHEAD_S
+        cands["pallas"] = dist_ops.tri_time_per_pair(Dp)
     impl_force = os.environ.get("KMER_TPU_UNION_IMPL")
     if impl_force in cands:
         impl = impl_force

@@ -57,14 +57,44 @@ def min_sum_matrix(
     return sums.reshape(nblocks * row_block, -1)[:S]
 
 
-#: largest per-bin count for which the MXU threshold route applies by
-#: default (r4): sum_p min(a,b) costs cmax boolean matmuls there vs ~2
-#: VPU ops/bin-pair on the (min,+) routes. Measured on v5e (S=2048,
-#: BENCHMARKS.md "MXU threshold distances"): 5.1x over the Pallas tri
-#: at k=8/cmax=4; breakeven lands around cmax ~20-35 depending on the
-#: bins band (k=3/cmax=39 measured 0.9x). 16 keeps every routed case
-#: comfortably on the winning side; KMER_TPU_MXU_CMAX overrides.
-MXU_CMAX_DEFAULT = 16
+#: hard cap on the MXU threshold route's unroll (r4): one int8 matmul
+#: per threshold — past ~64 terms compile time and the per-term floor
+#: erase the win over the (min,+) routes everywhere.
+#: KMER_TPU_MXU_CMAX overrides (and skips the cost comparison below —
+#: an explicit override is trusted).
+MXU_CMAX_DEFAULT = 64
+
+#: Measured per-pair time models for the dense min-sum routes (v5e,
+#: BENCHMARKS.md "MXU threshold distances" / "Distance kernel at the
+#: band edges"): the MXU threshold chain moves ~2.75e13 MAC/s at wide
+#: shapes (105M pairs/s x 4 thresholds x 64K bins) with a ~3.9e-11 s
+#: per-pair-per-threshold floor at skinny shapes (fit from the k=3
+#: 626M pairs/s point); the Pallas tri kernel fits t = bins/6.8e11 +
+#: 1.3e-9 across its 64-bin (696M pairs/s) and 64K-bin (10.3M)
+#: measurements; the jnp (min,+) sustains ~2.3e11 bin-pair terms/s
+#: (5.57e4 pairs/s at k=11's 4.19M bins). Order-of-magnitude routing
+#: constants — the decisions they gate differ by >= 1.3x at the
+#: boundaries and by orders of magnitude in the middle.
+MXU_MACS_PER_SEC = 2.75e13
+MXU_PAIR_THRESH_OVERHEAD_S = 3.9e-11
+TRI_BIN_PAIRS_PER_SEC = 6.8e11
+TRI_PAIR_OVERHEAD_S = 1.3e-9
+DENSE_BIN_PAIRS_PER_SEC = 2.3e11
+
+
+def mxu_time_per_pair(bins: int, cmax: int) -> float:
+    """Predicted s/pair for min_sum_matrix_mxu at these bins/cmax."""
+    return cmax * (bins / MXU_MACS_PER_SEC + MXU_PAIR_THRESH_OVERHEAD_S)
+
+
+def tri_time_per_pair(bins: int) -> float:
+    """Predicted s/pair for the Pallas tri (min,+) kernel."""
+    return bins / TRI_BIN_PAIRS_PER_SEC + TRI_PAIR_OVERHEAD_S
+
+
+def jnp_time_per_pair(bins: int) -> float:
+    """Predicted s/pair for the jnp (min,+) route."""
+    return bins / DENSE_BIN_PAIRS_PER_SEC
 
 
 @functools.partial(jax.jit, static_argnames=("cmax",))

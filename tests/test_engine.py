@@ -520,6 +520,33 @@ def test_distance_mxu_gate_respects_cmax_limit(make_dna, monkeypatch):
     assert eng._mxu_dist_cmax(counts) is None
 
 
+def test_distance_mxu_gate_is_cost_based(monkeypatch):
+    # r4 continuation: the gate compares predicted MXU time against the
+    # route the engine would otherwise take, instead of a fixed cmax
+    # crossover — wide-bins bands route far past the old 16.
+    monkeypatch.setenv("KMER_TPU_DIST_MXU", "1")
+    eng = KmerEngine(KmerConfig(k=8))
+    counts = np.ones((4, 1 << 16), dtype=np.int32)
+    counts[0, 0] = 32
+    # 64K bins, no Pallas on CPU -> alternative is jnp: cmax 32 wins.
+    assert eng._mxu_dist_cmax(counts) == 32
+    # Same counts against the (cheaper) Pallas tri alternative: cmax 64
+    # sits past the ~40 breakeven and must refuse; 16 still routes.
+    monkeypatch.setenv("KMER_TPU_PALLAS_INTERPRET", "1")
+    counts[0, 0] = 64
+    assert eng._mxu_dist_cmax(counts) is None
+    counts[0, 0] = 16
+    assert eng._mxu_dist_cmax(counts) == 16
+    # cmax buckets to a power of two (5 -> 8): extra thresholds are
+    # exact zeros, and a cmax stream compiles a bounded program set.
+    counts[0, 0] = 5
+    assert eng._mxu_dist_cmax(counts) == 8
+    # The env cap is an explicit override: trusted, no cost comparison.
+    counts[0, 0] = 64
+    monkeypatch.setenv("KMER_TPU_MXU_CMAX", "64")
+    assert eng._mxu_dist_cmax(counts) == 64
+
+
 def test_distance_mxu_gate_respects_exactness_bound(monkeypatch):
     # Row window totals at/above 2^31 would overflow the int32 threshold
     # accumulation — the gate must refuse regardless of cmax.
