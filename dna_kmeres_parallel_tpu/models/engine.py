@@ -356,12 +356,7 @@ class KmerEngine:
                 )
                 return np.asarray(sums)[:, :S2]
             except Exception as e:
-                msg = str(e).lower()
-                if not any(
-                    t in msg
-                    for t in ("vmem", "mosaic", "remote_compile",
-                              "resource_exhausted", "out of memory")
-                ):
+                if not runtime.degradable_compile_error(e):
                     raise
                 # Sticky: fall through to the Pallas/jnp routes for the
                 # rest of the stream (same policy as below).
@@ -378,12 +373,7 @@ class KmerEngine:
         try:
             sums = min_sum_panel_sharded(panel, other, mesh, pallas=use_pl)
         except Exception as e:
-            msg = str(e).lower()
-            if use_pl is None or not any(
-                t in msg
-                for t in ("vmem", "mosaic", "remote_compile",
-                          "resource_exhausted", "out of memory")
-            ):
+            if use_pl is None or not runtime.degradable_compile_error(e):
                 raise
             # Sticky degradation: a streamed run dispatches one panel per
             # loop iteration — re-attempting the failing compile every
@@ -628,13 +618,9 @@ class KmerEngine:
                 # places the whole [S, S] output on the VMEM stack). Fall
                 # back to the jnp path, which is exact by construction.
                 # Case-insensitive: VMEM/Mosaic errors are spelled
-                # differently across toolchain layers.
-                msg = str(e).lower()
-                if not any(
-                    t in msg
-                    for t in ("vmem", "mosaic", "remote_compile",
-                              "resource_exhausted", "out of memory")
-                ):
+                # differently across toolchain layers
+                # (runtime.degradable_compile_error).
+                if not runtime.degradable_compile_error(e):
                     raise
                 sums = None
         if sums is not None:

@@ -704,8 +704,9 @@ def union_dense_plan(
     # directly) — read tables are almost always in this regime.
     itemsize = 1 if cmax_true <= 127 else 4
     # Host matrix + two device operands (shipped + widened/threshold
-    # planes) + the [Sp, Sp] int32 output, at PADDED shapes.
-    approx_bytes = Sp * Dp * (itemsize * 2 + 4) + Sp * Sp * 4
+    # planes) + the [Sp, Sp] int32 output AND its packed-int64 triangle
+    # (~Sp^2*4 again), at PADDED shapes.
+    approx_bytes = Sp * Dp * (itemsize * 2 + 4) + Sp * Sp * 8
     if approx_bytes > budget_bytes:
         return None
     # Per-sequence window totals via cumsum at the offsets (reduceat
@@ -730,7 +731,18 @@ def union_dense_plan(
     cands: dict[str, float] = {
         "jnp": dist_ops.jnp_time_per_pair(Dp),
     }
-    if 0 < cmax_b <= dist_ops.MXU_CMAX_DEFAULT:
+    # The MXU sub-route honors the SAME env knobs as the engine's dense
+    # gate: KMER_TPU_DIST_MXU=0 disables it, KMER_TPU_MXU_CMAX caps the
+    # unroll (a user who pinned routing away from the matmul chain must
+    # reach this route's sub-selection too).
+    mxu_limit_env = os.environ.get("KMER_TPU_MXU_CMAX")
+    mxu_limit = (
+        int(mxu_limit_env) if mxu_limit_env else dist_ops.MXU_CMAX_DEFAULT
+    )
+    if (
+        os.environ.get("KMER_TPU_DIST_MXU") != "0"
+        and 0 < cmax_b <= mxu_limit
+    ):
         cands["mxu"] = dist_ops.mxu_time_per_pair(Dp, cmax_b)
     if runtime.pallas_mode() is not None and distance_pallas.tri_route_ok(
         Sp, Dp
@@ -743,6 +755,9 @@ def union_dense_plan(
         impl = min(cands, key=cands.get)
     t_dev_pair = cands[impl]
     pairs = S * (S - 1) / 2.0
+    # Device routes execute over the PADDED Sp rows (the mxu/jnp
+    # sub-routes compute the full padded square) — charge them for it.
+    pairs_exec = Sp * (Sp - 1) / 2.0
     if have_native:
         threads = max(os.cpu_count() or 1, 1)
         t_host_pair = avg_table / (
@@ -757,13 +772,14 @@ def union_dense_plan(
         os.environ.get("KMER_TPU_H2D_BPS", str(_H2D_BYTES_PER_SEC_DEFAULT))
     )
     t_dev_total = (
-        pairs * t_dev_pair
+        pairs_exec * t_dev_pair
         + _DEVICE_JOB_OVERHEAD_S
-        # matrix H2D + [Sp, Sp] min-sum D2H, both charged at the link
-        # rate (measured on the dev tunnel: the whole end-to-end cost
-        # of this route is these two transfers — the matmul chain is
+        # matrix H2D + [S, S] min-sum D2H (padding rows are sliced off
+        # on device before the fetch), both charged at the link rate
+        # (measured on the dev tunnel: the whole end-to-end cost of
+        # this route is these two transfers — the matmul chain is
         # ~1 ms where the link legs are seconds).
-        + (Sp * Dp * itemsize + Sp * Sp * 4) / h2d_bps
+        + (Sp * Dp * itemsize + S * S * 4) / h2d_bps
     )
     if force != "1" and t_dev_total >= pairs * t_host_pair:
         return None
@@ -818,8 +834,17 @@ def union_dense_min_sums(codes, cnts, offs, plan) -> np.ndarray:
     # leg is the route's dominant cost on slow links (up to ~4x less
     # when Sp rounded S up).
     sq = np.asarray(sq_dev[:S, :S])
-    iu, ju = np.triu_indices(S, k=1)
-    return sq[iu, ju].astype(np.int64)
+    # Rowwise triangle extraction (same discipline as
+    # finish_distances_packed): np.triu_indices would materialize two
+    # pairs-sized int64 index arrays plus a fancy-index copy — ~3x the
+    # packed output again in transients.
+    out = np.empty(S * (S - 1) // 2, dtype=np.int64)
+    w = 0
+    for i in range(S - 1):
+        m = S - 1 - i
+        out[w : w + m] = sq[i, i + 1 :]
+        w += m
+    return out
 
 
 def min_sum_pairs_python(codes, counts, offs) -> np.ndarray:
@@ -880,14 +905,12 @@ def distance_sparse_packed(
             sums = union_dense_min_sums(codes, cnts, offs, plan)
         except Exception as e:
             # Same degradation policy as the engine's dense routes: a
-            # kernel/compile failure falls back (here: to the host
-            # two-pointer), anything else raises.
-            msg = str(e).lower()
-            if not any(
-                t in msg
-                for t in ("vmem", "mosaic", "remote_compile",
-                          "resource_exhausted", "out of memory")
-            ):
+            # kernel/compile failure (or a host allocation failure — the
+            # two-pointer fallback needs almost no memory) falls back,
+            # anything else raises.
+            from dna_kmeres_parallel_tpu.ops import runtime
+
+            if not runtime.degradable_compile_error(e):
                 raise
             sums = None
         if sums is not None:

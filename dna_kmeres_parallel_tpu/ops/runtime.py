@@ -41,3 +41,26 @@ def pallas_mode() -> str | None:
     if is_tpu_backend():
         return "compiled"
     return None
+
+
+def degradable_compile_error(e: BaseException) -> bool:
+    """Whether an exception from a device (min,+)/kernel dispatch should
+    DEGRADE to a fallback route rather than propagate: Mosaic/VMEM/
+    remote-compile failures (spellings differ across toolchain layers —
+    match case-insensitively) and host allocation failures (a route that
+    needs big transients must not crash where a near-zero-memory
+    fallback exists). Shared by every routing site so a new toolchain
+    error spelling is added in ONE place."""
+    if isinstance(e, MemoryError):
+        return True
+    msg = str(e).lower()
+    return any(
+        t in msg
+        for t in (
+            "vmem",
+            "mosaic",
+            "remote_compile",
+            "resource_exhausted",
+            "out of memory",
+        )
+    )

@@ -153,6 +153,19 @@ def test_union_plan_gates(rng, make_dna, monkeypatch):
     plan = sparse_engine.union_dense_plan(codes, big_cnts, offs)
     assert plan is not None and plan["impl"] != "mxu"
 
+    # The engine's MXU env knobs reach the union sub-route selection:
+    # DIST_MXU=0 disables the matmul chain, MXU_CMAX caps its unroll.
+    monkeypatch.setenv("KMER_TPU_DIST_MXU", "0")
+    plan = sparse_engine.union_dense_plan(codes, cnts, offs)
+    assert plan is not None and plan["impl"] != "mxu"
+    monkeypatch.delenv("KMER_TPU_DIST_MXU", raising=False)
+    cap_cnts = cnts.copy()
+    cap_cnts[0] = 8
+    monkeypatch.setenv("KMER_TPU_MXU_CMAX", "4")
+    plan = sparse_engine.union_dense_plan(codes, cap_cnts, offs)
+    assert plan is not None and plan["impl"] != "mxu"
+    monkeypatch.delenv("KMER_TPU_MXU_CMAX", raising=False)
+
 
 def test_union_auto_prefers_device_on_tpu_for_shared_reads(
     rng, make_dna, monkeypatch
