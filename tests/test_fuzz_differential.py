@@ -141,3 +141,61 @@ def test_fuzz_packed_encoder_vs_xla():
                 pairs(codes[valid], mins[valid].astype(np.int64)),
                 pairs(rcodes[rvalid], mini[rvalid].astype(np.int64)),
             ), (trial, k, mm)
+
+
+def test_fuzz_union_min_sums_vs_python(monkeypatch):
+    """Union-indexed dense min-sums vs the pure-NumPy pairwise
+    intersection, over random table STRUCTURES (not sequences): empty
+    segments, singleton unions, counts straddling the int8 ship
+    boundary (127/128), every sub-route. 40 trials, fixed seed."""
+    from dna_kmeres_parallel_tpu.models import sparse_engine
+
+    monkeypatch.setenv("KMER_TPU_DIST_UNION", "1")
+    rng = np.random.default_rng(0xD15C0)
+    for trial in range(40):
+        S = int(rng.integers(2, 10))
+        universe = np.unique(
+            rng.integers(0, 60, size=40).astype(np.uint64)
+        )
+        parts, cnts = [], []
+        offs = np.zeros(S + 1, dtype=np.int64)
+        cmax = int(rng.choice([1, 3, 5, 127, 128, 300]))
+        for i in range(S):
+            n_i = int(rng.integers(0, min(12, universe.size) + 1))
+            c = np.sort(
+                rng.choice(universe, size=n_i, replace=False)
+            ).astype(np.uint64)
+            parts.append(c)
+            cnts.append(
+                rng.integers(1, cmax + 1, size=n_i).astype(np.int64)
+            )
+            offs[i + 1] = offs[i] + n_i
+        codes = (
+            np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+        )
+        counts = (
+            np.concatenate(cnts) if cnts else np.zeros(0, np.int64)
+        )
+        impl = rng.choice(["jnp", "mxu", "pallas", "auto"])
+        if impl == "pallas":
+            monkeypatch.setenv("KMER_TPU_PALLAS_INTERPRET", "1")
+        else:
+            monkeypatch.delenv(
+                "KMER_TPU_PALLAS_INTERPRET", raising=False
+            )
+        if impl != "auto":
+            monkeypatch.setenv("KMER_TPU_UNION_IMPL", impl)
+        else:
+            monkeypatch.delenv("KMER_TPU_UNION_IMPL", raising=False)
+        plan = sparse_engine.union_dense_plan(codes, counts, offs)
+        if codes.size == 0:
+            assert plan is None
+            continue
+        assert plan is not None, f"trial {trial}: plan refused"
+        got = sparse_engine.union_dense_min_sums(
+            codes, counts, offs, plan
+        )
+        want = sparse_engine.min_sum_pairs_python(codes, counts, offs)
+        assert np.array_equal(got, want), (
+            f"trial {trial}: impl={plan['impl']} cmax={cmax} S={S}"
+        )
