@@ -17,6 +17,11 @@ os.environ.setdefault("KMER_TPU_ENC_CHUNK", "2048")
 # The v2 packed kernel (host-plane-staged route) is the production
 # default; pinned explicitly so test runs are insensitive to ambient env.
 os.environ.setdefault("KMER_TPU_ENC_V2", "1")
+# Routing calibration (r5): never auto-measure in tests, and never read
+# a developer-machine calibration cache — gates must run on the frozen
+# constants unless a test injects its own file.
+os.environ.setdefault("KMER_TPU_CALIBRATE", "0")
+os.environ.setdefault("KMER_TPU_CAL_DIR", "/tmp/kmer_tpu_test_cal_none")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
