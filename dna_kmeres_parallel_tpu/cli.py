@@ -351,6 +351,39 @@ def cmd_distance(args) -> int:
         from dna_kmeres_parallel_tpu.utils import io as io_mod
 
         route_info: dict = {}
+        if args.engine != "oracle" and args.stream_panel and args.output:
+            # Streamed sparse path (r5): panels of packed rows append to
+            # the CSV through the shared resumable writer — same
+            # --checkpoint / --mesh semantics as the dense stream; the
+            # union-indexed device route rides the mesh when the cost
+            # gate fires, the native threaded two-pointer serves the
+            # host route panel-by-panel otherwise.
+            mesh = None
+            if getattr(args, "mesh", None):
+                from dna_kmeres_parallel_tpu.parallel.mesh import make_mesh
+
+                if args.mesh > 1:
+                    mesh = make_mesh(args.mesh)
+            report = sparse_engine.distance_sparse_stream_to_csv(
+                seqs,
+                args.k,
+                args.output,
+                args.canonical,
+                panel_rows=args.stream_panel,
+                checkpoint_path=getattr(args, "checkpoint", None),
+                mesh=mesh,
+                info=route_info,
+            )
+            report.update(
+                {
+                    "k": args.k,
+                    "engine": route_info.get("route", "host/sparse"),
+                    "streamed": True,
+                }
+            )
+            report["elapsed_s"] = round(report["elapsed_s"], 4)
+            print(json.dumps(report))
+            return 0
         if args.engine == "oracle":
             packed = oracle.distance_matrix_packed_sparse(
                 seqs, args.k, args.canonical
@@ -732,6 +765,23 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_calibrate(args) -> int:
+    """Measure and persist this backend's routing calibration (r5):
+    link rates always (cheap, no compiles); route pair rates unless
+    --link-only (pays one compile per route, cached afterwards). The
+    distance gates (union_dense_plan, dense_distance_preferred, the MXU
+    cmax gate) consume the persisted file automatically."""
+    from dna_kmeres_parallel_tpu.ops import calibrate
+
+    cal = dict(calibrate.get_calibration())
+    cal.update(calibrate.measure_link())
+    if not args.link_only:
+        cal.update(calibrate.measure_compute())
+    path = calibrate.save_calibration(cal)
+    print(json.dumps({"calibration_file": path, **cal}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     from dna_kmeres_parallel_tpu.models.benchmarks import (
         run_count_bench,
@@ -871,6 +921,18 @@ def main(argv=None) -> int:
     p.add_argument("--bases", default="64M", help="total bases (e.g. 64M, 1G)")
     p.add_argument("--batch", default="8M", help="bases per device batch")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser(
+        "calibrate",
+        help="measure this backend's link + route rates and persist "
+        "them for the routing gates (ops/calibrate)",
+    )
+    p.add_argument(
+        "--link-only",
+        action="store_true",
+        help="measure only H2D/D2H/roundtrip (no device compiles)",
+    )
+    p.set_defaults(fn=cmd_calibrate)
 
     args = parser.parse_args(argv)
     if hasattr(args, "k"):

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dna_kmeres_parallel_tpu.models import oracle
+from dna_kmeres_parallel_tpu.models import distance_stream, oracle
 from dna_kmeres_parallel_tpu.ops import distance as dist_ops
 from dna_kmeres_parallel_tpu.ops import distance_pallas
 from dna_kmeres_parallel_tpu.ops import encode as encode_ops
@@ -653,6 +653,8 @@ class KmerEngine:
         panel_rows: int = 2048,
         checkpoint_path=None,
         max_panels: int | None = None,
+        row_lo: int = 0,
+        row_hi: int | None = None,
     ) -> dict:
         """Large-S distance path: the [S, S] matrix never materializes.
 
@@ -664,108 +666,54 @@ class KmerEngine:
         scale (54K sequences -> 1.46G pairs) in bounded memory.
 
         checkpoint_path: make the run preemption-safe (SURVEY.md §5 —
-        this is the framework's single longest job at design scale). The
-        state is just (next panel row, CSV byte offset), saved atomically
-        after each panel's bytes are flushed+fsynced; resume truncates
-        the CSV to the last durable offset and continues — the resumed
-        file is byte-identical to a single-shot run. max_panels bounds
-        the panels processed this call (testing / cooperative yielding).
+        this is the framework's single longest job at design scale) via
+        the shared writer (models/distance_stream.py): the CSV appends
+        panel-at-a-time with fsync-then-checkpoint durability; resume is
+        byte-identical to a single-shot run. max_panels bounds the
+        panels processed this call (testing / cooperative yielding).
+        row_lo/row_hi stream only that row block (multi-host row
+        sharding — parallel/multihost.py concatenates the shards).
         """
-        import json
-
-        from dna_kmeres_parallel_tpu import native
-
-        import hashlib
-
         cfg = self.config
-        t0 = time.perf_counter()
         S = len(seqs)
         counts_np = self.counts_matrix(seqs)
-        counts = jnp.asarray(counts_np)
         mxu_cmax = self._mxu_dist_cmax(counts_np) if S else None
-        del counts_np
         lengths = np.array([len(s) for s in seqs], dtype=np.int64)
-        # Input fingerprint over the FULL content: (k, canonical, S,
-        # lengths) alone cannot tell two same-shaped datasets apart (a
-        # single-base edit must refuse to resume, not silently mix
-        # panels). Hashing every base costs ~0.3 s/GB — noise against
-        # the runs this checkpoint protects.
-        h = hashlib.sha256(np.ascontiguousarray(lengths).tobytes())
-        for s in seqs:
-            h.update(s.encode())
-        input_sha = h.hexdigest()[:16]
-        # One interim build fingerprinted only a content SAMPLE; accept
-        # its sha on resume too (restamped as full-content on next save).
-        legacy_sha = hashlib.sha256(
-            np.ascontiguousarray(lengths).tobytes()
-            + b"|".join(s[:64].encode() for s in seqs[:32])
-        ).hexdigest()[:16]
+        panel_fn = self.make_dense_panel_fn(
+            counts_np, lengths, panel_rows, mxu_cmax=mxu_cmax
+        )
+        meta = {
+            "k": cfg.k,
+            "canonical": cfg.canonical,
+            "n_seqs": S,
+            "regime": "dense",
+            "input_sha": distance_stream.input_fingerprint(seqs),
+        }
+        return distance_stream.stream_panels_to_csv(
+            output_path,
+            S,
+            panel_rows,
+            panel_fn,
+            meta=meta,
+            checkpoint_path=checkpoint_path,
+            max_panels=max_panels,
+            row_lo=row_lo,
+            row_hi=row_hi,
+        )
+
+    def make_dense_panel_fn(
+        self, counts_np, lengths, panel_rows: int, mxu_cmax=None
+    ):
+        """Packed-panel closure over the dense [S, bins] counts matrix:
+        panel_fn(r0, r1) -> float32 flat packed distances for rows
+        r0..r1 (each row i: columns i+1..S), routed exactly like
+        distance_sequences (mesh panel / MXU thresholds / Pallas / jnp)
+        with the host IEEE float finish."""
+        cfg = self.config
+        S = int(counts_np.shape[0])
+        counts = jnp.asarray(counts_np)
         pallas = self._pallas()
         mesh = self._mesh()
-        n_pairs = 0
-        start_r0 = 0
-        csv_bytes = 0
-        resumed = False
-        if checkpoint_path is not None and os.path.exists(checkpoint_path):
-            with open(checkpoint_path, "r", encoding="ascii") as cf:
-                ck = json.load(cf)
-            # Pre-fingerprint checkpoints carry no input_sha and the
-            # interim build carried the sampled one: accept both (the
-            # shape fields still gate) and stamp the full-content sha on
-            # the next save, so in-flight runs survive the upgrade.
-            sha_ok = ck.get("input_sha") in (None, input_sha, legacy_sha)
-            if (
-                ck.get("format_version") != 1
-                or ck["k"] != cfg.k
-                or ck["canonical"] != cfg.canonical
-                or ck["n_seqs"] != S
-                or ck["panel_rows"] != panel_rows
-                or not sha_ok
-            ):
-                raise ValueError(
-                    "distance checkpoint does not match this run "
-                    f"(found k={ck.get('k')} n_seqs={ck.get('n_seqs')} "
-                    f"panel_rows={ck.get('panel_rows')} "
-                    f"input_sha={ck.get('input_sha')})"
-                )
-            start_r0 = int(ck["next_r0"])
-            csv_bytes = int(ck["csv_bytes"])
-            n_pairs = int(ck["n_pairs"])
-            resumed = True
-            if not os.path.exists(output_path):
-                raise FileNotFoundError(
-                    f"distance checkpoint present but CSV missing: "
-                    f"{output_path}"
-                )
-            if os.path.getsize(output_path) < csv_bytes:
-                # truncate() would EXTEND a short file with NULs and the
-                # stream would continue after the hole — refuse instead.
-                raise ValueError(
-                    f"distance CSV shorter than the checkpoint's durable "
-                    f"offset ({os.path.getsize(output_path)} < {csv_bytes} "
-                    f"bytes): the output was damaged; delete both to "
-                    f"restart"
-                )
-
-        def _save_ckpt(next_r0: int) -> None:
-            tmp = str(checkpoint_path) + ".tmp"
-            with open(tmp, "w", encoding="ascii") as cf:
-                json.dump(
-                    {
-                        "format_version": 1,
-                        "k": cfg.k,
-                        "canonical": cfg.canonical,
-                        "n_seqs": S,
-                        "panel_rows": panel_rows,
-                        "next_r0": next_r0,
-                        "csv_bytes": csv_bytes,
-                        "n_pairs": n_pairs,
-                        "input_sha": input_sha,
-                    },
-                    cf,
-                )
-            os.replace(tmp, checkpoint_path)
-
         # Shape discipline: every panel is padded to [panel_rows, bins] and
         # the partner matrix to a power-of-two-ish column bucket, so the
         # whole run compiles a HANDFUL of device programs (a naive
@@ -775,73 +723,47 @@ class KmerEngine:
         # work and the D2H volume across the run.
         col_bucket = max(panel_rows, 16384)
         counts_p = jnp.pad(counts, ((0, panel_rows), (0, 0)))
-        panels_done = 0
-        stopped = False
-        with open(output_path, "r+b" if resumed else "wb") as f:
-            if resumed:
-                # Drop any bytes written after the last durable checkpoint
-                # (a panel interrupted mid-write) — the resumed output is
-                # byte-identical to a single-shot run.
-                f.truncate(csv_bytes)
-                f.seek(csv_bytes)
-            for r0 in range(start_r0, max(S - 1, 0), panel_rows):
-                if max_panels is not None and panels_done >= max_panels:
-                    stopped = True
-                    break
-                r1 = min(r0 + panel_rows, S)
-                rp = r1 - r0
-                panel = counts_p[r0 : r0 + panel_rows]
-                n_cols = min(_round_up(S - r0, col_bucket), S)
-                other = counts[S - n_cols :]
-                base = S - n_cols  # first column's sequence index
-                if mesh is not None:
-                    sums = self._min_sum_panel_mesh(
-                        panel, other, mesh, pallas, mxu_cmax=mxu_cmax
-                    )[:rp]
-                elif mxu_cmax is not None:
-                    sums = np.asarray(
-                        dist_ops.min_sum_matrix_mxu(panel, mxu_cmax, other)
-                    )[:rp]
-                elif (
-                    pallas is not None
-                    and cfg.bins <= distance_pallas._ROUTE_MAX_BINS
-                ):
-                    sums = np.asarray(
-                        distance_pallas.min_sum_matrix_pallas(
-                            panel, other, interpret=(pallas == "interpret")
-                        )
-                    )[:rp]
-                else:
-                    sums = np.asarray(
-                        dist_ops.min_sum_matrix(panel, counts_other=other)
-                    )[:rp]
-                d = dist_ops.finish_distances_panel(
-                    sums, lengths[r0:r1], lengths[base:], cfg.k
-                )
-                # Pack the panel's strict-upper-triangle entries (row i
-                # keeps columns i+1..S) into one flat array, then format
-                # once through the native multithreaded %f writer.
-                rows = [
-                    d[i - r0, (i - base) + 1 :] for i in range(r0, r1)
-                ]
-                flat = np.concatenate(rows) if rows else np.empty(0, np.float32)
-                buf = native.format_f6(flat)
-                f.write(buf)
-                n_pairs += flat.shape[0]
-                csv_bytes += len(buf)
-                panels_done += 1
-                if checkpoint_path is not None:
-                    f.flush()
-                    os.fsync(f.fileno())
-                    _save_ckpt(r1)
-        return {
-            "n_seqs": S,
-            "n_pairs": n_pairs,
-            "elapsed_s": time.perf_counter() - t0,
-            "output": str(output_path),
-            "resumed": resumed,
-            "completed": not stopped,
-        }
+        lengths = np.asarray(lengths, dtype=np.int64)
+
+        def panel_fn(r0: int, r1: int) -> np.ndarray:
+            rp = r1 - r0
+            panel = counts_p[r0 : r0 + panel_rows]
+            n_cols = min(_round_up(S - r0, col_bucket), S)
+            other = counts[S - n_cols :]
+            base = S - n_cols  # first column's sequence index
+            if mesh is not None:
+                sums = self._min_sum_panel_mesh(
+                    panel, other, mesh, pallas, mxu_cmax=mxu_cmax
+                )[:rp]
+            elif mxu_cmax is not None:
+                sums = np.asarray(
+                    dist_ops.min_sum_matrix_mxu(panel, mxu_cmax, other)
+                )[:rp]
+            elif (
+                pallas is not None
+                and cfg.bins <= distance_pallas._ROUTE_MAX_BINS
+            ):
+                sums = np.asarray(
+                    distance_pallas.min_sum_matrix_pallas(
+                        panel, other, interpret=(pallas == "interpret")
+                    )
+                )[:rp]
+            else:
+                sums = np.asarray(
+                    dist_ops.min_sum_matrix(panel, counts_other=other)
+                )[:rp]
+            d = dist_ops.finish_distances_panel(
+                sums, lengths[r0:r1], lengths[base:], cfg.k
+            )
+            # Pack the panel's strict-upper-triangle entries (row i
+            # keeps columns i+1..S) into one flat array; the shared
+            # writer formats it through the native %f formatter.
+            rows = [d[i - r0, (i - base) + 1 :] for i in range(r0, r1)]
+            return (
+                np.concatenate(rows) if rows else np.empty(0, np.float32)
+            )
+
+        return panel_fn
 
     # ------------------------------------------------------------- verification
     def verify_against_oracle(self, seqs: list[str]) -> dict:

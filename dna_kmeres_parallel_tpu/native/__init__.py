@@ -145,6 +145,16 @@ def _load():
     ]
     lib.kp_min_sum_pairs.restype = ctypes.c_int64
     lib.kp_min_sum_pairs.argtypes = [u64p, i64p, i64p, ctypes.c_int64, i64p]
+    lib.kp_min_sum_panel.restype = ctypes.c_int64
+    lib.kp_min_sum_panel.argtypes = [
+        u64p,
+        i64p,
+        i64p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        i64p,
+    ]
     _lib = lib
     return _lib
 
@@ -495,6 +505,43 @@ def min_sum_pairs_native(
         out.ctypes.data_as(i64p),
     )
     return out[: max(w, 0)]
+
+
+def min_sum_panel_native(
+    codes: np.ndarray,
+    counts: np.ndarray,
+    offs: np.ndarray,
+    r0: int,
+    r1: int,
+) -> np.ndarray:
+    """Row-panel variant of min_sum_pairs_native: pair min-sums for rows
+    [r0, r1) only, panel-locally packed (the streamed sparse distance
+    engine's unit of work; see kp_min_sum_panel)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {_build_error}")
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    codes = np.ascontiguousarray(codes, dtype=np.uint64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    S = offs.shape[0] - 1
+    r0 = max(int(r0), 0)
+    r1 = min(int(r1), max(S - 1, 0))
+    if r0 >= r1:
+        return np.zeros(0, dtype=np.int64)
+    n = (r1 - r0) * (S - 1) - (r1 * (r1 - 1) - r0 * (r0 - 1)) // 2
+    out = np.zeros(max(n, 1), dtype=np.int64)
+    w = lib.kp_min_sum_panel(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        counts.ctypes.data_as(i64p),
+        offs.ctypes.data_as(i64p),
+        S,
+        r0,
+        r1,
+        out.ctypes.data_as(i64p),
+    )
+    assert w == n, (w, n)
+    return out[:n]
 
 
 def format_f6(values: np.ndarray) -> bytes:

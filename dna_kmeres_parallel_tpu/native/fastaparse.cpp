@@ -1898,6 +1898,61 @@ int64_t kp_min_sum_pairs(const uint64_t* codes, const int64_t* counts,
   return n_pairs;
 }
 
+// Row-panel variant of kp_min_sum_pairs (r5): min-sums for rows
+// [r0, r1) only, written PANEL-LOCALLY packed (row r0's partners first).
+// This is the streamed/resumable sparse distance engine's unit of work —
+// at design scale the full packed array (1.46G pairs) cannot sit in
+// memory, so panels stream through the shared CSV writer
+// (models/distance_stream.py) exactly like the dense regime's device
+// panels. Threads claim rows dynamically (early rows have more
+// partners). Returns the number of pairs written.
+int64_t kp_min_sum_panel(const uint64_t* codes, const int64_t* counts,
+                         const int64_t* offs, int64_t S, int64_t r0,
+                         int64_t r1, int64_t* out_sums) {
+  if (S < 2) return 0;
+  if (r0 < 0) r0 = 0;
+  if (r1 > S - 1) r1 = S - 1;
+  if (r0 >= r1) return 0;
+  // panel-local packed start of row i: pairs of rows r0..i-1
+  //   = (i - r0) * (S - 1) - (i*(i-1) - r0*(r0-1)) / 2
+  auto row_start = [S, r0](int64_t i) {
+    return (i - r0) * (S - 1) - (i * (i - 1) - r0 * (r0 - 1)) / 2;
+  };
+  const int64_t n_pairs = row_start(r1);
+  const int nt = num_threads(n_pairs, 1 << 12);
+  std::atomic<int64_t> next{r0};
+  std::vector<std::thread> ths;
+  for (int t = 0; t < nt; t++)
+    ths.emplace_back([&] {
+      for (;;) {
+        const int64_t i = next.fetch_add(1);
+        if (i >= r1) break;
+        int64_t w = row_start(i);
+        const int64_t ia = offs[i], ib = offs[i + 1];
+        for (int64_t j = i + 1; j < S; j++, w++) {
+          int64_t a = ia, b = offs[j];
+          const int64_t bb = offs[j + 1];
+          int64_t sum = 0;
+          while (a < ib && b < bb) {
+            const uint64_t ca = codes[a], cb = codes[b];
+            if (ca == cb) {
+              sum += std::min(counts[a], counts[b]);
+              a++;
+              b++;
+            } else if (ca < cb) {
+              a++;
+            } else {
+              b++;
+            }
+          }
+          out_sums[w] = sum;
+        }
+      }
+    });
+  for (auto& th : ths) th.join();
+  return n_pairs;
+}
+
 // Format n float32 values as the reference's one-float-per-line CSV body
 // ("%f\n" per value, /root/reference/main.cu:199-202 and 355-358) into
 // out. snprintf does the digits, so the bytes match the C library's %f

@@ -82,19 +82,32 @@ TRI_PAIR_OVERHEAD_S = 1.3e-9
 DENSE_BIN_PAIRS_PER_SEC = 2.3e11
 
 
+def _cal_rate(key: str, frozen: float) -> float:
+    """Measured backend rate when a calibration exists (r5 —
+    ops/calibrate: `kmer-tpu calibrate` persists per-backend pair rates
+    next to the compile cache), the frozen v5e constant otherwise."""
+    from dna_kmeres_parallel_tpu.ops import calibrate
+
+    return float(calibrate.get_calibration().get(key, frozen))
+
+
 def mxu_time_per_pair(bins: int, cmax: int) -> float:
     """Predicted s/pair for min_sum_matrix_mxu at these bins/cmax."""
-    return cmax * (bins / MXU_MACS_PER_SEC + MXU_PAIR_THRESH_OVERHEAD_S)
+    macs = _cal_rate("mxu_macs_per_sec", MXU_MACS_PER_SEC)
+    return cmax * (bins / macs + MXU_PAIR_THRESH_OVERHEAD_S)
 
 
 def tri_time_per_pair(bins: int) -> float:
     """Predicted s/pair for the Pallas tri (min,+) kernel."""
-    return bins / TRI_BIN_PAIRS_PER_SEC + TRI_PAIR_OVERHEAD_S
+    rate = _cal_rate("tri_bin_pairs_per_sec", TRI_BIN_PAIRS_PER_SEC)
+    return bins / rate + TRI_PAIR_OVERHEAD_S
 
 
 def jnp_time_per_pair(bins: int) -> float:
     """Predicted s/pair for the jnp (min,+) route."""
-    return bins / DENSE_BIN_PAIRS_PER_SEC
+    return bins / _cal_rate(
+        "dense_bin_pairs_per_sec", DENSE_BIN_PAIRS_PER_SEC
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cmax",))
@@ -121,6 +134,17 @@ def min_sum_matrix_mxu(
     — int8 keeps the integers exact with no f32 magnitude bound).
     """
     other = counts if counts_other is None else counts_other
+    # Thresholds compare the INPUT dtype directly: t = cmax must be
+    # representable or (counts >= t) silently wraps (int8 t=128 becomes
+    # >= -128 = all-True). Callers gate; this guard turns a silent
+    # corruption into an error (advisor r4).
+    if jnp.issubdtype(counts.dtype, jnp.integer) and cmax > int(
+        jnp.iinfo(counts.dtype).max
+    ):
+        raise ValueError(
+            f"cmax={cmax} not representable in {counts.dtype}; widen the "
+            "counts (int32) before the MXU threshold route"
+        )
     acc = None
     for t in range(1, cmax + 1):
         a = (counts >= t).astype(jnp.int8)

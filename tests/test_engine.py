@@ -464,27 +464,36 @@ def test_cli_count_mesh_matches_single(tmp_path, make_dna, capsys):
     assert a.read_bytes() == b.read_bytes()
 
 
-def test_distance_checkpoint_pre_r4_migration(tmp_path, make_dna):
-    # Checkpoints written before the input fingerprint existed (no
-    # input_sha key) must still resume; the sha is stamped on the next
-    # save.
+def test_distance_checkpoint_legacy_formats_refused(tmp_path, make_dna):
+    # r5: the v1 checkpoint grace period (missing / sampled-content
+    # input_sha) is over — a same-shape checkpoint from an older build
+    # could resume against the WRONG data past the sampled prefix, so
+    # the writer now refuses anything but an exact format-2 match with
+    # the full-content sha (VERDICT r4 weak #7).
     import json as json_mod
 
     seqs = [make_dna(60 + 3 * i) for i in range(12)]
     eng = KmerEngine(KmerConfig(k=3))
-    ref = tmp_path / "ref.csv"
-    eng.distance_stream_to_csv(seqs, ref, panel_rows=4)
     out, ck = tmp_path / "d.csv", tmp_path / "d.ckpt"
     eng.distance_stream_to_csv(
         seqs, out, panel_rows=4, checkpoint_path=ck, max_panels=1
     )
     data = json_mod.loads(ck.read_text())
-    del data["input_sha"]  # simulate a pre-r4 checkpoint
-    ck.write_text(json_mod.dumps(data))
-    r = eng.distance_stream_to_csv(seqs, out, panel_rows=4, checkpoint_path=ck)
-    assert r["completed"] and r["resumed"]
-    assert out.read_bytes() == ref.read_bytes()
-    assert "input_sha" in json_mod.loads(ck.read_text())
+    legacy = dict(data)
+    legacy["format_version"] = 1
+    del legacy["input_sha"]
+    ck.write_text(json_mod.dumps(legacy))
+    with pytest.raises(ValueError, match="does not match"):
+        eng.distance_stream_to_csv(
+            seqs, out, panel_rows=4, checkpoint_path=ck
+        )
+    stale = dict(data)
+    stale["input_sha"] = "0" * 16  # wrong content fingerprint
+    ck.write_text(json_mod.dumps(stale))
+    with pytest.raises(ValueError, match="input_sha"):
+        eng.distance_stream_to_csv(
+            seqs, out, panel_rows=4, checkpoint_path=ck
+        )
 
 
 def test_distance_mxu_route_bit_identical(tmp_path, make_dna, monkeypatch):

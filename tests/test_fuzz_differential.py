@@ -199,3 +199,46 @@ def test_fuzz_union_min_sums_vs_python(monkeypatch):
         assert np.array_equal(got, want), (
             f"trial {trial}: impl={plan['impl']} cmax={cmax} S={S}"
         )
+
+
+def test_fuzz_union_mxu_int8_boundary(monkeypatch):
+    """Pin the int8-ship / t=128 threshold boundary ON the mxu
+    sub-route: counts in 65..127 bucket cmax to 128, which the default
+    KMER_TPU_MXU_CMAX=64 would drop from the candidate set — raise the
+    cap to 128 and force impl=mxu so the dtype choice (must be int32:
+    int8 (>= 128) wraps to all-True) is actually executed (advisor r4
+    finding: the generic fuzz never reached this path). 12 trials."""
+    from dna_kmeres_parallel_tpu.models import sparse_engine
+
+    monkeypatch.setenv("KMER_TPU_DIST_UNION", "1")
+    monkeypatch.setenv("KMER_TPU_UNION_IMPL", "mxu")
+    monkeypatch.setenv("KMER_TPU_MXU_CMAX", "128")
+    monkeypatch.delenv("KMER_TPU_PALLAS_INTERPRET", raising=False)
+    rng = np.random.default_rng(0x1281281)
+    for trial in range(12):
+        S = int(rng.integers(2, 8))
+        universe = np.unique(
+            rng.integers(0, 50, size=30).astype(np.uint64)
+        )
+        parts, cnts = [], []
+        offs = np.zeros(S + 1, dtype=np.int64)
+        for i in range(S):
+            n_i = int(rng.integers(1, min(10, universe.size) + 1))
+            c = np.sort(
+                rng.choice(universe, size=n_i, replace=False)
+            ).astype(np.uint64)
+            parts.append(c)
+            cnts.append(
+                rng.integers(65, 128, size=n_i).astype(np.int64)
+            )
+            offs[i + 1] = offs[i] + n_i
+        codes = np.concatenate(parts)
+        counts = np.concatenate(cnts)
+        plan = sparse_engine.union_dense_plan(codes, counts, offs)
+        assert plan is not None, f"trial {trial}: plan refused"
+        assert plan["impl"] == "mxu" and plan["cmax"] == 128, plan
+        got = sparse_engine.union_dense_min_sums(
+            codes, counts, offs, plan
+        )
+        want = sparse_engine.min_sum_pairs_python(codes, counts, offs)
+        assert np.array_equal(got, want), f"trial {trial}"
