@@ -106,6 +106,35 @@ def main() -> int:
         )
         return 0
 
+    if mode.startswith("dist"):
+        # Multi-host distances (r5): row-range ownership over the packed
+        # triangle, per-process shard CSV + checkpoint, rank-0 stitch.
+        # "dist:<csv_path>:<panel_rows>" runs to completion;
+        # "dist:<csv_path>:<panel_rows>:<max_panels>" stops early
+        # (preemption simulation) — a later full invocation must resume
+        # from the per-process checkpoints and produce a final CSV
+        # byte-identical to the single-process run.
+        parts = mode.split(":")
+        csv_path = parts[1]
+        panel_rows = int(parts[2])
+        max_panels = int(parts[3]) if len(parts) > 3 else None
+        report = multihost.distance_file_multihost_resumable(
+            fasta_path,
+            KmerConfig(k=k),
+            csv_path,
+            checkpoint_path=csv_path + ".ckpt",
+            panel_rows=panel_rows,
+            max_panels=max_panels,
+        )
+        np.savez(
+            out_path,
+            n_pairs=report["n_pairs"],
+            completed=int(report["completed"]),
+            all_complete=int(report["all_complete"]),
+            rows=np.array(report["rows"], dtype=np.int64),
+        )
+        return 0
+
     # mode == "bucketed": the config-5 all_to_all path over the
     # cross-process mesh. Every process parses the whole (small) file and
     # contributes its device's stream shard; per-device sub-tables are
