@@ -45,12 +45,15 @@ _COMPACT_RECHECK = int(os.environ.get("KMER_TPU_COMPACT_RECHECK", "16"))
 #: flip modes only when the loser's EWMA beats the winner's by this margin
 #: (flapping guard; the dev link swings 5-30x run-to-run).
 _COMPACT_HYSTERESIS = 1.25
-#: sampled k-mer duplication ratio (windows / distinct) above which 'auto'
-#: selects the device-RLE route (sequencing coverage makes most windows
-#: duplicates; D2H then scales with DISTINCT codes).
-_RLE_DUP_THRESHOLD = 4.0
-#: bases sampled from the stream head for the duplication estimate.
-_RLE_SAMPLE_BASES = 1 << 20
+#: r5 NOTE: the r3 duplication-sample pre-selection of device-rle
+#: (dup >= 4 over a 128 KB stream-head probe) is GONE. Two measured
+#: reasons (VERDICT r4 weak #5, docs/BENCHMARKS.md): on production-scale
+#: coverage data the head window samples dup ~1 so the gate never fired,
+#: and the hardware A/B showed device-rle LOSING at warm steady state
+#: anyway (49.6 s vs words 18.7, super 13.5 on the 64M-base coverage
+#: fixture). 'auto' now always starts from the EWMA probe race, which
+#: measures the actual routes on the actual link; compact='device-rle'
+#: remains as an explicit operator mode.
 
 
 def _prefetched(items, fn, depth: int = 2):
@@ -419,29 +422,6 @@ class StreamingCounter:
             return False
         return None
 
-    def _sample_duplication(self, flat, cursor: int) -> float:
-        """Estimated k-mer duplication ratio (total windows / distinct) of
-        a sample from the stream head — the data signal behind the 'auto'
-        device-RLE selection. Uses the native host counter (one radix pass
-        over <= _RLE_SAMPLE_BASES bases); returns 1.0 when the sample is
-        too small or the native engine is absent (never selects RLE)."""
-        from dna_kmeres_parallel_tpu import native
-
-        if not native.available():
-            return 1.0
-        k = self.config.k
-        seg = flat[cursor : cursor + _RLE_SAMPLE_BASES]
-        if seg.shape[0] < 4 * k:
-            return 1.0
-        codes, counts = native.count_sparse_host_native(
-            seg, k, self.config.canonical
-        )
-        distinct = max(int(codes.shape[0]), 1)
-        total = int(counts.sum())
-        dup = total / distinct
-        self.metrics.count("dup_sample_x1000", int(dup * 1000))
-        return dup
-
     def _run_sparse(self, flat, total_bases, n_seqs, t0) -> SparseCountResult:
         cfg = self.config
         total = flat.shape[0]
@@ -472,20 +452,6 @@ class StreamingCounter:
         # link mode; the host expands records and counts with the fused
         # native engine. Single-chip, any k <= 31.
         sk = cfg.compact == "device-super"
-        if (
-            cfg.compact == "auto"
-            and host_mode is None
-            and self._sample_duplication(flat, cursor) >= _RLE_DUP_THRESHOLD
-        ):
-            # Coverage-duplicated data (sequencing reads at 30-50x): most
-            # windows repeat, so the device-RLE route ships only DISTINCT
-            # (code, count) pairs — D2H and host work scale with distinct
-            # codes, ~(10/dup) B/window. Uniform-random data (dup ~1) is
-            # the one distribution where RLE loses; the sample gate keeps
-            # it on the plain race there.
-            rle = True
-            host_mode = False
-            self.metrics.count("compact_rle_selected")
         # 'auto' bookkeeping: EWMA bases/s per route. Initial decision:
         # drain walls of device batches 2..3 (batch 1 pays compiles) vs one
         # host-counted batch 4, decided before batch 5. Unlike the r2

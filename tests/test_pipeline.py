@@ -267,9 +267,12 @@ def test_sparse_compact_auto_flips_when_route_degrades_midstream(
         assert rep["counters"].get("compact_mode_flips", 0) >= 1
 
 
-def test_sparse_compact_auto_selects_rle_on_coverage_data(tmp_path, make_dna):
-    """30x-coverage synthetic reads: 'auto' must sample the duplication
-    ratio, select the device-RLE route, and stay exact."""
+def test_sparse_compact_auto_exact_on_coverage_data(tmp_path, make_dna):
+    """30x-coverage synthetic reads through 'auto': exact, with the EWMA
+    probe race deciding the route (r5: the duplication-sample RLE
+    pre-selection is gone — the hardware A/B showed device-rle losing at
+    warm steady state even on the data it was designed for, so 'auto'
+    always measures instead of guessing; VERDICT r4 weak #5)."""
     from dna_kmeres_parallel_tpu import native
     from dna_kmeres_parallel_tpu.utils import fasta as fasta_mod
 
@@ -286,22 +289,9 @@ def test_sparse_compact_auto_selects_rle_on_coverage_data(tmp_path, make_dna):
     sc = StreamingCounter(KmerConfig(k=21, batch_bases=2048, compact="auto"))
     result = sc.run(str(path))
     rep = sc.metrics.report()
-    assert rep["counters"].get("compact_rle_selected") == 1
+    assert "compact_rle_selected" not in rep["counters"]
     want = oracle.count_table_any_k([s for _, s in reads], 21)
     assert result.table() == want
-
-
-def test_sample_duplication_estimates(make_dna):
-    from dna_kmeres_parallel_tpu import native
-    from dna_kmeres_parallel_tpu.utils import codec as codec_mod
-
-    if not native.available():
-        pytest.skip("native engine unavailable")
-    sc = StreamingCounter(KmerConfig(k=21))
-    uniform = codec_mod.concat_with_sentinels([make_dna(4096)])
-    assert sc._sample_duplication(uniform, 0) < 1.5
-    dup = codec_mod.concat_with_sentinels([make_dna(256)] * 32)
-    assert sc._sample_duplication(dup, 0) > 10
 
 
 def test_sparse_compact_auto_probes_super_subroute(fasta_file, monkeypatch):

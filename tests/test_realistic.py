@@ -61,9 +61,9 @@ def test_sparse_k21_stream_auto_realistic(realistic):
     result = sc.run(path)
     assert result.table() == oracle.count_table_any_k(seqs, 21)
     if native.available():
-        # ~10x coverage: the duplication sample must have selected RLE.
+        # r5: no RLE pre-selection — the EWMA race owns the decision.
         rep = sc.metrics.report()
-        assert rep["counters"].get("compact_rle_selected") == 1
+        assert "compact_rle_selected" not in rep["counters"]
 
 
 def test_bucketed_k31_minimizer_skew_realistic(realistic):
