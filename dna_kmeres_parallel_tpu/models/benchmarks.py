@@ -126,35 +126,45 @@ def run_count_bench(
 def _two_size_differential(make, stack, inner_hi: int, inner_lo: int,
                            counted_of=None):
     """Shared two-size lax.scan differential timer: time make(inner)(stack,
-    salt) at two scan lengths (min-of-3 distinct-salt dispatches each) and
-    return (elapsed, counted_delta, valid). The dispatch+fetch roundtrip
-    cancels in the difference. valid=False flags the jitter pathology
-    where the small program out-times the large one (a clamp here once
-    reported 6e15 pairs/s in an earlier bench; callers must surface an
-    obviously-wrong 0.0, never an absurdly-right huge number).
+    salt) at two scan lengths and return (elapsed, counted_delta, valid).
+    The dispatch+fetch roundtrip cancels in the difference. valid=False
+    flags the jitter pathology where the small program out-times the
+    large one (a clamp here once reported 6e15 pairs/s in an earlier
+    bench; callers must surface an obviously-wrong 0.0, never an
+    absurdly-right huge number).
+
+    r5: elapsed is the MEDIAN of 4 back-to-back (hi, lo) paired deltas,
+    not min-of-3 each — with the per-batch program at ~0.17 ms/batch a
+    single lucky dispatch window under min-of-3 once reported 156-158
+    Gbase/s, ABOVE the 134 Gbase/s HBM roofline of the measured program;
+    the median of paired deltas discards such outliers in either
+    direction (post-change spread on the same tunnel: 104-111).
 
     make(inner) must return a jitted prog(stack, salt0_u8); counted_of
     extracts the window count from its fetched result (default: int64
-    sum). Salts 0..2 are timed, 101 warms up."""
+    sum). Distinct salts per timed dispatch defeat dedupe; 101/102 warm
+    up."""
     if counted_of is None:
         counted_of = lambda h: int(np.asarray(h, dtype=np.int64).sum())
 
-    def best_time(prog):
-        h = prog(stack, jnp.uint8(101))
-        counted = counted_of(h)
-        best = None
-        for j in range(3):
-            t0 = time.perf_counter()
-            _ = np.asarray(prog(stack, jnp.uint8(j)))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        return best, counted
+    prog_hi = make(inner_hi)
+    prog_lo = make(inner_lo)
+    counted_hi = counted_of(prog_hi(stack, jnp.uint8(101)))  # warm/compile
+    counted_lo = counted_of(prog_lo(stack, jnp.uint8(102)))
 
-    t_hi, counted_hi = best_time(make(inner_hi))
-    t_lo, counted_lo = best_time(make(inner_lo))
-    valid = t_hi > t_lo
-    elapsed = max(t_hi - t_lo, 1e-9)
-    return elapsed, counted_hi - counted_lo, valid
+    def timed(prog, salt):
+        t0 = time.perf_counter()
+        _ = np.asarray(prog(stack, jnp.uint8(salt)))
+        return time.perf_counter() - t0
+
+    deltas = []
+    for j in range(4):
+        t_hi = timed(prog_hi, 2 * j)
+        t_lo = timed(prog_lo, 2 * j + 1)
+        deltas.append(t_hi - t_lo)
+    elapsed = float(np.median(deltas))
+    valid = elapsed > 0
+    return max(elapsed, 1e-9), counted_hi - counted_lo, valid
 
 
 def _run_count_bench_differential(
@@ -361,7 +371,17 @@ def run_sparse_bench(
         # large and a small scan so the dispatch+fetch roundtrip cancels
         # exactly (min-of-3 each). Measured this way: 604M extra bases in
         # 37.3 ms = 16.2 Gbase/s (2026-08-19 window).
-        inner_hi = max(n_batches, 48)
+        # r5: the per-batch production program runs ~0.18 ms per 16M-base
+        # batch — a 36-iteration delta (~6.5 ms) sits inside this
+        # tunnel's few-ms dispatch jitter and once reported 158 Gbase/s,
+        # ABOVE the 819 GB/s HBM roofline (~102 MB traffic/batch at k=21
+        # caps the program near ~140). Floor the large scan at 192
+        # iterations so the measured delta (~26 ms) dominates the jitter;
+        # KMER_TPU_BENCH_INNER_HI overrides.
+        inner_hi = max(
+            n_batches,
+            int(os.environ.get("KMER_TPU_BENCH_INNER_HI", "192")),
+        )
         inner_lo = max(inner_hi // 4, 1)
         stack = jnp.stack(inputs[:n_distinct])
 
