@@ -177,6 +177,48 @@ def _count_batch_acc_packed(
     return acc + _count_batch(bases, n_own, k, bins, canonical, pallas)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "bins", "canonical", "pallas")
+)
+def _count_batch_planes(
+    w_le: jax.Array,
+    iv_be: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    bins: int,
+    canonical: bool,
+    pallas: str = "compiled",
+) -> jax.Array:
+    """Dense count over HOST-STAGED u32 planes (r5): the packed-plane
+    bp2 kernel does SWAR funnel extraction + the one-hot NT accumulate
+    in one pass — no in-jit unpack materialization (the *_packed
+    variants pay a [T] u8 round trip through HBM before the kernel) and
+    0.5 B/base of H2D. k = 4..8 (the bp2 band); measured 1.07-1.17x the
+    u8 kernel on v5e (scripts/bp2_packed_probe.py)."""
+    return histogram_pallas.histogram_bp2_packed_pallas(
+        w_le, iv_be, n_own, k, bins, canonical,
+        interpret=(pallas == "interpret"),
+    ).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "bins", "canonical", "pallas")
+)
+def _count_batch_acc_planes(
+    acc: jax.Array,
+    w_le: jax.Array,
+    iv_be: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    bins: int,
+    canonical: bool,
+    pallas: str = "compiled",
+) -> jax.Array:
+    return acc + _count_batch_planes(
+        w_le, iv_be, n_own, k, bins, canonical, pallas
+    )
+
+
 def stage_batch(padded, pack: bool):
     """Host->device staging of one padded batch [T] uint8.
 
@@ -443,6 +485,19 @@ class KmerEngine:
             acc_windows = 0
             flush_limit = (1 << 31) - (1 << 27)
             pallas = self._pallas()
+            # r5: the dense k=4..8 band rides the packed-plane bp2 kernel
+            # when input packing is on — same host pack, planes staged on
+            # host (the v2 discipline), no in-jit unpack pass, 1.07-1.17x
+            # the u8 kernel device-side (KMER_TPU_DENSE_PLANES=0 opts
+            # out; k<=3 keeps the bit-plane route, where bp2 is
+            # MXU-latency-bound).
+            use_planes = (
+                cfg.pack_input
+                and pallas is not None
+                and 4 <= cfg.k <= 8
+                and cfg.bins == 4**cfg.k
+                and os.environ.get("KMER_TPU_DENSE_PLANES") != "0"
+            )
             start = 0
             while start < total:
                 end = min(start + batch, total)
@@ -451,11 +506,19 @@ class KmerEngine:
                 seg = flat[start : min(end + overlap, total)]
                 padded = np.full(T, codec.INVALID_BASE, dtype=np.uint8)
                 padded[: seg.shape[0]] = seg
-                staged = stage_batch(padded, cfg.pack_input)
-                if cfg.pack_input:
+                if use_planes and pallas is not None:
+                    staged = stage_batch_planes(padded)
+                    args = (*staged, jnp.int32(end - start))
+                    batch_fn, acc_fn = (
+                        _count_batch_planes,
+                        _count_batch_acc_planes,
+                    )
+                elif cfg.pack_input:
+                    staged = stage_batch(padded, True)
                     args = (*staged, jnp.int32(end - start))
                     batch_fn, acc_fn = _count_batch_packed, _count_batch_acc_packed
                 else:
+                    staged = stage_batch(padded, False)
                     args = (staged, jnp.int32(end - start))
                     batch_fn, acc_fn = _count_batch, _count_batch_acc
                 try:
@@ -477,6 +540,17 @@ class KmerEngine:
                     ):
                         raise
                     pallas = None
+                    if use_planes:
+                        # The planes entry IS the Pallas kernel — degrade
+                        # to the packed-unpack program for the rest of
+                        # the stream.
+                        use_planes = False
+                        staged = stage_batch(padded, True)
+                        args = (*staged, jnp.int32(end - start))
+                        batch_fn, acc_fn = (
+                            _count_batch_packed,
+                            _count_batch_acc_packed,
+                        )
                     if acc is None:
                         acc = batch_fn(
                             *args, cfg.k, cfg.bins, cfg.canonical, None

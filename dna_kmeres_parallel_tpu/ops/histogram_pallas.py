@@ -525,66 +525,77 @@ def _make_hist_bp2_kernel(
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        acc = out_ref[:]
-        ahi = ahi_ref[:]  # [H, 32] int8 static hi-field patterns
-        alo = alo_ref[:]  # [W, 32] int8 static lo-field patterns
-        Hp = ahi.shape[0]
-        Wp = alo.shape[0]
-        if mode == "cmp":
-            # Compare-built one-hots, both in natural lane layout (bins on
-            # sublanes, windows on lanes) — 2 VPU ops per element vs the
-            # plane matmul + threshold. Invalid windows get sentinel code
-            # bins = H*W: its hi field H matches no live hi_ids row (or
-            # only a padded row, cropped by the wrapper's [:H] slice).
-            sent = jnp.where(
-                valid_i > 0, code, (1 << w_bits) * (1 << (2 * k - w_bits))
-            )
-            hi_ids = jax.lax.broadcasted_iota(jnp.int32, (Hp, 1), 0)
-            lo_ids = jax.lax.broadcasted_iota(jnp.int32, (Wp, 1), 0)
-            for r in range(8):
-                hi_r = sent[r : r + 1, :] >> w_bits  # [1, chunk]
-                lo_r = sent[r : r + 1, :] & ((1 << w_bits) - 1)
-                oh_hi = (hi_ids == hi_r).astype(jnp.int8)  # [Hp, chunk]
-                oh_lo = (lo_ids == lo_r).astype(jnp.int8)  # [Wp, chunk]
-                acc = acc + jax.lax.dot_general(
-                    oh_hi,
-                    oh_lo,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-            out_ref[:] = acc
-            return
-        for r in range(8):
-            rows = []
-            for i in range(2 * k):  # code bit planes, +-1
-                rows.append(((code[r : r + 1, :] >> i) & 1) * 2 - 1)
-            rows.append(valid_i[r : r + 1, :] * 2 - 1)  # validity plane
-            for _ in range(_BP2_PLANES - 2 * k - 1):  # constant +1 pad
-                rows.append(jnp.ones((1, chunk), jnp.int32))
-            b = jnp.concatenate(rows, axis=0).astype(jnp.int8)  # [32, chunk]
-            if diag == "noplanes":
-                oh_hi = jnp.broadcast_to(b[0:1, :], (ahi.shape[0], chunk))
-                oh_lo = jnp.broadcast_to(b[1:2, :], (alo.shape[0], chunk))
-            else:
-                agree_hi = jnp.dot(ahi, b, preferred_element_type=jnp.int32)
-                agree_lo = jnp.dot(alo, b, preferred_element_type=jnp.int32)
-                oh_hi = ((agree_hi + off_hi) >> 5).astype(jnp.int8)
-                oh_lo = ((agree_lo + off_lo) >> 5).astype(jnp.int8)
-            if diag == "noouter":
-                acc = acc + (
-                    oh_hi[:, : acc.shape[1]].astype(jnp.int32)
-                    + oh_lo[: acc.shape[0], : acc.shape[1]].astype(jnp.int32)
-                )
-            else:
-                acc = acc + jax.lax.dot_general(
-                    oh_hi,
-                    oh_lo,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-        out_ref[:] = acc
+        out_ref[:] = _bp2_accumulate(
+            code, valid_i, ahi_ref[:], alo_ref[:], out_ref[:],
+            k, w_bits, chunk, mode, diag,
+        )
 
     return kernel
+
+
+def _bp2_accumulate(code, valid_i, ahi, alo, acc, k, w_bits, chunk, mode,
+                    diag):
+    """Shared bp2 histogram accumulate: [8, chunk] window codes +
+    validity -> acc [Hp, Wp] += per-row one-hot NT outer products. The
+    window AXIS ORDER is irrelevant (histogram = permutation-invariant
+    reduction), which is what lets the packed-plane front end feed this
+    body in the v2 encoder's residue-permuted order."""
+    off_hi = 2 * k - (2 * k - w_bits)
+    off_lo = 2 * k - w_bits
+    Hp = ahi.shape[0]
+    Wp = alo.shape[0]
+    if mode == "cmp":
+        # Compare-built one-hots, both in natural lane layout (bins on
+        # sublanes, windows on lanes) — 2 VPU ops per element vs the
+        # plane matmul + threshold. Invalid windows get sentinel code
+        # bins = H*W: its hi field H matches no live hi_ids row (or
+        # only a padded row, cropped by the wrapper's [:H] slice).
+        sent = jnp.where(
+            valid_i > 0, code, (1 << w_bits) * (1 << (2 * k - w_bits))
+        )
+        hi_ids = jax.lax.broadcasted_iota(jnp.int32, (Hp, 1), 0)
+        lo_ids = jax.lax.broadcasted_iota(jnp.int32, (Wp, 1), 0)
+        for r in range(8):
+            hi_r = sent[r : r + 1, :] >> w_bits  # [1, chunk]
+            lo_r = sent[r : r + 1, :] & ((1 << w_bits) - 1)
+            oh_hi = (hi_ids == hi_r).astype(jnp.int8)  # [Hp, chunk]
+            oh_lo = (lo_ids == lo_r).astype(jnp.int8)  # [Wp, chunk]
+            acc = acc + jax.lax.dot_general(
+                oh_hi,
+                oh_lo,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        return acc
+    for r in range(8):
+        rows = []
+        for i in range(2 * k):  # code bit planes, +-1
+            rows.append(((code[r : r + 1, :] >> i) & 1) * 2 - 1)
+        rows.append(valid_i[r : r + 1, :] * 2 - 1)  # validity plane
+        for _ in range(_BP2_PLANES - 2 * k - 1):  # constant +1 pad
+            rows.append(jnp.ones((1, chunk), jnp.int32))
+        b = jnp.concatenate(rows, axis=0).astype(jnp.int8)  # [32, chunk]
+        if diag == "noplanes":
+            oh_hi = jnp.broadcast_to(b[0:1, :], (ahi.shape[0], chunk))
+            oh_lo = jnp.broadcast_to(b[1:2, :], (alo.shape[0], chunk))
+        else:
+            agree_hi = jnp.dot(ahi, b, preferred_element_type=jnp.int32)
+            agree_lo = jnp.dot(alo, b, preferred_element_type=jnp.int32)
+            oh_hi = ((agree_hi + off_hi) >> 5).astype(jnp.int8)
+            oh_lo = ((agree_lo + off_lo) >> 5).astype(jnp.int8)
+        if diag == "noouter":
+            acc = acc + (
+                oh_hi[:, : acc.shape[1]].astype(jnp.int32)
+                + oh_lo[: acc.shape[0], : acc.shape[1]].astype(jnp.int32)
+            )
+        else:
+            acc = acc + jax.lax.dot_general(
+                oh_hi,
+                oh_lo,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+    return acc
 
 
 @functools.partial(
@@ -660,6 +671,241 @@ def histogram_bp2_pallas(
         interpret=interpret,
     )(
         rows,
+        jnp.asarray(n_own, dtype=jnp.int32).reshape(1, 1),
+        a_hi,
+        a_lo,
+    )
+    return out[:H, :W].reshape(-1)[:bins]
+
+
+def _make_hist_bp2_packed_kernel(
+    k: int, canonical: bool, chunk: int, w_bits: int, mode: str = "cmp"
+):
+    """Packed-plane front end for the bp2 histogram (r5, VERDICT weak
+    #4): u32 word/invalid planes (the v2 encoder's wire format,
+    ops/encode_pallas) -> SWAR funnel window extraction -> the SAME
+    per-row one-hot NT accumulate as _make_hist_bp2_kernel.
+
+    vs the u8 front end: input DMA drops 4x (0.375 B/base of planes vs
+    1.0+ of bases — and the production dense path additionally pays an
+    in-XLA unpack materialization when H2D ships packed), and window
+    extraction is the encoder's 16-funnel family (~2 ops per 16 windows
+    per residue) instead of k shift/or passes over the full window axis.
+    Windows arrive in the v2 RESIDUE-PERMUTED order — irrelevant here,
+    the histogram is a permutation-invariant reduction. Canonicalization
+    rides the shared RC funnel family (rev16(~E[r]) masked to 2k bits),
+    the same formulation that erased the sparse path's canonical tax.
+    """
+    from dna_kmeres_parallel_tpu.ops.encode_pallas import (
+        _dshift_digits,
+        _rev16_digits,
+    )
+
+    if not (1 <= k <= 8):
+        raise ValueError(f"packed bp2 kernel serves k <= 8, got {k}")
+    W16 = chunk // 16
+    mode, _, diag = mode.partition("+")
+
+    def kernel(words_ref, inval_ref, whalo_ref, ihalo_ref, n_own_ref,
+               ahi_ref, alo_ref, out_ref):
+        t = pl.program_id(0)
+        n_own = n_own_ref[0, 0]
+
+        def u32(ref):
+            return jax.lax.bitcast_convert_type(ref[:], jnp.uint32)
+
+        P = jnp.concatenate([u32(words_ref), u32(whalo_ref)], axis=1)
+        I = jnp.concatenate([u32(inval_ref), u32(ihalo_ref)], axis=1)
+        # Host-staged planes arrive little-endian (zero-copy view of the
+        # packed bytes); reverse to digit order with the 8-op butterfly.
+        P = _rev16_digits(P)
+        row_w = P.shape[1]
+
+        def lroll(a, off):
+            return pltpu.roll(a, row_w - off, axis=1) if off else a
+
+        class _Rolls:
+            def __init__(self, X):
+                self._c = {0: X}
+
+            def __getitem__(self, q):
+                if q not in self._c:
+                    self._c[q] = lroll(self._c[0], q)
+                return self._c[q]
+
+        # 16 funnel extracts: E[r][w] = 32 bits starting at digit 16w+r.
+        E = [P]
+        Pn = lroll(P, 1)
+        for r in range(1, 16):
+            E.append((P << (2 * r)) | (Pn >> (32 - 2 * r)))
+
+        # Validity OR-spread over k digits (doubling ladder).
+        spans = {1: I}
+        span_rolls = {1: _Rolls(I)}
+        p = 1
+        while 2 * p <= k:
+            cur = spans[p]
+            nxt = cur | _dshift_digits(cur, span_rolls[p], p, row_w)
+            spans[2 * p] = nxt
+            span_rolls[2 * p] = _Rolls(nxt)
+            p *= 2
+        V = None
+        covered = 0
+        for q in sorted(spans, reverse=True):
+            if not (k & q):
+                continue
+            if V is None:
+                V = spans[q]
+                covered = q
+            else:
+                V = V | _dshift_digits(
+                    spans[q], span_rolls[q], covered, row_w
+                )
+                covered += q
+
+        if canonical:
+            Rfam = [_rev16_digits(~e) for e in E]
+
+        pos_base = (
+            jax.lax.broadcasted_iota(jnp.int32, (8, W16), 1) * 16
+            + (jax.lax.broadcasted_iota(jnp.int32, (8, W16), 0) + t * 8)
+            * chunk
+        )
+        mask2k = jnp.uint32((1 << (2 * k)) - 1)
+        code_pieces = []
+        valid_pieces = []
+        for r0 in range(16):
+            lo = jax.lax.slice_in_dim(
+                E[r0] >> (32 - 2 * k), 0, W16, axis=1
+            )
+            vdig = (
+                jax.lax.slice_in_dim(V, 0, W16, axis=1) >> (30 - 2 * r0)
+            ) & jnp.uint32(3)
+            pos = pos_base + r0
+            valid = (vdig == 0) & (pos < n_own)
+            if canonical:
+                rc_lo = (
+                    jax.lax.slice_in_dim(Rfam[r0], 0, W16, axis=1)
+                    & mask2k
+                )
+                lo = jnp.minimum(lo, rc_lo)
+            code_pieces.append(
+                jax.lax.bitcast_convert_type(lo, jnp.int32)
+            )
+            valid_pieces.append(valid.astype(jnp.int32))
+        code = jnp.concatenate(code_pieces, axis=1)  # [8, chunk], permuted
+        valid_i = jnp.concatenate(valid_pieces, axis=1)
+
+        @pl.when(t == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        out_ref[:] = _bp2_accumulate(
+            code, valid_i, ahi_ref[:], alo_ref[:], out_ref[:],
+            k, w_bits, chunk, mode, diag,
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "bins", "canonical", "interpret", "mode")
+)
+def histogram_bp2_packed_pallas(
+    words_le: jax.Array,
+    inval_be: jax.Array,
+    n_own: jax.Array,
+    k: int,
+    bins: int,
+    canonical: bool = False,
+    interpret: bool = False,
+    mode: str = "cmp",
+) -> jax.Array:
+    """Dense [bins] histogram from HOST-STAGED u32 planes (words_le /
+    inval_be, host_planes_from_packfmt's wire format — 0.375 B/base of
+    H2D) via the packed-plane bp2 kernel. Exact twin of
+    histogram_bp2_pallas(bases, ...) for k <= 8; see
+    _make_hist_bp2_packed_kernel for why this front end exists."""
+    if bins != 4**k or k > 8:
+        raise ValueError(
+            f"packed bp2 serves bins == 4^k, k <= 8 (got k={k}, "
+            f"bins={bins})"
+        )
+    W = min(128, _round_up(bins, 4))
+    while W * W < bins:
+        W *= 2
+    H = max(bins // W, 1)
+    Wp = _round_up(W, 128)
+    Hp = _round_up(H, 8)
+    w_bits = W.bit_length() - 1
+    a_hi = jnp.asarray(_bp2_patterns(2 * k - w_bits, w_bits, Hp, H, k))
+    a_lo = jnp.asarray(_bp2_patterns(w_bits, 0, Wp, W, k))
+
+    # Same tile geometry as the packed encoder: W16 words per row must be
+    # a 128-multiple, so chunk % 2048 == 0.
+    chunk = int(os.environ.get("KMER_TPU_HIST_CHUNK_BP2P", "2048"))
+    if chunk < 2048 or chunk % 2048:
+        raise ValueError(
+            "KMER_TPU_HIST_CHUNK_BP2P must be a positive multiple of "
+            f"2048, got {chunk}"
+        )
+    W16 = chunk // 16
+    span_w = 8 * W16
+    Tw = words_le.shape[0]
+    Twp = _round_up(max(Tw, span_w), span_w)
+    n_tiles = Twp // span_w
+    n_rows = n_tiles * 8
+    ones = jnp.uint32(0xFFFFFFFF)
+    if Tw == Twp:
+        wmain = words_le.reshape(n_rows, W16)
+        imain = inval_be.reshape(n_rows, W16)
+    else:
+        wmain = (
+            jnp.zeros((Twp,), jnp.uint32).at[:Tw].set(words_le)
+        ).reshape(n_rows, W16)
+        imain = (
+            jnp.full((Twp,), ones, jnp.uint32).at[:Tw].set(inval_be)
+        ).reshape(n_rows, W16)
+    whalo = jnp.concatenate(
+        [wmain[1:, :128], jnp.zeros((1, 128), jnp.uint32)], axis=0
+    )
+    ihalo = jnp.concatenate(
+        [imain[1:, :128], jnp.full((1, 128), ones, jnp.uint32)], axis=0
+    )
+    as_i32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+    kernel = _make_hist_bp2_packed_kernel(k, canonical, chunk, w_bits, mode)
+    word_spec = pl.BlockSpec(
+        (8, W16), lambda t: (t, 0), memory_space=pltpu.VMEM
+    )
+    halo_spec = pl.BlockSpec(
+        (8, 128), lambda t: (t, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
+        grid=(n_tiles,),
+        in_specs=[
+            word_spec,
+            word_spec,
+            halo_spec,
+            halo_spec,
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (Hp, _BP2_PLANES), lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (Wp, _BP2_PLANES), lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (Hp, Wp), lambda t: (0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(
+        as_i32(wmain),
+        as_i32(imain),
+        as_i32(whalo),
+        as_i32(ihalo),
         jnp.asarray(n_own, dtype=jnp.int32).reshape(1, 1),
         a_hi,
         a_lo,

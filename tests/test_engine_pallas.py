@@ -58,3 +58,25 @@ def test_canonical_count_via_pallas(make_dna):
         np.zeros(4**6, dtype=np.int64),
     )
     assert np.array_equal(result.hist, want)
+
+
+@pytest.mark.parametrize("k,canonical", [(4, False), (6, True), (8, False)])
+def test_count_stream_planes_route_exact(make_dna, monkeypatch, k, canonical):
+    """r5 dense planes route (packed-plane bp2 kernel on the k=4..8
+    band): count_sequences through the interpret-mode Pallas path with
+    pack_input must equal the oracle bin-for-bin."""
+    from dna_kmeres_parallel_tpu.models.engine import KmerEngine
+
+    monkeypatch.setenv("KMER_TPU_PALLAS_INTERPRET", "1")
+    seqs = [make_dna(300 + 17 * i, invalid_frac=0.03) for i in range(5)]
+    cfg = KmerConfig(k=k, canonical=canonical, pack_input=True,
+                     batch_bases=512)
+    res = KmerEngine(cfg).count_sequences(seqs)
+    want = sum(
+        (oracle.count_vector(s, k, canonical) for s in seqs),
+        np.zeros(4**k, np.int64),
+    )
+    assert np.array_equal(res.hist.astype(np.int64), want)
+    monkeypatch.setenv("KMER_TPU_DENSE_PLANES", "0")
+    res2 = KmerEngine(cfg).count_sequences(seqs)
+    assert np.array_equal(res2.hist.astype(np.int64), want)

@@ -318,3 +318,80 @@ def test_histogram_bitplane_n_own_mask(make_dna):
     assert got.sum() == n_own
     want = oracle.count_vector(s[: n_own + k - 1], k)
     assert np.array_equal(got.astype(np.int64), want)
+
+
+@pytest.mark.parametrize("mode", ["cmp", "planes"])
+@pytest.mark.parametrize(
+    "k,canonical",
+    [(3, False), (4, False), (4, True), (7, False), (8, False), (8, True)],
+)
+def test_histogram_bp2_packed_matches_oracle(make_dna, k, canonical, mode):
+    """r5 packed-plane front end (VERDICT weak #4): the bp2 histogram fed
+    from host-staged u32 planes (v2 wire format, residue-permuted window
+    order) must equal the oracle bin-for-bin, invalid bases included."""
+    from dna_kmeres_parallel_tpu.ops.encode import INVALID
+    from dna_kmeres_parallel_tpu.ops.encode_pallas import (
+        host_planes_from_packfmt,
+    )
+    from dna_kmeres_parallel_tpu.ops.histogram_pallas import (
+        histogram_bp2_packed_pallas,
+    )
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    s = make_dna(1500, invalid_frac=0.03)
+    bases = codec.encode_bases(s)
+    pad = (-bases.shape[0]) % 16
+    bases_p = np.concatenate(
+        [bases, np.full(pad, INVALID, dtype=np.uint8)]
+    )
+    data, mask, _ = codec.pack_bases(bases_p)
+    w_le, iv_be = host_planes_from_packfmt(data, mask)
+    got = np.asarray(
+        histogram_bp2_packed_pallas(
+            jnp.asarray(w_le),
+            jnp.asarray(iv_be),
+            jnp.int32(len(s) - k + 1),
+            k,
+            codec.num_bins(k),
+            canonical=canonical,
+            interpret=True,
+            mode=mode,
+        ),
+        dtype=np.int64,
+    )
+    want = oracle.count_vector(s, k, canonical=canonical)
+    assert np.array_equal(got, want)
+
+
+def test_histogram_bp2_packed_n_own_mask(make_dna):
+    from dna_kmeres_parallel_tpu.ops.encode import INVALID
+    from dna_kmeres_parallel_tpu.ops.encode_pallas import (
+        host_planes_from_packfmt,
+    )
+    from dna_kmeres_parallel_tpu.ops.histogram_pallas import (
+        histogram_bp2_packed_pallas,
+    )
+
+    k = 6
+    s = make_dna(900)
+    bases = codec.encode_bases(s)
+    pad = (-bases.shape[0]) % 16
+    bases_p = np.concatenate(
+        [bases, np.full(pad, INVALID, dtype=np.uint8)]
+    )
+    data, mask, _ = codec.pack_bases(bases_p)
+    w_le, iv_be = host_planes_from_packfmt(data, mask)
+    for n_own in (0, 1, 300):
+        got = np.asarray(
+            histogram_bp2_packed_pallas(
+                jnp.asarray(w_le),
+                jnp.asarray(iv_be),
+                jnp.int32(n_own),
+                k,
+                4096,
+                interpret=True,
+            )
+        )
+        assert got.sum() == n_own
+        want = oracle.count_vector(s[: n_own + k - 1] if n_own else "", k)
+        assert np.array_equal(got.astype(np.int64), want)
