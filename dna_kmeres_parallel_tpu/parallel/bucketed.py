@@ -21,6 +21,7 @@ genomic data.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -28,10 +29,24 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
+from dna_kmeres_parallel_tpu.ops import sort_pallas
 from dna_kmeres_parallel_tpu.ops import sparse as sparse_ops
 from dna_kmeres_parallel_tpu.parallel.mesh import DATA_AXIS
 
 _SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _row_partition_mode() -> bool:
+    """Whether the raw exchange takes the r5 row-partition route
+    (KMER_TPU_ROW_PARTITION: 0 disables; default on — measured 6.3-6.4x
+    on the sort-bound device program at k=21/31, docs/BENCHMARKS.md r5;
+    count_bucket_sharded_raw degrades to the global sort on a row-local
+    capacity overflow)."""
+    return os.environ.get("KMER_TPU_ROW_PARTITION", "1") != "0"
 
 
 def _owner_bits(k: int, n_dev: int) -> tuple[int, int, bool]:
@@ -421,13 +436,6 @@ def count_bucket_sharded(
     return hi, lo, counts, starts, jnp.any(ov > 0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "k", "canonical", "mesh", "axis", "owner_mode", "minimizer_m",
-        "pallas", "staged_planes",
-    ),
-)
 def exchange_words_bucket_sharded(
     bases,
     n_own_per_shard: jax.Array,
@@ -439,6 +447,62 @@ def exchange_words_bucket_sharded(
     minimizer_m: int = 7,
     pallas: str | None = None,
     staged_planes: bool = False,
+    row_partition: bool | None = None,
+):
+    """Public entry for the raw exchange: resolves the row-partition
+    routing flag OUTSIDE the jit boundary (an env read inside the jitted
+    body would be baked into the first trace and silently cached — the
+    exact trap this repo's own benchmarks notes document) and dispatches
+    to the jitted implementation with it as a static argument."""
+    if row_partition is None:
+        row_partition = _row_partition_mode()
+    # Row length scales with the device count: row_cap rounds up to a
+    # 128 lane multiple, so rows must hold >= 64 windows per owner or
+    # the rounding inflates the send volume past the global path's
+    # 2x/4x capacity policy (D=8: 2048 rows keep cap 512 = exactly 2x;
+    # D=256 lengthens rows to 16384 so cap 128 stays 2x). The per-row
+    # sort stays ~log^2(row)/log^2(n) cheaper than the flat sort it
+    # replaces (2.9x even at 16K rows).
+    row_len = max(
+        int(os.environ.get("KMER_TPU_ROW_PARTITION_LEN", "2048")),
+        64 * mesh.shape[axis],
+    )
+    return _exchange_words_jit(
+        bases,
+        n_own_per_shard,
+        k,
+        canonical,
+        mesh,
+        axis,
+        owner_mode,
+        minimizer_m,
+        pallas,
+        staged_planes,
+        row_partition,
+        row_len,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "canonical", "mesh", "axis", "owner_mode", "minimizer_m",
+        "pallas", "staged_planes", "row_partition", "row_len",
+    ),
+)
+def _exchange_words_jit(
+    bases,
+    n_own_per_shard: jax.Array,
+    k: int,
+    canonical: bool,
+    mesh: jax.sharding.Mesh,
+    axis: str = DATA_AXIS,
+    owner_mode: str = "prefix",
+    minimizer_m: int = 7,
+    pallas: str | None = None,
+    staged_planes: bool = False,
+    row_partition: bool = False,
+    row_len: int = 2048,
 ):
     """RAW-exchange variant of count_bucket_sharded for the no-device-sort
     era: each chip sorts its windows by OWNER ONLY (one sort key + the
@@ -520,6 +584,109 @@ def exchange_words_bucket_sharded(
         # the use_hi=False mid band (where a valid lo can equal the
         # sentinel) keep the owner-key sort.
         prefix_fast = owner_mode != "minimizer" and (use_hi or single)
+        # r5 ROW-PARTITION route (VERDICT r4 weak #3): the global
+        # single-operand bitonic sort is ~log^2(n)/log^2(row_len) more
+        # compare stages than independent ROW sorts (576 vs 121 at 16M
+        # windows / 2048-rows) — and owners only need GROUPING, not
+        # order (the raw exchange's host radix is order-free). Sort
+        # rows, find each row's owner segments by counting below the
+        # static code edges (pure compares — no searchsorted gathers),
+        # then extract segments into fixed [D, row_cap] slots with one
+        # dynamic lane-roll per (row, owner) in a Pallas kernel
+        # (ops/sort_pallas.extract_owner_segments; XLA's only spellings
+        # are gather/scatter, measured 20x/545x). Send capacity is per
+        # (row, owner) — same 2x/4x margin policy as _capacity, so a
+        # skewed row overflows exactly like a skewed shard did; the
+        # overflow flag and fallback protocol are unchanged.
+        row_route = row_partition and prefix_fast and pallas is not None
+        if row_route:
+            cap_mult = 4 if canonical else 2
+            row_cap = min(
+                _round_up(-(-cap_mult * row_len // D), 128), row_len
+            )
+            # Widen a u16 hi plane for the common roll kernel — mapping
+            # its all-ones sentinel to the u32 all-ones (a plain astype
+            # widens 0xFFFF to 0x0000FFFF, which sorts ABOVE every valid
+            # hi but BELOW the u32 sentinel threshold: every invalid
+            # window would land in the LAST owner's segment and
+            # deterministically overflow it). Narrowing back after the
+            # exchange truncates 0xFFFFFFFF to 0xFFFF exactly.
+            payl32 = tuple(
+                p
+                if p.dtype == jnp.uint32
+                else jnp.where(
+                    p == jnp.asarray(0xFFFF, p.dtype),
+                    jnp.uint32(0xFFFFFFFF),
+                    p.astype(jnp.uint32),
+                )
+                for p in payloads
+            )
+            n = payl32[0].shape[0]
+            n_rows = _round_up(-(-n // row_len), 8)
+            total = n_rows * row_len
+            rows_p = tuple(
+                jnp.concatenate(
+                    [p, jnp.full((total - n,), 0xFFFFFFFF, jnp.uint32)]
+                ).reshape(n_rows, row_len)
+                for p in payl32
+            )
+            sorted_rows = jax.lax.sort(rows_p, dimension=-1, num_keys=1)
+            route_rows = sorted_rows[0]
+            edge_vals = [
+                ((d << t_bits) + D - 1) // D << shift for d in range(D)
+            ]
+            # starts[:, d] = count below owner d's first code (sorted
+            # rows make count == index); column D = first sentinel.
+            thresholds = [jnp.uint32(e) for e in edge_vals] + [
+                jnp.uint32(0xFFFFFFFF)
+            ]
+            starts_full = jnp.stack(
+                [
+                    jnp.sum(
+                        (route_rows < th).astype(jnp.int32), axis=-1
+                    )
+                    for th in thresholds
+                ],
+                axis=1,
+            )
+            seg_len_rows = starts_full[:, 1:] - starts_full[:, :-1]
+            overflow = jnp.any(seg_len_rows > row_cap)
+            send_planes = sort_pallas.extract_owner_segments(
+                sorted_rows,
+                starts_full,
+                row_cap,
+                D,
+                interpret=(pallas == "interpret"),
+            )
+            send_bufs = []
+            for sp, p, sent in zip(send_planes, payloads, sents):
+                grouped = (
+                    sp.reshape(n_rows, D, row_cap)
+                    .transpose(1, 0, 2)
+                    .reshape(D, n_rows * row_cap)
+                )
+                if p.dtype != jnp.uint32:
+                    # narrow back (values < 2^16; u32 sentinel -> u16
+                    # sentinel exactly)
+                    grouped = grouped.astype(p.dtype)
+                send_bufs.append(grouped)
+            recvs = [
+                jax.lax.all_to_all(sb, axis, 0, 0, tiled=True)
+                for sb in send_bufs
+            ]
+            ov = jax.lax.pmax(overflow.astype(jnp.int32), axis)
+            if single:
+                recv_lo = recvs[0]
+                return (
+                    recv_lo.reshape(-1)[None],
+                    recv_lo.reshape(-1)[None],
+                    ov[None],
+                )
+            return (
+                recvs[0].reshape(-1)[None],
+                recvs[1].reshape(-1)[None],
+                ov[None],
+            )
         if prefix_fast:
             # The routing word is payloads[0] either way: hi when use_hi,
             # lo in the single-word band (owner = its top bits).
@@ -647,6 +814,24 @@ def count_bucket_sharded_raw(
         pallas=pallas,
         staged_planes=staged,
     )
+    if bool(overflow) and _row_partition_mode():
+        # The row route's capacity is per (row, owner) — tighter margins
+        # than the global sort's per-shard capacity, so a row-local skew
+        # burst can overflow where the shard would not. Degrade to the
+        # global-sort program once for this job before raising.
+        words, overflow = exchange_words_bucket_sharded(
+            inputs,
+            jnp.asarray(n_own),
+            k,
+            canonical,
+            mesh,
+            axis,
+            owner_mode,
+            minimizer_m,
+            pallas=pallas,
+            staged_planes=staged,
+            row_partition=False,
+        )
     if bool(overflow):
         raise OverflowError(
             "bucketed raw exchange: an owner's window share exceeded the "

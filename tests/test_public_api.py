@@ -41,15 +41,24 @@ def test_engine_pallas_compile_fallback(make_dna, monkeypatch):
     from dna_kmeres_parallel_tpu.utils.config import KmerConfig
 
     real = engine_mod._count_batch_packed
-    calls = {"n": 0}
+    calls = {"planes": 0, "packed": 0}
 
-    def flaky(data, mask, n_own, k, bins, canonical, pallas=None):
-        calls["n"] += 1
+    # r5 degradation chain: the dense k=4..8 band routes the packed-
+    # PLANES kernel first; a compile failure there must fall back to
+    # the packed program, and a pallas failure THERE to the jnp path.
+    def flaky_planes(w_le, iv_be, n_own, k, bins, canonical,
+                     pallas="compiled"):
+        calls["planes"] += 1
+        raise RuntimeError("INTERNAL: remote_compile: HTTP 500 (Mosaic)")
+
+    def flaky_packed(data, mask, n_own, k, bins, canonical, pallas=None):
+        calls["packed"] += 1
         if pallas is not None:
             raise RuntimeError("INTERNAL: remote_compile: HTTP 500 (Mosaic)")
         return real(data, mask, n_own, k, bins, canonical, None)
 
-    monkeypatch.setattr(engine_mod, "_count_batch_packed", flaky)
+    monkeypatch.setattr(engine_mod, "_count_batch_planes", flaky_planes)
+    monkeypatch.setattr(engine_mod, "_count_batch_packed", flaky_packed)
     monkeypatch.setenv("KMER_TPU_PALLAS_INTERPRET", "1")  # force pallas mode
     seqs = [make_dna(300) for _ in range(2)]
     result = KmerEngine(KmerConfig(k=4, batch_bases=256)).count_sequences(seqs)
@@ -57,9 +66,12 @@ def test_engine_pallas_compile_fallback(make_dna, monkeypatch):
         (oracle.count_vector(s, 4) for s in seqs), np.zeros(256, np.int64)
     )
     assert np.array_equal(result.hist, want)
-    # First pallas attempt raised + at least the jnp fallback ran. (Later
-    # batches may hit jit caches from other tests and not re-trace.)
-    assert calls["n"] >= 2
+    # The planes attempt raised and the degraded run went through the
+    # packed program with pallas=None (the sticky jnp fallback — a
+    # Mosaic failure is not re-attempted mid-stream; batches 2+ use the
+    # unpatched acc variant).
+    assert calls["planes"] >= 1
+    assert calls["packed"] >= 1
 
 
 def test_cli_merge_and_histo(tmp_path, make_dna, monkeypatch):
