@@ -141,13 +141,20 @@ def measure_link(size_bytes: int = 16 << 20, reps: int = 2) -> dict:
 
 def measure_compute() -> dict:
     """Measured pair rates for the dense (min,+) routes and the native
-    host two-pointer — the explicit `kmer-tpu calibrate` step (pays one
-    remote compile per route on TPU; cached by the XLA compile cache).
+    host two-pointer — the explicit `kmer-tpu calibrate` step (pays two
+    remote compiles per route on TPU; cached by the XLA compile cache).
 
-    Fits the single dominant constant of each ops/distance time model at
-    a wide shape (the per-pair overhead terms stay frozen — they only
-    matter at skinny shapes where the routes are within noise of each
-    other)."""
+    Each device rate is a TWO-SIZE differential with scalar-sum
+    consumption: the first cut fetched the full [S, S] result and — on
+    this repo's ~18 MB/s dev tunnel — measured the TRANSFER, reporting
+    "compute" rates 100-250x below the device's (the gates model link
+    legs separately, so that would double-count the link and poison
+    every device-route decision). Differencing two compute sizes
+    cancels the dispatch+fetch roundtrip exactly; a non-positive delta
+    drops the key (frozen-constant fallback). Fits the single dominant
+    constant of each ops/distance time model at wide shapes (the
+    per-pair overhead terms stay frozen — they only matter at skinny
+    shapes where the routes are within noise of each other)."""
     import jax
     import jax.numpy as jnp
 
@@ -156,35 +163,80 @@ def measure_compute() -> dict:
 
     rng = np.random.default_rng(0xCA2)
     out: dict = {}
-    S, bins, cmax = 512, 8192, 4
 
-    def timed(fn, *args) -> float:
-        fn(*args)  # warmup/compile
-        best = None
+    def rate(fn_big, fn_small, work_delta) -> float | None:
+        """median of 3 paired (big - small) wall deltas, through a
+        device scalar-sum fetch; None when jitter swamps the delta."""
+        consume = lambda f: int(
+            np.asarray(jnp.sum(f(), dtype=jnp.int32))
+        )
+        consume(fn_big)  # warm/compile
+        consume(fn_small)
+        deltas = []
         for _ in range(3):
             t0 = time.perf_counter()
-            r = np.asarray(fn(*args))
-            dt = time.perf_counter() - t0
-            assert r.size
-            best = dt if best is None else min(best, dt)
-        return best
+            consume(fn_big)
+            tb = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            consume(fn_small)
+            ts = time.perf_counter() - t0
+            deltas.append(tb - ts)
+        d = float(np.median(deltas))
+        return work_delta / d if d > 0 else None
 
+    on_tpu = runtime.pallas_mode() == "compiled"
+    # MXU probe: marginal-threshold differential AT THE MODEL'S FIT
+    # SHAPE (S=2048, 64K bins — where r4 fit the frozen 2.75e13). The
+    # per-threshold cost the model's single constant amortizes is matmul
+    # PLUS the [S, bins] threshold-plane builds (2*bins/S element ops
+    # per pair per threshold — comparable to the matmul term at wide
+    # bins); a narrow-S probe isolates near-peak marginal MACs (3.1e14
+    # measured, 78% of v5e int8 peak) and would under-predict MXU time
+    # ~10x at application shapes. Matching the fit shape keeps the
+    # fitted constant meaning what the model spends it as. Delta work =
+    # 2048^2 * 65536 * 6 = 1.65 TMAC ≈ 60 ms — far above tunnel jitter.
+    # CPU (tests / smoke) uses small shapes — minutes of emulated
+    # matmuls would buy nothing.
+    S, bins = (2048, 65536) if on_tpu else (256, 1024)
+    cmax_hi = 8
     counts = jnp.asarray(
-        rng.integers(0, cmax + 1, size=(S, bins), dtype=np.int32)
+        rng.integers(0, cmax_hi + 1, size=(S, bins), dtype=np.int32)
     )
-    t = timed(dist_ops.min_sum_matrix_mxu, counts, cmax)
-    out["mxu_macs_per_sec"] = S * S * bins * cmax / t
-    t = timed(dist_ops.min_sum_matrix, counts)
-    out["dense_bin_pairs_per_sec"] = S * S * bins / t
+    r = rate(
+        lambda: dist_ops.min_sum_matrix_mxu(counts, cmax_hi),
+        lambda: dist_ops.min_sum_matrix_mxu(counts, 2),
+        S * S * bins * (cmax_hi - 2),
+    )
+    if r:
+        out["mxu_macs_per_sec"] = r
+    Sb = 1024 if on_tpu else 256
+    big = jnp.asarray(
+        rng.integers(0, 64, size=(Sb, bins), dtype=np.int32)
+    )
+    r = rate(
+        lambda: dist_ops.min_sum_matrix(big),
+        lambda: dist_ops.min_sum_matrix(big[: Sb // 4]),
+        (Sb * Sb - (Sb // 4) ** 2) * bins,
+    )
+    if r:
+        out["dense_bin_pairs_per_sec"] = r
     if runtime.pallas_mode() == "compiled":
         try:
-            t = timed(
-                distance_pallas.min_sum_matrix_pallas_tri,
-                jnp.asarray(
-                    rng.integers(0, 64, size=(1024, 4096), dtype=np.int32)
-                ),
+            # Tri delta sized ~47 ms at the frozen rate: a [1024, 4096]
+            # probe's ~3 ms delta sat inside tunnel jitter and fitted
+            # 7.0e11 one round and 1.66e12 the next.
+            tb = jnp.asarray(
+                rng.integers(0, 64, size=(2048, 16384), dtype=np.int32)
             )
-            out["tri_bin_pairs_per_sec"] = (1024 * 1025 / 2) * 4096 / t
+            r = rate(
+                lambda: distance_pallas.min_sum_matrix_pallas_tri(tb),
+                lambda: distance_pallas.min_sum_matrix_pallas_tri(
+                    tb[:512]
+                ),
+                (2048 * 2049 / 2 - 512 * 513 / 2) * 16384,
+            )
+            if r:
+                out["tri_bin_pairs_per_sec"] = r
         except Exception as e:  # pragma: no cover - backend-specific
             if not runtime.degradable_compile_error(e):
                 raise
