@@ -78,8 +78,9 @@ def _add_common(p: argparse.ArgumentParser):
         metavar="N",
         help="run over an N-device mesh: data-parallel counting (stream "
         "command, per-chip partials merged exactly) and partner-sharded "
-        "dense distances (distance command, incl. --stream-panel; "
-        "bit-identical output at any N)",
+        "distances (distance command, incl. --stream-panel — dense "
+        "panels always; sparse k>=12 panels when the union-indexed "
+        "device route fires; bit-identical output at any N)",
     )
     p.add_argument(
         "--device-sort",
