@@ -645,3 +645,59 @@ def test_distance_multihost_two_processes_kill_and_resume(tmp_path, make_dna):
     )
     with open(csv, "rb") as f:
         assert f.read() == ref.read_bytes()
+
+
+def test_distance_multihost_two_processes_dense_regime(tmp_path, make_dna):
+    """The dense regime (small k) through the same 2-process row-sharded
+    protocol: stitched CSV byte-identical to the oracle's."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from dna_kmeres_parallel_tpu.models import oracle as oracle_mod
+    from dna_kmeres_parallel_tpu.utils import fasta as fasta_mod
+    from dna_kmeres_parallel_tpu.utils import io as io_mod
+
+    records = [(f">r{i}", make_dna(80 + 11 * i)) for i in range(9)]
+    path = tmp_path / "mdistd.fasta"
+    fasta_mod.write_fasta(path, records)
+    k = 5
+    csv = str(tmp_path / "mdistd_out.csv")
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    env = {kk: v for kk, v in os.environ.items() if kk not in ("XLA_FLAGS",)}
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), str(path),
+             str(k), str(tmp_path / f"dd{i}.npz"), f"dist:{csv}:2"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("dense distance multi-process workers timed out")
+        logs.append(out)
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{logs[i][-2000:]}"
+    for i in range(2):
+        got = np.load(tmp_path / f"dd{i}.npz")
+        assert int(got["completed"]) and int(got["all_complete"])
+
+    ref = tmp_path / "refd.csv"
+    io_mod.write_distances_csv(
+        ref, oracle.distance_matrix_packed([s for _, s in records], k)
+    )
+    with open(csv, "rb") as f:
+        assert f.read() == ref.read_bytes()
