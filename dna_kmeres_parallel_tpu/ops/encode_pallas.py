@@ -504,7 +504,19 @@ def _make_packed_encode_kernel(
             # mask by the word planes' validity).
             mm_shift = 32 - 2 * minimizer_m
             L_span = k - minimizer_m + 1
-            fam = {1: [e >> mm_shift for e in E]}
+            # SIGNED int32 family: m-mer codes are < 4^m <= 2^30, so the
+            # signed order equals the unsigned one — and Mosaic cannot
+            # legalize vector arith.minui (a u32 jnp.minimum here failed
+            # the COMPILED kernel with HTTP 500; interpret mode, which
+            # every prior test used, accepted it silently — r5 finding).
+            fam = {
+                1: [
+                    jax.lax.bitcast_convert_type(
+                        e >> mm_shift, jnp.int32
+                    )
+                    for e in E
+                ]
+            }
             s = 1
             while 2 * s <= L_span:
                 prev = fam[s]

@@ -598,7 +598,9 @@ def _exchange_words_jit(
         # (row, owner) — same 2x/4x margin policy as _capacity, so a
         # skewed row overflows exactly like a skewed shard did; the
         # overflow flag and fallback protocol are unchanged.
-        row_route = row_partition and prefix_fast and pallas is not None
+        row_route = row_partition and pallas is not None and (
+            prefix_fast or owner_mode == "minimizer"
+        )
         if row_route:
             cap_mult = 4 if canonical else 2
             row_cap = min(
@@ -624,26 +626,53 @@ def _exchange_words_jit(
             n = payl32[0].shape[0]
             n_rows = _round_up(-(-n // row_len), 8)
             total = n_rows * row_len
-            rows_p = tuple(
-                jnp.concatenate(
-                    [p, jnp.full((total - n,), 0xFFFFFFFF, jnp.uint32)]
+
+            def _rows(p, fill):
+                return jnp.concatenate(
+                    [p, jnp.full((total - n,), fill, p.dtype)]
                 ).reshape(n_rows, row_len)
-                for p in payl32
-            )
-            sorted_rows = jax.lax.sort(rows_p, dimension=-1, num_keys=1)
-            route_rows = sorted_rows[0]
-            edge_vals = [
-                ((d << t_bits) + D - 1) // D << shift for d in range(D)
-            ]
-            # starts[:, d] = count below owner d's first code (sorted
-            # rows make count == index); column D = first sentinel.
-            thresholds = [jnp.uint32(e) for e in edge_vals] + [
-                jnp.uint32(0xFFFFFFFF)
-            ]
+
+            if prefix_fast:
+                # Owner is monotone in the routing word (= payloads[0]):
+                # sort rows by it alone, segment edges from the static
+                # prefix-mode code edges.
+                sorted_rows = jax.lax.sort(
+                    tuple(_rows(p, 0xFFFFFFFF) for p in payl32),
+                    dimension=-1,
+                    num_keys=1,
+                )
+                key_rows = sorted_rows[0]
+                edge_vals = [
+                    ((d << t_bits) + D - 1) // D << shift
+                    for d in range(D)
+                ]
+                # starts[:, d] = count below owner d's first code
+                # (sorted rows make count == index); column D = first
+                # sentinel.
+                thresholds = [jnp.uint32(e) for e in edge_vals] + [
+                    jnp.uint32(0xFFFFFFFF)
+                ]
+            else:
+                # Minimizer owners are NOT monotone in any word: carry
+                # the owner itself as the row-sort key (invalid windows
+                # already route to pseudo-owner D, which sorts past
+                # every real segment) and count below each owner id.
+                own_rows = _rows(
+                    owner.astype(jnp.uint32), np.uint32(D)
+                )
+                sorted_all = jax.lax.sort(
+                    (own_rows,)
+                    + tuple(_rows(p, 0xFFFFFFFF) for p in payl32),
+                    dimension=-1,
+                    num_keys=1,
+                )
+                key_rows = sorted_all[0]
+                sorted_rows = sorted_all[1:]
+                thresholds = [jnp.uint32(d) for d in range(D + 1)]
             starts_full = jnp.stack(
                 [
                     jnp.sum(
-                        (route_rows < th).astype(jnp.int32), axis=-1
+                        (key_rows < th).astype(jnp.int32), axis=-1
                     )
                     for th in thresholds
                 ],

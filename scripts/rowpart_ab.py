@@ -28,6 +28,7 @@ from dna_kmeres_parallel_tpu.parallel.mesh import make_mesh
 from dna_kmeres_parallel_tpu.parallel.sharded_sparse import stage_shard_planes
 
 TOTAL = int(os.environ.get("AB_BASES", str(16 << 20)))
+OWNER = os.environ.get("AB_OWNER", "prefix")
 INNER_HI = int(os.environ.get("AB_INNER", "6"))
 N_DISTINCT = 2
 mesh = make_mesh(1)
@@ -58,7 +59,7 @@ def run_k(k: int) -> dict:
         "n": jnp.asarray(np.stack(ns)),
     }
 
-    out = {"k": k, "shard_bases": TOTAL}
+    out = {"k": k, "shard_bases": TOTAL, "owner_mode": OWNER}
     for label, env in (("global_sort", "0"), ("row_partition", "1")):
         os.environ["KMER_TPU_ROW_PARTITION"] = env
 
@@ -73,6 +74,7 @@ def run_k(k: int) -> dict:
                         k,
                         False,
                         mesh,
+                        owner_mode=OWNER,
                         pallas="compiled",
                         staged_planes=True,
                     )

@@ -438,14 +438,17 @@ def test_raw_exchange_prefix_fast_matches_engine(make_dna, k):
     assert np.array_equal(counts, want.counts)
 
 
-@pytest.mark.parametrize("k,canonical", [
-    (13, False),   # single-word band (owner bits in lo)
-    (21, False),   # u16 hi band (widen/narrow across the kernel)
-    (21, True),
-    (31, False),   # u32 hi band — config 5
+@pytest.mark.parametrize("k,canonical,owner_mode", [
+    (13, False, "prefix"),   # single-word band (owner bits in lo)
+    (21, False, "prefix"),   # u16 hi band (widen/narrow across kernel)
+    (21, True, "prefix"),
+    (31, False, "prefix"),   # u32 hi band — config 5
+    (21, False, "minimizer"),  # owner carried as explicit row-sort key
+    (31, False, "minimizer"),
 ])
 def test_bucket_raw_row_partition_matches_default(make_dna, monkeypatch,
-                                                  k, canonical):
+                                                  k, canonical,
+                                                  owner_mode):
     """r5 row-partition route (per-row sort + Pallas dynamic-roll
     segment extraction, KMER_TPU_ROW_PARTITION=1) must produce the
     bit-identical table to the default global-sort raw exchange."""
@@ -458,10 +461,15 @@ def test_bucket_raw_row_partition_matches_default(make_dna, monkeypatch,
     seqs = [make_dna(150 + 31 * i, invalid_frac=0.02) for i in range(4)]
     flat = codec.concat_with_sentinels(seqs)
     mesh = make_mesh(8)
-    base = bucketed.count_bucket_sharded_raw(flat, k, canonical, mesh)
+    monkeypatch.setenv("KMER_TPU_ROW_PARTITION", "0")
+    base = bucketed.count_bucket_sharded_raw(
+        flat, k, canonical, mesh, owner_mode=owner_mode
+    )
     monkeypatch.setenv("KMER_TPU_ROW_PARTITION", "1")
     monkeypatch.setenv("KMER_TPU_ROW_PARTITION_LEN", "256")
-    got = bucketed.count_bucket_sharded_raw(flat, k, canonical, mesh)
+    got = bucketed.count_bucket_sharded_raw(
+        flat, k, canonical, mesh, owner_mode=owner_mode
+    )
     assert np.array_equal(base[0], got[0])
     assert np.array_equal(base[1], got[1])
     want = count_table_any_k(seqs, k, canonical)
