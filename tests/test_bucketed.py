@@ -478,3 +478,73 @@ def test_bucket_raw_row_partition_matches_default(make_dna, monkeypatch,
         for c, n in zip(got[0], got[1])
     }
     assert table == want
+
+
+def test_bucket_raw_positional_runs_survive_row_route(make_dna,
+                                                      monkeypatch):
+    """A positional same-owner run (homopolymer inside random data) does
+    NOT overflow the row route: the v2 residue-permuted window order
+    scatters consecutive positions across rows, so only VALUE skew (an
+    owner's global share past the 2x margin) can blow a row. The table
+    stays exact with no fallback call."""
+    from dna_kmeres_parallel_tpu.models.oracle import count_table_any_k
+    from dna_kmeres_parallel_tpu.parallel import bucketed
+    from dna_kmeres_parallel_tpu.parallel.mesh import make_mesh
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    monkeypatch.setenv("KMER_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("KMER_TPU_ROW_PARTITION", "1")
+    monkeypatch.setenv("KMER_TPU_ROW_PARTITION_LEN", "256")
+    seqs = [make_dna(700), "A" * 600, make_dna(700)]
+    flat = codec.concat_with_sentinels(seqs)
+    mesh = make_mesh(8)
+    calls = []
+    real = bucketed.exchange_words_bucket_sharded
+
+    def spy(*a, **kw):
+        calls.append(kw.get("row_partition"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(bucketed, "exchange_words_bucket_sharded", spy)
+    codes, counts = bucketed.count_bucket_sharded_raw(
+        flat, 21, False, mesh
+    )
+    assert calls == [None], calls  # no degradation needed
+    want = count_table_any_k(seqs, 21)
+    got = {
+        codec.code_to_kmer(int(c), 21): int(n)
+        for c, n in zip(codes, counts)
+    }
+    assert got == want
+
+
+def test_bucket_raw_row_overflow_retries_global_then_raises(make_dna,
+                                                            monkeypatch):
+    """Value skew past every margin (one owner holding ~half of all
+    windows): the driver must TRY the row route, DEGRADE once to the
+    global-sort program, and only then raise the overflow error."""
+    from dna_kmeres_parallel_tpu.parallel import bucketed
+    from dna_kmeres_parallel_tpu.parallel.mesh import make_mesh
+    from dna_kmeres_parallel_tpu.utils import codec
+
+    monkeypatch.setenv("KMER_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("KMER_TPU_ROW_PARTITION", "1")
+    monkeypatch.setenv("KMER_TPU_ROW_PARTITION_LEN", "256")
+    # Send capacity is provisioned from the PADDED plane slots (16384
+    # per shard at the test chunk), so overflowing the GLOBAL route too
+    # needs > 2*16384/8 + 64 = 4160 same-owner windows per shard: a
+    # 40-Kbase homopolymer puts ~5000 owner-0 windows on every shard.
+    seqs = [make_dna(2000), "A" * 40000, make_dna(2000)]
+    flat = codec.concat_with_sentinels(seqs)
+    mesh = make_mesh(8)
+    calls = []
+    real = bucketed.exchange_words_bucket_sharded
+
+    def spy(*a, **kw):
+        calls.append(kw.get("row_partition"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(bucketed, "exchange_words_bucket_sharded", spy)
+    with pytest.raises(OverflowError):
+        bucketed.count_bucket_sharded_raw(flat, 21, False, mesh)
+    assert calls == [None, False], calls
