@@ -1092,15 +1092,28 @@ def make_sparse_panel_fn(
             rp = r1 - r0
             panel = mat_p[r0 : r0 + panel_rows]
             if mesh is not None:
+                from dna_kmeres_parallel_tpu.parallel.mesh import DATA_AXIS
                 from dna_kmeres_parallel_tpu.parallel.sharded_count import (
                     min_sum_panel_sharded,
                 )
 
+                # Partner rows must divide the mesh axis: pad with
+                # zero-count rows (min-sum 0 — exact; the [:, :S] slice
+                # below drops them). Sp is a power of two, so this only
+                # fires on non-power-of-two meshes (same discipline as
+                # the dense engine's _min_sum_panel_mesh).
+                n_dev = mesh.shape[DATA_AXIS]
+                pad_rows = (-mat_dev.shape[0]) % n_dev
+                other = (
+                    jnp.pad(mat_dev, ((0, pad_rows), (0, 0)))
+                    if pad_rows
+                    else mat_dev
+                )
                 # int8-shipped matrices widen per shard for the
                 # non-threshold kernels inside min_sum_panel_sharded.
                 if impl == "mxu":
                     sums_dev = min_sum_panel_sharded(
-                        panel, mat_dev, mesh, mxu_cmax=plan["cmax"]
+                        panel, other, mesh, mxu_cmax=plan["cmax"]
                     )
                 else:
                     use_pl = (
@@ -1108,7 +1121,7 @@ def make_sparse_panel_fn(
                     )
                     sums_dev = min_sum_panel_sharded(
                         panel.astype(jnp.int32),
-                        mat_dev.astype(jnp.int32),
+                        other.astype(jnp.int32),
                         mesh,
                         pallas=use_pl,
                     )

@@ -167,3 +167,24 @@ def test_cli_sparse_stream_checkpointed(tmp_path, seqs):
     assert rc == 0
     assert os.path.exists(ck)
     assert out.read_bytes() == _ref_csv(tmp_path, seqs, 21)
+
+
+def test_sparse_stream_union_mesh_non_pow2(tmp_path, rng, make_dna,
+                                           monkeypatch):
+    # Non-power-of-two mesh: the union matrix's power-of-two row count
+    # does not divide the axis — the panel path must pad partner rows
+    # (zero rows are exact) instead of crashing.
+    from dna_kmeres_parallel_tpu.parallel.mesh import make_mesh
+
+    genome = make_dna(1200)
+    starts = rng.integers(0, len(genome) - 110 + 1, size=9)
+    reads = [genome[s : s + 110] for s in starts]
+    monkeypatch.setenv("KMER_TPU_DIST_UNION", "1")
+    monkeypatch.setenv("KMER_TPU_UNION_IMPL", "mxu")
+    out = tmp_path / "d.csv"
+    info = {}
+    sparse_engine.distance_sparse_stream_to_csv(
+        reads, 21, out, panel_rows=4, mesh=make_mesh(6), info=info
+    )
+    assert info["route"] == "union/mxu"
+    assert out.read_bytes() == _ref_csv(tmp_path, reads, 21)
